@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the large-scale training-data pipeline:
+  * tokenization, character n-grams, deterministic polynomial hashing,
+  * language-ID markers, quality ratios, fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` higher-order
+  * functions — no UDFs — so the hot path stays inside whole-stage
+  * codegen and the same formulas are expressible in ANSI-ish SQL for
+  * the DuckDB oracle (see graft.queries.OracleFragments which mirrors
+  * these formulas; keep the two in sync).
+  */
+object Text {
+
+  /** Normalize to lowercase a-z + space. Makes downstream `ascii`-based
+    * hashing engine-portable (single-byte code points only). */
+  def normalizeAz(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z ]", "")
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), w => length(w) > lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Character n-grams of a (normalized) string; empty array when the
+    * string is shorter than n. */
+  def charNgrams(c: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), length(c) - lit(n - 1)),
+      i => c.substr(i, lit(n)))
+    when(length(c) >= lit(n), grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Large prime for all polynomial hashing; fits comfortably in Long
+    * arithmetic (acc < P ~1e9; a*h < ~1e18 < Long.MaxValue). */
+  val P: Long = 1000000007L
+
+  /** Deterministic polynomial rolling hash of a string:
+    * fold(acc*31 + codepoint) mod P. Engine-portable (same formula in
+    * DuckDB via list_reduce) unlike Spark's xxhash64/murmur. Apply to
+    * normalized a-z text only. */
+  def polyHash(c: Column): Column = {
+    val codes = transform(sequence(lit(1), length(c)),
+      i => ascii(c.substr(i, lit(1))).cast("long"))
+    val folded = aggregate(codes, lit(0L),
+      (acc, x) => (acc * lit(31L) + x) % lit(P))
+    when(length(c) > lit(0), folded).otherwise(lit(0L))
+  }
+
+  /** polyHash applied inside a lambda (element of an array of strings). */
+  def polyHashElem(s: Column): Column = {
+    val codes = transform(sequence(lit(1), length(s)),
+      i => ascii(s.substr(i, lit(1))).cast("long"))
+    aggregate(codes, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
+  }
+
+  /** Ratio of tokens that appear in `words`. */
+  def wordSetRatio(toks: Column, words: Seq[String]): Column = {
+    val hits = size(filter(toks, w => w.isin(words.map(lit): _*)))
+    when(size(toks) > lit(0), hits.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def countTokensIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isin(words.map(lit): _*)))
+}

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over ArrayType embedding columns
+  * (`embeddings.embedding: array<float>`). All arithmetic is promoted
+  * to double and accumulated left-to-right so results are reproducible
+  * and match the DuckDB oracle. Codegen'd higher-order functions — no
+  * UDFs, no driver-side collect.
+  */
+object Vectors {
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential left-to-right dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 for a zero vector rather than NaN. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > lit(0.0), dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val dd = x.cast("double") - y.cast("double")
+        dd * dd
+      }),
+      lit(0.0), (acc, x) => acc + x))
+}

@@ -1,0 +1,33 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fold assignment for cross-validation (SURVEY.md §2.8 M1).
+  *
+  * The reference uses sklearn GroupKFold over concatenated
+  * (game,play,nfl) keys (`main_cuda.py:726-737`) and seeded KFold
+  * (`main_cuda.py:1465-1467`). sklearn's assignment is size-balanced;
+  * we provide two deterministic, group-disjoint equivalents:
+  *  - [[rankFold]]: dense_rank over sorted group keys mod k — exactly
+  *    reproducible in SQL (used by the correctness oracle). The
+  *    dense_rank needs a global sort of distinct group keys; fine for
+  *    fold assignment (distinct keys << rows), and at scale the
+  *    hash variant avoids the sort entirely.
+  *  - [[hashFold]]: pmod(hash(key), k) — shuffle-free, O(1) per row,
+  *    the 100 TB path.
+  */
+object Folds {
+
+  def rankFold(groupKey: Column, k: Int): Column =
+    (dense_rank().over(Window.orderBy(groupKey)) - 1) % k
+
+  def hashFold(groupKey: Column, k: Int): Column =
+    pmod(hash(groupKey), lit(k))
+
+  /** Train/validation split columns for fold f. */
+  def withFold(df: DataFrame, groupCols: Seq[String], k: Int,
+               foldCol: String = "fold"): DataFrame =
+    df.withColumn(foldCol, hashFold(concat_ws("_", groupCols.map(col): _*), k))
+}

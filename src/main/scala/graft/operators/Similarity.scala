@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k against a query vector — a single
+  * codegen'd projection (the query is a literal array, effectively
+  * broadcast) + a global top-k. No shuffle except the final ordering,
+  * which AQE collapses to a single reduce for small k.
+  *
+  * Scale path: IVF — vectors are assigned to the nearest of K
+  * centroids in one pass (centroids broadcast), stored bucketed by
+  * centroid; a query probes only its nprobe nearest clusters, turning
+  * a 100 TB scan into a targeted partition read.
+  */
+object Similarity {
+
+  def queryLit(q: Seq[Double]): Column = array(q.map(lit): _*)
+
+  /** Cosine of every row's embedding against a literal query vector. */
+  def cosineToQuery(df: DataFrame, embCol: String, q: Seq[Double]): DataFrame =
+    df.withColumn("cos", Vectors.cosine(col(embCol), queryLit(q)))
+
+  /** Brute-force top-k by cosine (deterministic tiebreak on idCol). */
+  def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
+                     q: Seq[Double], k: Int): DataFrame =
+    cosineToQuery(df, embCol, q)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cos"))
+
+  /** IVF assignment: nearest centroid per vector. `centroids` is small
+    * (K rows) and broadcast; ties break on the lower centroid id.
+    * Returns df + (centroid_id, centroid_cos). */
+  def ivfAssign(df: DataFrame, idCol: String, embCol: String,
+                centroids: DataFrame, cIdCol: String, cEmbCol: String): DataFrame = {
+    val joined = df.crossJoin(
+      broadcast(centroids.select(col(cIdCol).as("centroid_id"),
+        col(cEmbCol).as("__cemb"))))
+      .withColumn("centroid_cos", Vectors.cosine(col(embCol), col("__cemb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("centroid_cos").desc, col("centroid_id"))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cemb")
+  }
+
+  /** IVF search: assign once, then search only rows in the query's
+    * cluster(s). At scale the assignment is precomputed and the table
+    * is written partitioned by centroid_id → partition pruning makes
+    * the probe read only nprobe buckets. */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
+              centroids: DataFrame, cIdCol: String, cEmbCol: String,
+              q: Seq[Double], k: Int, nprobe: Int = 1): DataFrame = {
+    val assigned = ivfAssign(df, idCol, embCol, centroids, cIdCol, cEmbCol)
+    val qCents = centroids
+      .select(col(cIdCol).as("centroid_id"),
+        Vectors.cosine(col(cEmbCol), queryLit(q)).as("qcos"))
+      .orderBy(col("qcos").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    assigned.join(broadcast(qCents), Seq("centroid_id"), "left_semi")
+      .withColumn("cos", Vectors.cosine(col(embCol), queryLit(q)))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+}

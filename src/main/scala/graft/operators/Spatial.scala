@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Per-frame spatial interaction operators (SURVEY.md §2.5 and the
+  * GNN-lite branch §3 E1.3).
+  *
+  * The reference builds, per (game_id, play_id, frame_id) of ~22
+  * players, dense n x n distance / angle / relative-speed matrices with
+  * offense/defense/opponent masks, then per-player masked mean/min/max
+  * and nearest-opponent stats (`add.txt:3-138`, `nn/nn-mps.py:315-461`).
+  *
+  * Two implementations, both distributed:
+  *  - [[pairwiseStats]]: typed `groupByKey.flatMapGroups` kernel —
+  *    preserves the per-frame-matrix semantics, n^2 <= 484 ops per
+  *    group, no pair-row shuffle blow-up. Preferred at scale: the only
+  *    shuffle is the groupByKey on (g,p,f), and group state is bounded
+  *    by the 22-player roster.
+  *  - [[pairwiseStatsRelational]]: self-join + filtered aggregations —
+  *    pure built-ins; shuffles ~22x the data but stays entirely inside
+  *    whole-stage codegen. Used as the oracle cross-check in tests.
+  */
+object Spatial {
+
+  case class PlayerFrame(
+      game_id: Long, play_id: Int, frame_id: Int, nfl_id: Int,
+      x: Double, y: Double, s: Double, dir: Double, player_side: String)
+
+  case class PairStats(
+      game_id: Long, play_id: Int, frame_id: Int, nfl_id: Int,
+      mean_dist_all: Option[Double], min_dist_all: Option[Double],
+      max_dist_all: Option[Double],
+      mean_dist_opp: Option[Double], min_dist_opp: Option[Double],
+      mean_dist_team: Option[Double], min_dist_team: Option[Double],
+      nearest_opp_id: Option[Int], nearest_opp_dist: Option[Double],
+      nearest_opp_angle: Option[Double], nearest_opp_rel_speed: Option[Double],
+      circ_mean_angle_all: Option[Double], n_others: Int)
+
+  /** Typed per-frame kernel. Circular mean = atan2(mean sin, mean cos)
+    * (`nn/nn-mps.py:395-413`); angle i->j = atan2(-dy, -dx) per
+    * `add.txt:28-40`; all-null guards reproduce the reference's all-NaN
+    * rows (zero-count masks → NaN, `add.txt:63-97`). Nearest-opponent
+    * ties break on the lower nfl_id (deterministic under shuffle; the
+    * reference's nanargmin takes the first index in array order which
+    * is not stable across partitioning — documented semantic choice).
+    */
+  def pairwiseStats(ds: Dataset[PlayerFrame]): Dataset[PairStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(p => (p.game_id, p.play_id, p.frame_id))
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[PlayerFrame]) =>
+        val (g, pl, f) = key
+        val players = it.toArray
+        players.iterator.map { ego =>
+          var sumD, sumSin, sumCos = 0.0
+          var minAll, maxAll = Double.NaN
+          var sumOpp, minOpp = Double.NaN
+          var sumTeam, minTeam = Double.NaN
+          var nOpp, nTeam, nAll = 0
+          var nearId = -1
+          var nearD, nearAng, nearRel = Double.NaN
+          players.foreach { o =>
+            if (o.nfl_id != ego.nfl_id) {
+              val dx = o.x - ego.x; val dy = o.y - ego.y
+              val d = math.sqrt(dx * dx + dy * dy)
+              val ang = math.atan2(dy, dx)
+              nAll += 1; sumD += d
+              sumSin += math.sin(ang); sumCos += math.cos(ang)
+              if (minAll.isNaN || d < minAll) minAll = d
+              if (maxAll.isNaN || d > maxAll) maxAll = d
+              val opp = o.player_side != ego.player_side
+              if (opp) {
+                nOpp += 1
+                sumOpp = if (sumOpp.isNaN) d else sumOpp + d
+                if (minOpp.isNaN || d < minOpp) minOpp = d
+                if (nearId < 0 || d < nearD ||
+                    (d == nearD && o.nfl_id < nearId)) {
+                  nearId = o.nfl_id; nearD = d; nearAng = ang
+                  nearRel = relSpeed(ego, o)
+                }
+              } else {
+                nTeam += 1
+                sumTeam = if (sumTeam.isNaN) d else sumTeam + d
+                if (minTeam.isNaN || d < minTeam) minTeam = d
+              }
+            }
+          }
+          def opt(v: Double): Option[Double] = if (v.isNaN) None else Some(v)
+          PairStats(g, pl, f, ego.nfl_id,
+            mean_dist_all = if (nAll > 0) Some(sumD / nAll) else None,
+            min_dist_all = opt(minAll), max_dist_all = opt(maxAll),
+            mean_dist_opp = if (nOpp > 0) Some(sumOpp / nOpp) else None,
+            min_dist_opp = opt(minOpp),
+            mean_dist_team = if (nTeam > 0) Some(sumTeam / nTeam) else None,
+            min_dist_team = opt(minTeam),
+            nearest_opp_id = if (nearId >= 0) Some(nearId) else None,
+            nearest_opp_dist = opt(nearD),
+            nearest_opp_angle = opt(nearAng),
+            nearest_opp_rel_speed = opt(nearRel),
+            circ_mean_angle_all =
+              if (nAll > 0) Some(math.atan2(sumSin / nAll, sumCos / nAll)) else None,
+            n_others = nAll)
+        }
+      }
+  }
+
+  /** Relative closing speed along the i->j axis (projection of the
+    * velocity difference; reference `add.txt:44-57`). dir convention:
+    * 0 deg = +y (`main_cuda.py:157-167`). */
+  private def relSpeed(a: PlayerFrame, b: PlayerFrame): Double = {
+    val avx = a.s * math.sin(math.toRadians(a.dir))
+    val avy = a.s * math.cos(math.toRadians(a.dir))
+    val bvx = b.s * math.sin(math.toRadians(b.dir))
+    val bvy = b.s * math.cos(math.toRadians(b.dir))
+    val dx = b.x - a.x; val dy = b.y - a.y
+    val d = math.sqrt(dx * dx + dy * dy)
+    if (d == 0.0) 0.0
+    else ((avx - bvx) * dx + (avy - bvy) * dy) / d
+  }
+
+  /** Relational equivalent of [[pairwiseStats]] (subset of columns):
+    * self-join within (g,p,f) + self-pair filter + filtered aggs +
+    * row_number nearest-opponent. Used to cross-check the typed kernel.
+    */
+  def pairwiseStatsRelational(df: DataFrame): DataFrame = {
+    val keys = Seq("game_id", "play_id", "frame_id")
+    val nb = df.select(
+      keys.map(col) :+ col("nfl_id").as("nb_id") :+ col("x").as("nb_x") :+
+        col("y").as("nb_y") :+ col("player_side").as("nb_side"): _*)
+    val pairs = df.join(nb, keys)
+      .filter(col("nb_id") =!= col("nfl_id"))
+      .withColumn("d", sqrt(pow(col("nb_x") - col("x"), 2) +
+        pow(col("nb_y") - col("y"), 2)))
+      .withColumn("is_opp", col("nb_side") =!= col("player_side"))
+    pairs.groupBy((keys :+ "nfl_id").map(col): _*)
+      .agg(
+        avg("d").as("mean_dist_all"),
+        min("d").as("min_dist_all"),
+        max("d").as("max_dist_all"),
+        avg(when(col("is_opp"), col("d"))).as("mean_dist_opp"),
+        min(when(col("is_opp"), col("d"))).as("min_dist_opp"),
+        avg(when(!col("is_opp"), col("d"))).as("mean_dist_team"),
+        min(when(!col("is_opp"), col("d"))).as("min_dist_team"),
+        count(lit(1)).cast("int").as("n_others"))
+  }
+
+  /** GNN-lite neighbor branch (E1.3, `main_cuda.py:296-398`): from the
+    * last observed frame per entity, enumerate same-frame neighbors,
+    * keep K nearest within radius R, softmax-weight by distance
+    * (temperature tau), aggregate weighted features, pivot top-3
+    * distances wide.
+    */
+  def gnnLiteFeatures(lastFrames: DataFrame, k: Int = 6, radius: Double = 30.0,
+                      tau: Double = 10.0): DataFrame = {
+    val keys = Seq("game_id", "play_id", "frame_id")
+    val nb = lastFrames.select(
+      keys.map(col) :+ col("nfl_id").as("nb_id") :+ col("x").as("nb_x") :+
+        col("y").as("nb_y") :+ col("s").as("nb_s") :+
+        col("player_side").as("nb_side"): _*)
+    val pairs = lastFrames.join(nb, keys)
+      .filter(col("nb_id") =!= col("nfl_id"))
+      .withColumn("d", sqrt(pow(col("nb_x") - col("x"), 2) +
+        pow(col("nb_y") - col("y"), 2)))
+      .filter(col("d") <= radius && !isnan(col("d")))
+    val w = Window.partitionBy((keys :+ "nfl_id").map(col): _*)
+      .orderBy(col("d"), col("nb_id"))  // rank method="first": deterministic tiebreak
+    val ranked = pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .withColumn("w_raw", exp(-col("d") / lit(tau)))
+    val wsum = Window.partitionBy((keys :+ "nfl_id").map(col): _*)
+    val weighted = ranked
+      .withColumn("wgt", col("w_raw") / sum(col("w_raw")).over(wsum))
+    val aggs = weighted.groupBy((keys :+ "nfl_id").map(col): _*)
+      .agg(
+        sum(col("wgt") * col("nb_s")).as("gnn_w_speed"),
+        avg(col("d")).as("gnn_mean_dist"),
+        min(col("d")).as("gnn_min_dist"),
+        count(lit(1)).cast("int").as("gnn_n_neighbors"),
+        sum(when(col("nb_side") =!= col("player_side"), 1).otherwise(0))
+          .as("gnn_n_opp"))
+    val top3 = weighted.filter(col("rnk") <= 3)
+      .groupBy((keys :+ "nfl_id").map(col): _*)
+      .pivot("rnk", Seq(1, 2, 3))
+      .agg(first(col("d")))
+      .withColumnRenamed("1", "gnn_d1")
+      .withColumnRenamed("2", "gnn_d2")
+      .withColumnRenamed("3", "gnn_d3")
+    aggs.join(top3, keys :+ "nfl_id", "left")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Per-entity time-series operators (SURVEY.md §2.6 W1-W8) over the
+  * canonical window `partitionBy(entity keys).orderBy(time key)`.
+  *
+  * Reference: lags `main_cuda.py:212-215`; rolling stats
+  * `main_cuda.py:217-227` (pandas min_periods=1, ddof=1);
+  * diff/delta2 `main_cuda.py:229-231`, `main_mps.py:211-223`;
+  * EMA `main_mps.py:231-240` (adjust=False recursion);
+  * rank/top-K `main_cuda.py:345-347`; cumcount `nn/nn-mps.py:235-238`.
+  *
+  * Scale note: all of these shuffle once on the partition keys; a
+  * pipeline that applies many of them over the same keys incurs ONE
+  * exchange because every op reuses the same WindowSpec partitioning.
+  * Order keys must be a deterministic total order (add a unique
+  * tiebreak column) or results are nondeterministic under shuffle.
+  */
+object Temporal {
+
+  def spec(partition: Seq[Column], order: Seq[Column]): WindowSpec =
+    Window.partitionBy(partition: _*).orderBy(order: _*)
+
+  /** W1: lag-k. */
+  def lagK(c: Column, k: Int, w: WindowSpec): Column = lag(c, k).over(w)
+
+  /** W2: trailing rolling stats over the last `k` rows including the
+    * current one. Matches pandas `rolling(k, min_periods=1)`: fewer
+    * rows than k near the group head just use what exists. `stddev_samp`
+    * over a single row is null — exactly pandas' ddof=1 NaN. */
+  def rollingFrame(w: WindowSpec, k: Int): WindowSpec =
+    w.rowsBetween(-(k - 1), Window.currentRow)
+  def rollingMean(c: Column, k: Int, w: WindowSpec): Column =
+    avg(c).over(rollingFrame(w, k))
+  def rollingStd(c: Column, k: Int, w: WindowSpec): Column =
+    stddev_samp(c).over(rollingFrame(w, k))
+  def rollingMin(c: Column, k: Int, w: WindowSpec): Column =
+    min(c).over(rollingFrame(w, k))
+  def rollingMax(c: Column, k: Int, w: WindowSpec): Column =
+    max(c).over(rollingFrame(w, k))
+
+  /** W3: first difference. */
+  def diff(c: Column, w: WindowSpec): Column = c - lag(c, 1).over(w)
+
+  /** W4: second difference c_t - 2c_{t-1} + c_{t-2} (jerk). */
+  def delta2(c: Column, w: WindowSpec): Column =
+    c - lit(2) * lag(c, 1).over(w) + lag(c, 2).over(w)
+
+  /** W5: exponential moving average, pandas `ewm(alpha, adjust=False)`:
+    * y_0 = x_0; y_t = a*x_t + (1-a)*y_{t-1}.
+    *
+    * No Spark built-in. This expression form folds the running prefix
+    * (collect_list over an unbounded-preceding frame) — O(n^2) work per
+    * group, fine for the reference's <=~70-frame groups. For long
+    * groups use [[emaScan]], a single-pass per-group scan.
+    */
+  def emaWindowed(c: Column, alpha: Double, w: WindowSpec): Column = {
+    val prefix = collect_list(c)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    foldEma(prefix, alpha)
+  }
+
+  /** Fold an ordered array into its final EMA value (adjust=False). */
+  def foldEma(values: Column, alpha: Double): Column =
+    when(size(values) > lit(0),
+      aggregate(
+        slice(values, lit(2), greatest(size(values) - lit(1), lit(0))),
+        element_at(values, 1).cast("double"),
+        (acc, x) => lit(alpha) * x.cast("double") + lit(1.0 - alpha) * acc))
+      .otherwise(lit(null).cast("double"))
+
+  /** W5 scale path: one-pass EMA scan per group via flatMapGroups —
+    * linear in group size, constant state. `keyCols` partition, `ordCol`
+    * must be a deterministic total order within the group. Appends
+    * `outCol` to the frame. For very large groups prefer this over
+    * [[emaWindowed]].
+    */
+  def emaScan(df: DataFrame, keyCols: Seq[String], ordCols: Seq[String],
+              valueCol: String, alpha: Double, outCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, DoubleType))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val ordIdx = ordCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ ordCols).map(col): _*)
+      .mapPartitions { it =>
+        var curKey: Seq[Any] = null
+        var ema: Double = Double.NaN
+        var has = false
+        it.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; has = false }
+          val v = if (r.isNullAt(valIdx)) null
+                  else r.getDouble(valIdx)
+          val out: Any =
+            if (v == null) { if (has) ema else null }
+            else {
+              ema = if (has) alpha * v.asInstanceOf[Double] + (1 - alpha) * ema
+                    else v.asInstanceOf[Double]
+              has = true
+              ema
+            }
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }(enc)
+  }
+
+  /** W6 / O2: top-K rows per group with pandas rank(method="first")
+    * tie-breaking — row_number over a deterministic total order. */
+  def topKPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                   k: Int, rankCol: String = "rnk"): DataFrame =
+    df.withColumn(rankCol, row_number().over(spec(partition, order)))
+      .filter(col(rankCol) <= k)
+
+  /** A1: group-tail — entire last row per entity
+    * (`main_cuda.py:405-411` sort + groupby.tail(1)). */
+  def groupTail(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(spec(partition, order.map(_.desc))))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** A6/W8: cumcount + normalized progress within group. */
+  def cumCount(w: WindowSpec): Column = row_number().over(w) - lit(1)
+}
