@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator from SURVEY.md §2
+  * (plus the LLM-data-pipeline extensions) to a DataFrame builder over
+  * the driver's parquet tables; `oracleSql` gives the DuckDB-equivalent
+  * SQL for every SQL-expressible entry. Column names and types are
+  * aligned pairwise (the driver sorts columns by name and hash-compares
+  * values), and every computed double is rounded identically on both
+  * sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full physics-baseline slice (SURVEY §7 step 2):
+    * scan → group-tail → template join → p+v·Δt → clip → submission id.
+    * ANSI-safe: runs under the driver's default session settings. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TrackingQ.physicsSubmission(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TemporalQ.queries ++ ScalarQ.queries ++ AggQ.queries ++
+      TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    TemporalQ.oracle ++ ScalarQ.oracle ++ AggQ.oracle ++
+      TrackingQ.oracle ++ LlmQ.oracle ++ MlQ.oracle
 }

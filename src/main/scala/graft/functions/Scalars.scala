@@ -45,7 +45,12 @@ object Scalars {
     * (`main_cuda.py:246-250,437-438`): field is [0,120] x [0,53.3] yd. */
   val FieldX = 120.0
   val FieldY = 53.3
-  def distFromCenter(y: Column): Column = abs(y - lit(FieldY / 2))
+  /** 2D euclidean distance from field center (60, 26.65) — matches
+    * `main_cuda.py:246` distance_from_center. */
+  def distFromCenter(x: Column, y: Column): Column =
+    sqrt(pow(x - lit(FieldX / 2), 2) + pow(y - lit(FieldY / 2), 2))
+  /** 1D |y - 26.65| variant (lateral offset only). */
+  def distFromCenterY(y: Column): Column = abs(y - lit(FieldY / 2))
   def distFromSideline(y: Column): Column =
     least(y, lit(FieldY) - y)
   def distFromEndzone(x: Column): Column =
@@ -75,16 +80,20 @@ object Scalars {
     * (NaN in cuda, 6.0 ft in nn `nn/nn-mps.py:57-62`) so it is a
     * parameter. Composed from built-ins — no UDF. */
   def heightToInches(h: Column, defaultInches: Option[Double] = None): Column = {
+    // try_element_at / try_cast: Spark 4 defaults to ANSI mode, where a
+    // dash-less or garbage height would abort the job instead of
+    // yielding null. Malformed heights are expected input (the
+    // reference catches all parse failures, `nn/nn-mps.py:57-62`).
     val parts = split(h, "-")
-    val parsed = element_at(parts, 1).cast("double") * lit(12.0) +
-      element_at(parts, 2).cast("double")
+    val parsed = try_element_at(parts, lit(1)).try_cast("double") * lit(12.0) +
+      try_element_at(parts, lit(2)).try_cast("double")
     defaultInches.map(d => coalesce(parsed, lit(d))).getOrElse(parsed)
   }
 
   /** P10: wrap an angle delta into (-180, 180]
     * (`nn/nn-mps.py:216-219`). */
   def angleWrap(c: Column): Column =
-    when(abs(c) > lit(180.0), c - lit(360.0) * signum(c)).otherwise(c)
+    when(abs(c) >= lit(180.0), c - lit(360.0) * signum(c)).otherwise(c)
 
   /** P8: +-Inf → null, the reference's `replace([inf,-inf], nan)`
     * (`main_cuda.py:1441`). Pair with `na.fill(0.0)` for the fillna

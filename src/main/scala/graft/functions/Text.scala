@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * Everything is built from codegen'd `functions._` higher-order
   * functions — no UDFs — so the hot path stays inside whole-stage
   * codegen and the same formulas are expressible in ANSI-ish SQL for
-  * the DuckDB oracle (see graft.queries.OracleFragments which mirrors
-  * these formulas; keep the two in sync).
+  * the DuckDB oracle (the oracle SQL lives next to each registered
+  * query in graft.queries; keep the two in sync).
   */
 object Text {
 
@@ -51,11 +51,13 @@ object Text {
     when(length(c) > lit(0), folded).otherwise(lit(0L))
   }
 
-  /** polyHash applied inside a lambda (element of an array of strings). */
-  def polyHashElem(s: Column): Column = {
+  /** polyHash applied inside a lambda (element of an array of strings).
+    * `mult` selects an independent hash family (default 31; 131 gives a
+    * second family for e.g. SimHash's upper bits). */
+  def polyHashElem(s: Column, mult: Long = 31L): Column = {
     val codes = transform(sequence(lit(1), length(s)),
       i => ascii(s.substr(i, lit(1))).cast("long"))
-    aggregate(codes, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
+    aggregate(codes, lit(0L), (acc, x) => (acc * lit(mult) + x) % lit(P))
   }
 
   /** Ratio of tokens that appear in `words`. */

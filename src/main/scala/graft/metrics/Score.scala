@@ -12,9 +12,10 @@ object Score {
 
   final class ScoreError(msg: String) extends IllegalArgumentException(msg)
 
-  /** Distributed metric: one inner join + a single-pass global agg. */
-  def rmse(solution: DataFrame, submission: DataFrame,
-           rowIdColumn: String = "id"): Double = {
+  /** The metric as a 1-row DataFrame — stays a distributed plan (one
+    * inner join + a single-pass global agg) until the caller acts. */
+  def rmseDF(solution: DataFrame, submission: DataFrame,
+             rowIdColumn: String = "id"): DataFrame = {
     for (c <- Seq(rowIdColumn, "x", "y")) {
       if (!solution.columns.contains(c))
         throw new ScoreError(s"Solution is missing column $c")
@@ -25,12 +26,15 @@ object Score {
       col("x").as("x_true"), col("y").as("y_true"))
     val sub = submission.select(col(rowIdColumn),
       col("x").as("x_pred"), col("y").as("y_pred"))
-    val row = sol.join(sub, rowIdColumn)
+    sol.join(sub, rowIdColumn)
       .agg(
         avg(pow(col("x_true") - col("x_pred"), 2)).as("mse_x"),
         avg(pow(col("y_true") - col("y_pred"), 2)).as("mse_y"))
       .select(sqrt(lit(0.5) * (col("mse_x") + col("mse_y"))).as("rmse"))
-      .head()
-    row.getDouble(0)
   }
+
+  /** Distributed metric collapsed to the driver-side double. */
+  def rmse(solution: DataFrame, submission: DataFrame,
+           rowIdColumn: String = "id"): Double =
+    rmseDF(solution, submission, rowIdColumn).head().getDouble(0)
 }

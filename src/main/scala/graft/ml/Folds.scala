@@ -20,13 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Folds {
 
-  def rankFold(groupKey: Column, k: Int): Column =
-    (dense_rank().over(Window.orderBy(groupKey)) - 1) % k
+  /** Scale-safe rank fold: dense_rank runs over the DISTINCT group keys
+    * only (distinct keys << rows — the global sort touches thousands of
+    * keys, not billions of rows), then joins the assignment back.
+    * A naive `dense_rank over Window.orderBy(key)` on the full frame
+    * would funnel every row through one partition. */
+  def withRankFold(df: DataFrame, groupCols: Seq[String], k: Int,
+                   foldCol: String = "fold"): DataFrame = {
+    val keys = df.select(groupCols.map(col): _*).distinct()
+      .withColumn(foldCol,
+        ((dense_rank().over(Window.orderBy(groupCols.map(col): _*)) - 1) % k)
+          .cast("int"))
+    df.join(broadcast(keys), groupCols)
+  }
 
   def hashFold(groupKey: Column, k: Int): Column =
     pmod(hash(groupKey), lit(k))
 
-  /** Train/validation split columns for fold f. */
+  /** Train/validation split column: shuffle-free O(1)-per-row hash
+    * assignment — the 100 TB path. Group-disjoint by construction. */
   def withFold(df: DataFrame, groupCols: Seq[String], k: Int,
                foldCol: String = "fold"): DataFrame =
     df.withColumn(foldCol, hashFold(concat_ws("_", groupCols.map(col): _*), k))

@@ -26,10 +26,12 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
-  /** MinHash parameters shared with the oracle-SQL generator. */
+  /** MinHash parameters shared with the oracle-SQL generator. The
+    * band shape is a per-call parameter: fewer, wider bands (e.g. 2x6)
+    * for high-threshold dedup on near-identical corpora; more, narrower
+    * bands (6x2) for recall on diverse corpora. */
   val NumHashes = 12
-  val BandRows = 2
-  val NumBands: Int = NumHashes / BandRows
+  val DefaultBandRows = 2
   /** (a_k, b_k) for h_k(x) = (a_k * x + b_k) mod P — fixed, public. */
   val seeds: Seq[(Long, Long)] = (0 until NumHashes).map { k =>
     (((2L * k + 1) * 104729L) % Text.P, (k * 15485863L + 32452843L) % Text.P)
@@ -46,30 +48,55 @@ object Dedup {
 
   /** MinHash signature: array of NumHashes min-hash values. Empty gram
     * set yields P (sentinel) in every slot. */
-  def minHashSignature(textCol: Column): Column = {
-    val grams = gramHashes(textCol)
+  def minHashSignature(textCol: Column): Column =
+    signatureFromGrams(gramHashes(textCol))
+
+  /** Signature from an already-computed distinct gram-hash array. */
+  def signatureFromGrams(grams: Column): Column =
     array(seeds.map { case (a, b) =>
       coalesce(
         array_min(transform(grams, h => (lit(a) * h + lit(b)) % lit(Text.P))),
         lit(Text.P))
     }: _*)
-  }
 
   /** LSH candidate pairs: docs sharing any full band of the signature.
     * Returns (doc_a, doc_b) with doc_a < doc_b, distinct. The band
     * explode is a flat O(docs * NumBands) projection; the join is a
     * shuffle on band keys only.
     */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = df.select(col(idCol).as("doc"), minHashSignature(col(textCol)).as("sig"))
+  /** Default cap on LSH bucket size. A degenerate key (e.g. boilerplate
+    * shared by millions of docs) would otherwise produce an O(bucket^2)
+    * pair blow-up in a single task — the classic LSH skew killer at
+    * 100 TB. Buckets above the cap are dropped (standard practice:
+    * such buckets carry no discriminating signal anyway). */
+  val MaxBucketSize = 1000
+
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    maxBucket: Int = MaxBucketSize,
+                    bandRows: Int = DefaultBandRows): DataFrame = {
+    val numBands = NumHashes / bandRows
+    // Empty-gram docs (shorter than the shingle width) all hash to the
+    // all-sentinel signature and would form one giant bucket — drop
+    // them before banding.
+    val sig = df
+      .select(col(idCol).as("doc"), gramHashes(col(textCol)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc"), signatureFromGrams(col("grams")).as("sig"))
     val bands = sig.select(col("doc"), posexplode(
-      transform(sequence(lit(0), lit(NumBands - 1)),
+      transform(sequence(lit(0), lit(numBands - 1)),
         b => array_join(transform(
-          slice(col("sig"), b * lit(BandRows) + lit(1), lit(BandRows)),
+          slice(col("sig"), b * lit(bandRows) + lit(1), lit(bandRows)),
           x => x.cast("string")), "_"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val l = bands.select(col("band"), col("band_key"), col("doc").as("doc_a"))
-    val r = bands.select(col("band"), col("band_key"), col("doc").as("doc_b"))
+    // Cap bucket size with one extra aggregation on the band keys —
+    // O(docs*bands) shuffle, negligible vs the pair join it guards.
+    val small = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "band_key")
+    val kept = bands.join(small, Seq("band", "band_key"))
+    val l = kept.select(col("band"), col("band_key"), col("doc").as("doc_a"))
+    val r = kept.select(col("band"), col("band_key"), col("doc").as("doc_b"))
     l.join(r, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -91,26 +118,46 @@ object Dedup {
     * ids — broadcastable when candidates are rare.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                     threshold: Double): DataFrame = {
-    val docs = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
-    val cands = lshCandidates(df, idCol, textCol)
+                     threshold: Double,
+                     bandRows: Int = DefaultBandRows): DataFrame = {
+    // Gram arrays are materialized ONCE per doc, not per candidate
+    // pair: higher-order functions run interpreted (no codegen), so
+    // recomputing n-grams per pair would multiply the dominant cost by
+    // the candidate fan-out. Verification touches only precomputed
+    // arrays — O(corpus) gram builds + O(candidates) intersects.
+    val grams = df.select(col(idCol).as("doc"), grams3(col(textCol)).as("g"))
+      .withColumn("gsz", size(col("g")))
+    val cands = lshCandidates(df, idCol, textCol, bandRows = bandRows)
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
     cands
-      .join(docs.withColumnRenamed("doc", "doc_a").withColumnRenamed("txt", "txt_a"), "doc_a")
-      .join(docs.withColumnRenamed("doc", "doc_b").withColumnRenamed("txt", "txt_b"), "doc_b")
-      .withColumn("jaccard", ngramJaccard(col("txt_a"), col("txt_b")))
+      .join(grams.select(col("doc").as("doc_a"), col("g").as("ga"),
+        col("gsz").as("sza")), "doc_a")
+      .join(grams.select(col("doc").as("doc_b"), col("g").as("gb"),
+        col("gsz").as("szb")), "doc_b")
+      .withColumn("inter", inter)
+      .withColumn("uni", (col("sza") + col("szb")).cast("double") - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
   /** 32-bit SimHash over distinct token hashes: bit b of the result is
     * set iff sum over tokens of (2*bit_b(h)-1) > 0. One projection
-    * pass; bucketing on a prefix gives near-dup blocking. */
+    * pass; bucketing on a prefix gives near-dup blocking.
+    *
+    * Poly-hash values are < P ~= 2^30, so a single hash only carries 30
+    * useful bits. Two independent hashes (multipliers 31 and 131) each
+    * contribute their low 16 bits so all 32 output bits carry signal.
+    */
   def simHash32(textCol: Column): Column = {
-    val hashes = array_distinct(transform(Text.tokens(Text.normalizeAz(textCol)),
-      t => Text.polyHashElem(t)))
+    val toks = array_distinct(Text.tokens(Text.normalizeAz(textCol)))
+    val h1 = transform(toks, t => Text.polyHashElem(t))
+    val h2 = transform(toks, t => Text.polyHashElem(t, 131L))
     val bits = (0 until 32).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, b) % lit(2L)) * lit(2L) - lit(1L))
+      val (hs, bb) = if (b < 16) (h1, b) else (h2, b - 16)
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, bb) % lit(2L)) * lit(2L) - lit(1L))
       when(vote > lit(0L), lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

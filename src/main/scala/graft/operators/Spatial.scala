@@ -120,21 +120,37 @@ object Spatial {
     else ((avx - bvx) * dx + (avy - bvy) * dy) / d
   }
 
-  /** Relational equivalent of [[pairwiseStats]] (subset of columns):
-    * self-join within (g,p,f) + self-pair filter + filtered aggs +
-    * row_number nearest-opponent. Used to cross-check the typed kernel.
+  /** Relational equivalent of [[pairwiseStats]] — full column parity:
+    * self-join within (g,p,f) + self-pair filter + filtered aggs,
+    * circular mean via atan2(avg sin, avg cos), nearest-opponent via
+    * row_number over (d, nb_id), and a final left join back to the
+    * distinct entity keys so zero-peer entities emit an all-null row
+    * with n_others=0, exactly like the typed kernel. Used to
+    * cross-check the kernel (and as its DuckDB oracle SQL mirror).
     */
   def pairwiseStatsRelational(df: DataFrame): DataFrame = {
     val keys = Seq("game_id", "play_id", "frame_id")
+    val ego = keys :+ "nfl_id"
     val nb = df.select(
       keys.map(col) :+ col("nfl_id").as("nb_id") :+ col("x").as("nb_x") :+
-        col("y").as("nb_y") :+ col("player_side").as("nb_side"): _*)
+        col("y").as("nb_y") :+ col("s").as("nb_s") :+
+        col("dir").as("nb_dir") :+ col("player_side").as("nb_side"): _*)
     val pairs = df.join(nb, keys)
       .filter(col("nb_id") =!= col("nfl_id"))
-      .withColumn("d", sqrt(pow(col("nb_x") - col("x"), 2) +
-        pow(col("nb_y") - col("y"), 2)))
+      .withColumn("dx", col("nb_x") - col("x"))
+      .withColumn("dy", col("nb_y") - col("y"))
+      .withColumn("d", sqrt(col("dx") * col("dx") + col("dy") * col("dy")))
+      .withColumn("ang", atan2(col("dy"), col("dx")))
       .withColumn("is_opp", col("nb_side") =!= col("player_side"))
-    pairs.groupBy((keys :+ "nfl_id").map(col): _*)
+      .withColumn("rel_speed", {
+        val avx = col("s") * sin(radians(col("dir")))
+        val avy = col("s") * cos(radians(col("dir")))
+        val bvx = col("nb_s") * sin(radians(col("nb_dir")))
+        val bvy = col("nb_s") * cos(radians(col("nb_dir")))
+        when(col("d") === 0.0, 0.0).otherwise(
+          ((avx - bvx) * col("dx") + (avy - bvy) * col("dy")) / col("d"))
+      })
+    val aggs = pairs.groupBy(ego.map(col): _*)
       .agg(
         avg("d").as("mean_dist_all"),
         min("d").as("min_dist_all"),
@@ -143,7 +159,21 @@ object Spatial {
         min(when(col("is_opp"), col("d"))).as("min_dist_opp"),
         avg(when(!col("is_opp"), col("d"))).as("mean_dist_team"),
         min(when(!col("is_opp"), col("d"))).as("min_dist_team"),
+        atan2(avg(sin(col("ang"))), avg(cos(col("ang"))))
+          .as("circ_mean_angle_all"),
         count(lit(1)).cast("int").as("n_others"))
+    val wOpp = Window.partitionBy(ego.map(col): _*)
+      .orderBy(col("d"), col("nb_id"))
+    val nearest = pairs.filter(col("is_opp"))
+      .withColumn("__rn", row_number().over(wOpp))
+      .filter(col("__rn") === 1)
+      .select(ego.map(col) :+ col("nb_id").as("nearest_opp_id") :+
+        col("d").as("nearest_opp_dist") :+ col("ang").as("nearest_opp_angle") :+
+        col("rel_speed").as("nearest_opp_rel_speed"): _*)
+    df.select(ego.map(col): _*).distinct()
+      .join(aggs, ego, "left")
+      .join(nearest, ego, "left")
+      .withColumn("n_others", coalesce(col("n_others"), lit(0)))
   }
 
   /** GNN-lite neighbor branch (E1.3, `main_cuda.py:296-398`): from the

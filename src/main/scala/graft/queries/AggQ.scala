@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.metrics.Score
+import Q._
+
+/** Registered queries for the aggregation/join/set operators (SURVEY
+  * §2.4 A2-A8, §2.3 J3/J4, §2.7 O3/O5).
+  *
+  * Scale notes: every groupBy here is a single hash-partial +
+  * final-agg shuffle (map-side combine); the customer join broadcasts
+  * the small dimension; the grouped-transform windows share one
+  * exchange on user_id.
+  */
+object AggQ {
+
+  val queries: Map[String, QueryFn] = Map(
+    // A2: multi-agg with named outputs incl. the pre-multiplied
+    // weighted sum (`main_cuda.py:365-380`; the algebraic rewrite
+    // weight*value BEFORE the agg is kept explicit — Catalyst won't
+    // invent it).
+    "a2_multiagg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"),
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price"),
+          r6(avg(col("l_quantity"))).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("count_order"),
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_big"))
+    }),
+
+    // A3: grouped transform — group stats broadcast back to rows via
+    // an unbounded window (`main_cuda.py:253-257`). Stats are computed
+    // over exact integer cents (values are 2-decimal): the group sums
+    // are exact BIGINTs, so mean/std come out bitwise identical in any
+    // engine and any summation order — no float-rounding boundary.
+    "a3_transform" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val c = round(col("value") * 100).cast("long")
+      val n = count(c).over(w)
+      val s1 = sum(c).over(w).cast("double")
+      val s2 = sum(c * c).over(w).cast("double")
+      val meanC = s1 / n
+      val varC = (s2 - s1 * s1 / n) / (n - lit(1))
+      // dev_scaled = n*c - sum(c): the per-row deviation from the group
+      // mean scaled by n*100 — exact BIGINT, engine-portable with no
+      // rounding at all (value-mean itself lands on exact decimal ties
+      // for power-of-two group sizes, where engines' round() disagree).
+      events(s, dir)
+        .withColumn("__c", c)
+        .select(
+          col("event_id"), col("value"),
+          (n * col("__c") - sum(col("__c")).over(w)).as("dev_scaled"),
+          r6((col("__c").cast("double") - meanC) / sqrt(varC)).as("zscore"),
+          min(col("value")).over(w).as("grp_min"),
+          max(col("value")).over(w).as("grp_max"))
+    }),
+
+    // A4: group-mean imputation (`nn/nn-mps.py:573-629`).
+    "a4_impute" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val masked = when(col("event_type") === "error", lit(null))
+        .otherwise(col("value"))
+      events(s, dir)
+        .withColumn("masked", masked)
+        .select(
+          col("event_id"),
+          r6(coalesce(col("masked"), avg(col("masked")).over(w)))
+            .as("imputed"))
+    }),
+
+    // A5: circular mean of angles per group
+    // (atan2(avg sin, avg cos), `nn/nn-mps.py:395-413`).
+    "a5_circmean" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          r6(atan2(avg(sin(radians(col("value")))),
+            avg(cos(radians(col("value")))))).as("circ_mean"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A7/J4/M9: the competition metric end-to-end — id concat, inner
+    // join, RMSE (`scoring.py:10-53`, id `main_cuda.py:1533-1540`).
+    "a7_score" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val id = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val sol = li.select(id.as("id"), col("l_quantity").as("x"),
+        (col("l_discount") * 100).as("y"))
+      val sub = li.select(id.as("id"),
+        (col("l_quantity") + (col("l_linenumber") % 3 - 1) * 0.1).as("x"),
+        (col("l_discount") * 100 + 0.05).as("y"))
+      Score.rmseDF(sol, sub).select(r6(col("rmse")).as("rmse"))
+    }),
+
+    // A8: fold-ensemble averaging — mean across model prediction
+    // columns (`main_cuda.py:1503-1521`), array-fold form.
+    "a8_ensemble" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val preds = array(
+        col("l_quantity") * 1.1,
+        col("l_quantity") + col("l_discount") * 5,
+        col("l_quantity") * 0.9 + col("l_tax") * 20)
+      li.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        r6(aggregate(preds, lit(0.0), (a, x) => a + x) / size(preds))
+          .as("ens_mean"))
+    }),
+
+    // M4: residual-ensemble blend with inverse-RMSE weights
+    // (`main_cuda.py:1009-1126`): per-model global RMSE → weights →
+    // blended prediction. The 1-row stats join is a broadcast.
+    "m4_residual" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val base = li.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").as("truth"),
+        (col("l_quantity") + (col("l_linenumber") % 5 - 2) * 0.2).as("p1"),
+        (col("l_quantity") + col("l_discount") * 4 - 0.2).as("p2"))
+      val stats = base.agg(
+        sqrt(avg(pow(col("truth") - col("p1"), 2))).as("rmse1"),
+        sqrt(avg(pow(col("truth") - col("p2"), 2))).as("rmse2"))
+      val blended = base.crossJoin(broadcast(stats))
+        .withColumn("w1", (lit(1.0) / col("rmse1")) /
+          (lit(1.0) / col("rmse1") + lit(1.0) / col("rmse2")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          r6(col("w1") * col("p1") + (lit(1.0) - col("w1")) * col("p2"))
+            .as("blend"))
+      blended
+    }),
+
+    // J3: feature-table left join back onto the main table
+    // (`main_cuda.py:1380`), small side broadcast.
+    "j3_featjoin" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val c = customer(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+    }),
+
+    // O3: pivot rank→columns with an explicit value list
+    // (`main_cuda.py:385-387`).
+    "o3_pivot" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .groupBy("user_id")
+        .pivot("rnk", Seq(1, 2, 3))
+        .agg(first(col("value")))
+        .withColumnRenamed("1", "v1")
+        .withColumnRenamed("2", "v2")
+        .withColumnRenamed("3", "v3")
+    }),
+
+    // O5: dedup on keys, deterministic keeper (min id per key) —
+    // dropDuplicates itself is order-nondeterministic under shuffle,
+    // so the engine's exact-dedup pattern is groupBy+min.
+    "o5_dedup" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("keep_event_id"),
+          count(lit(1)).as("n_dups"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "a2_multiagg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty,
+        | count(*) AS count_order,
+        | CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a3_transform" ->
+      """WITH t AS (SELECT event_id, user_id, value,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |s AS (SELECT event_id, value, c,
+        |  count(c) OVER w AS n,
+        |  CAST(sum(c) OVER w AS BIGINT) AS s1i,
+        |  CAST(sum(c) OVER w AS DOUBLE) AS s1,
+        |  CAST(sum(c * c) OVER w AS DOUBLE) AS s2,
+        |  min(value) OVER w AS grp_min,
+        |  max(value) OVER w AS grp_max
+        | FROM t WINDOW w AS (PARTITION BY user_id))
+        |SELECT event_id, value,
+        | n * c - s1i AS dev_scaled,
+        | round((CAST(c AS DOUBLE) - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore,
+        | grp_min, grp_max
+        |FROM s""".stripMargin,
+
+    "a4_impute" ->
+      """WITH t AS (SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked
+        | FROM events)
+        |SELECT event_id,
+        | round(coalesce(masked, avg(masked) OVER (PARTITION BY user_id)), 6) AS imputed
+        |FROM t""".stripMargin,
+
+    "a5_circmean" ->
+      """SELECT user_id,
+        | round(atan2(avg(sin(radians(value))), avg(cos(radians(value)))), 6) AS circ_mean,
+        | count(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a7_score" ->
+      """WITH sol AS (SELECT concat_ws('_', l_orderkey, l_linenumber) AS id,
+        |  l_quantity AS x, l_discount * 100 AS y FROM lineitem),
+        |sub AS (SELECT concat_ws('_', l_orderkey, l_linenumber) AS id,
+        |  l_quantity + (l_linenumber % 3 - 1) * 0.1 AS x,
+        |  l_discount * 100 + 0.05 AS y FROM lineitem)
+        |SELECT round(sqrt(0.5 * (avg((sol.x - sub.x) * (sol.x - sub.x))
+        |                       + avg((sol.y - sub.y) * (sol.y - sub.y)))), 6) AS rmse
+        |FROM sol JOIN sub USING (id)""".stripMargin,
+
+    "a8_ensemble" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | round((0.0 + l_quantity * 1.1
+        |      + (l_quantity + l_discount * 5)
+        |      + (l_quantity * 0.9 + l_tax * 20)) / 3, 6) AS ens_mean
+        |FROM lineitem""".stripMargin,
+
+    "m4_residual" ->
+      """WITH base AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity AS truth,
+        |  l_quantity + (l_linenumber % 5 - 2) * 0.2 AS p1,
+        |  l_quantity + l_discount * 4 - 0.2 AS p2
+        | FROM lineitem),
+        |stats AS (SELECT sqrt(avg((truth - p1) * (truth - p1))) AS rmse1,
+        |                 sqrt(avg((truth - p2) * (truth - p2))) AS rmse2 FROM base),
+        |wgt AS (SELECT (1.0 / rmse1) / (1.0 / rmse1 + 1.0 / rmse2) AS w1 FROM stats)
+        |SELECT l_orderkey, l_linenumber,
+        | round(w1 * p1 + (1.0 - w1) * p2, 6) AS blend
+        |FROM base, wgt""".stripMargin,
+
+    "j3_featjoin" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus""".stripMargin,
+
+    "o3_pivot" ->
+      """WITH r AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        | FROM events)
+        |SELECT user_id,
+        | max(CASE WHEN rnk = 1 THEN value END) AS v1,
+        | max(CASE WHEN rnk = 2 THEN value END) AS v2,
+        | max(CASE WHEN rnk = 3 THEN value END) AS v3
+        |FROM r WHERE rnk <= 3 GROUP BY user_id""".stripMargin,
+
+    "o5_dedup" ->
+      """SELECT user_id, event_type,
+        | min(event_id) AS keep_event_id, count(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type""".stripMargin)
+}

@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import Q._
+
+/** Registered queries for the LLM-training-data operators over
+  * `documents` / `embeddings`: dedup (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), text analysis (language-ID markers, quality
+  * scoring, token counts, fingerprinting), similarity search
+  * (brute-force + IVF ANN) and the multimodal decode plumbing.
+  *
+  * All the text math is the engine-portable polynomial hash so DuckDB
+  * reproduces signatures bit-for-bit; every float is rounded on both
+  * sides.
+  */
+object LlmQ {
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val TechWords = Seq("spark", "table", "query", "join", "row", "scan")
+
+  val queries: Map[String, QueryFn] = Map(
+    "t_tokens" -> ((s, dir) => {
+      val norm = Text.normalizeAz(col("text"))
+      documents(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(norm).cast("long").as("n_tokens"),
+        length(norm).cast("long").as("n_chars_norm"))
+    }),
+
+    "t_langid" -> ((s, dir) => {
+      val toks = Text.tokens(Text.normalizeAz(col("text")))
+      val en = Text.wordSetRatio(toks, EnStop)
+      val tech = Text.wordSetRatio(toks, TechWords)
+      documents(s, dir).select(
+        col("doc_id"),
+        r6(en).as("en_ratio"),
+        r6(tech).as("tech_ratio"),
+        when(en >= tech, "en").otherwise("tech").as("lang_guess"))
+    }),
+
+    "t_quality" -> ((s, dir) => {
+      val norm = Text.normalizeAz(col("text"))
+      val toks = Text.tokens(norm)
+      val nToks = size(toks).cast("double")
+      val alpha = length(regexp_replace(norm, " ", "")).cast("double")
+      val nonAz = (length(col("text")) - length(norm)).cast("double") /
+        length(col("text"))
+      val stop = Text.wordSetRatio(toks, EnStop)
+      documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nToks.cast("long").as("n_tokens"),
+        r6(alpha / nToks).as("avg_tok_len"),
+        r6(nonAz).as("non_az_ratio"),
+        r6(stop).as("stop_ratio"),
+        r6(least(lit(1.0), nToks / 50) * (lit(1.0) - nonAz) *
+          (lit(0.5) + stop)).as("quality"))
+    }),
+
+    "t_fingerprint" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        Text.polyHash(Text.normalizeAz(col("text"))).as("fingerprint"))
+    }),
+
+    "d_exact" -> ((s, dir) =>
+      Dedup.exact(documents(s, dir), "doc_id", "text")),
+
+    "d_minhash" -> ((s, dir) => {
+      val sig = Dedup.minHashSignature(col("text"))
+      documents(s, dir).select(
+        col("doc_id") +:
+          (0 until Dedup.NumHashes).map(k =>
+            element_at(sig, k + 1).as(s"m$k")): _*)
+    }),
+
+    "d_lsh" -> ((s, dir) =>
+      Dedup.lshCandidates(documents(s, dir), "doc_id", "text", bandRows = 6)),
+
+    "d_neardup" -> ((s, dir) =>
+      Dedup.nearDuplicates(documents(s, dir), "doc_id", "text",
+          threshold = 0.6, bandRows = 6)
+        .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))),
+
+    "d_jaccard" -> ((s, dir) => {
+      // Exact n-gram Jaccard over adjacent doc pairs (id, id+1) — the
+      // collision-free verify kernel in isolation.
+      val d = documents(s, dir)
+      val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+        col("text").as("tb"))
+      a.join(b, "doc_a")
+        .select(col("doc_a"), col("doc_b"),
+          r6(Dedup.ngramJaccard(col("ta"), col("tb"))).as("jaccard"))
+    }),
+
+    "d_simhash" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        Dedup.simHash32(col("text")).as("simhash"))
+    }),
+
+    "mm_decode" -> ((s, dir) => {
+      val payload = documents(s, dir).select(
+        col("doc_id"),
+        Text.normalizeAz(col("text")).cast("binary").as("payload"))
+      Multimodal.decodeFeatures(payload, "payload")
+        .select(col("doc_id"), col("n_bytes"), col("sha"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+    }),
+
+    "v_vecmath" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val a = e.select(col("vec_id"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+      a.join(b, "vec_id")
+        .select(
+          col("vec_id"),
+          r6(Vectors.dot(col("ea"), col("eb"))).as("dot"),
+          r6(Vectors.norm(col("ea"))).as("norm_a"),
+          r6(Vectors.cosine(col("ea"), col("eb"))).as("cos"),
+          r6(Vectors.l2Dist(col("ea"), col("eb"))).as("l2"))
+    }),
+
+    "s_brute_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), 10)
+        .select(col("vec_id"), r6(col("cos")).as("cos"))
+    }),
+
+    "s_ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", cents, "cid", "cemb",
+          queryVec(s, dir), k = 10, nprobe = 2)
+        .select(col("vec_id"), r6(col("cos")).as("cos"))
+    }))
+
+  /** The search query vector: embedding of vec_id=0 — a 1-row driver
+    * lookup fetching the query PARAMETER (not data movement). */
+  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
+    embeddings(s, dir).filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toSeq
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val P = Text.P
+  /** Normalized text. */
+  private val NormSql = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+  /** Whitespace tokens, empties dropped, of normalized text `t`. */
+  private val ToksSql = "list_filter(string_split(t, ' '), w -> length(w) > 0)"
+  private def inList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
+  /** Poly-hash fold of a string expression `e` (init 0, mult m). */
+  private def foldSql(e: String, m: Long = 31L) =
+    s"""CASE WHEN length($e) > 0 THEN list_reduce(
+       | list_prepend(0::BIGINT, list_transform(range(1, length($e) + 1),
+       |   j -> ascii(substr($e, j::INT, 1))::BIGINT)),
+       | (a, b) -> (a * $m + b) % $P) ELSE 0 END""".stripMargin
+  /** Distinct char-3-gram poly-hashes of normalized text `t`. */
+  private val GramsSql =
+    s"""list_distinct(list_transform(
+       | CASE WHEN length(t) >= 3
+       |  THEN list_transform(range(1, length(t) - 1), i -> substr(t, i::INT, 3))
+       |  ELSE [] END,
+       | s -> list_reduce(list_transform(range(1, 4), j -> ascii(substr(s, j::INT, 1))::BIGINT),
+       |   (a, b) -> (a * 31 + b) % $P)))""".stripMargin
+  /** MinHash slot k from a `grams` list column. */
+  private val seeds = Dedup.seeds
+  private def slotSql(k: Int): String = {
+    val (a, b) = seeds(k)
+    s"coalesce(list_min(list_transform(grams, h -> ($a::BIGINT * h + $b) % $P)), $P)"
+  }
+  private val SigCte =
+    s"""norm AS (SELECT doc_id, $NormSql AS t FROM documents),
+       |g AS (SELECT doc_id, $GramsSql AS grams FROM norm),
+       |sig AS (SELECT doc_id, ${(0 until 12).map(k => s"${slotSql(k)} AS m$k").mkString(", ")}
+       | FROM g WHERE len(grams) > 0)""".stripMargin
+  /** Bands CTE for bandRows=6 (2 bands) as used by d_lsh/d_neardup. */
+  private val BandsCte =
+    """bands AS (
+      | SELECT doc_id, 0 AS band,
+      |  m0::VARCHAR || '_' || m1::VARCHAR || '_' || m2::VARCHAR || '_' ||
+      |  m3::VARCHAR || '_' || m4::VARCHAR || '_' || m5::VARCHAR AS bk FROM sig
+      | UNION ALL
+      | SELECT doc_id, 1 AS band,
+      |  m6::VARCHAR || '_' || m7::VARCHAR || '_' || m8::VARCHAR || '_' ||
+      |  m9::VARCHAR || '_' || m10::VARCHAR || '_' || m11::VARCHAR AS bk FROM sig),
+      |small AS (SELECT band, bk FROM bands GROUP BY band, bk HAVING count(*) <= 1000),
+      |kept AS (SELECT bands.* FROM bands JOIN small USING (band, bk)),
+      |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  /** Jaccard between gram STRING sets ga/gb (collision-free verify). */
+  private val GramStrSql =
+    s"""list_distinct(CASE WHEN length(t) >= 3
+       | THEN list_transform(range(1, length(t) - 1), i -> substr(t, i::INT, 3))
+       | ELSE [] END)""".stripMargin
+  private val JaccardSql =
+    """CASE WHEN len(ga) + len(gb) - len(list_intersect(ga, gb)) > 0
+      | THEN len(list_intersect(ga, gb))::DOUBLE /
+      |      (len(ga) + len(gb) - len(list_intersect(ga, gb)))
+      | ELSE 0.0 END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t_tokens" ->
+      s"""SELECT doc_id, len($ToksSql) AS n_tokens, length(t) AS n_chars_norm
+         |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,
+
+    "t_langid" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks
+         |  FROM (SELECT doc_id, $NormSql AS t FROM documents)),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN len(toks) > 0 THEN len(list_filter(toks, w -> list_contains(${inList(EnStop)}, w)))::DOUBLE / len(toks) ELSE 0.0 END AS en_ratio,
+         |  CASE WHEN len(toks) > 0 THEN len(list_filter(toks, w -> list_contains(${inList(TechWords)}, w)))::DOUBLE / len(toks) ELSE 0.0 END AS tech_ratio
+         | FROM tok)
+         |SELECT doc_id, round(en_ratio, 6) AS en_ratio, round(tech_ratio, 6) AS tech_ratio,
+         | CASE WHEN en_ratio >= tech_ratio THEN 'en' ELSE 'tech' END AS lang_guess
+         |FROM r""".stripMargin,
+
+    "t_quality" ->
+      s"""WITH b AS (SELECT doc_id, text, $NormSql AS t FROM documents),
+         |c AS (SELECT doc_id, length(text) AS n_chars,
+         |  len($ToksSql) AS n_toks,
+         |  length(replace(t, ' ', ''))::DOUBLE AS alpha,
+         |  (length(text) - length(t))::DOUBLE / length(text) AS non_az,
+         |  CASE WHEN len($ToksSql) > 0
+         |   THEN len(list_filter($ToksSql, w -> list_contains(${inList(EnStop)}, w)))::DOUBLE / len($ToksSql)
+         |   ELSE 0.0 END AS stop_ratio
+         | FROM b)
+         |SELECT doc_id, n_chars, CAST(n_toks AS BIGINT) AS n_tokens,
+         | round(alpha / n_toks, 6) AS avg_tok_len,
+         | round(non_az, 6) AS non_az_ratio,
+         | round(stop_ratio, 6) AS stop_ratio,
+         | round(least(1.0, n_toks / 50.0) * (1.0 - non_az) * (0.5 + stop_ratio), 6) AS quality
+         |FROM c""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""SELECT doc_id, ${foldSql("t")} AS fingerprint
+         |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,
+
+    "d_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "d_minhash" ->
+      s"""WITH norm AS (SELECT doc_id, $NormSql AS t FROM documents),
+         |g AS (SELECT doc_id, $GramsSql AS grams FROM norm)
+         |SELECT doc_id, ${(0 until 12).map(k => s"${slotSql(k)} AS m$k").mkString(", ")}
+         |FROM g""".stripMargin,
+
+    "d_lsh" ->
+      s"""WITH $SigCte,
+         |$BandsCte
+         |SELECT doc_a, doc_b FROM cands""".stripMargin,
+
+    "d_neardup" ->
+      s"""WITH $SigCte,
+         |$BandsCte,
+         |gs AS (SELECT doc_id, $GramStrSql AS g
+         | FROM (SELECT doc_id, $NormSql AS t FROM documents))
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM (SELECT doc_a, doc_b,
+         |  CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+         |   THEN len(list_intersect(a.g, b.g))::DOUBLE /
+         |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+         |   ELSE 0.0 END AS jac
+         | FROM cands JOIN gs a ON cands.doc_a = a.doc_id
+         |            JOIN gs b ON cands.doc_b = b.doc_id)
+         |WHERE jac >= 0.6""".stripMargin,
+
+    "d_jaccard" ->
+      s"""WITH gs AS (SELECT doc_id, $GramStrSql AS g
+         |  FROM (SELECT doc_id, $NormSql AS t FROM documents))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | round(CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+         |  THEN len(list_intersect(a.g, b.g))::DOUBLE /
+         |       (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+         |  ELSE 0.0 END, 6) AS jaccard
+         |FROM gs a JOIN gs b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "d_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, list_distinct($ToksSql) AS toks
+         |  FROM (SELECT doc_id, $NormSql AS t FROM documents)),
+         |h AS (SELECT doc_id,
+         |  list_transform(toks, s -> list_reduce(
+         |    list_prepend(0::BIGINT, list_transform(range(1, length(s) + 1),
+         |      j -> ascii(substr(s, j::INT, 1))::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % $P)) AS h1,
+         |  list_transform(toks, s -> list_reduce(
+         |    list_prepend(0::BIGINT, list_transform(range(1, length(s) + 1),
+         |      j -> ascii(substr(s, j::INT, 1))::BIGINT)),
+         |    (a, b) -> (a * 131 + b) % $P)) AS h2
+         | FROM tok)
+         |SELECT doc_id, ${(0 until 32).map { b =>
+           val (src, bb) = if (b < 16) ("h1", b) else ("h2", b - 16)
+           s"(CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform($src, x -> ((x >> $bb) % 2) * 2 - 1)), (a, c) -> a + c) > 0 THEN ${1L << b} ELSE 0 END)"
+         }.mkString(" + ")} AS simhash
+         |FROM h""".stripMargin,
+
+    "mm_decode" ->
+      s"""WITH n AS (SELECT doc_id, $NormSql AS t FROM documents),
+         |h AS (SELECT doc_id, t, ${foldSql("t")} AS hv FROM n)
+         |SELECT doc_id,
+         | CAST(length(t) AS BIGINT) AS n_bytes,
+         | sha256(t) AS sha,
+         | 64 + hv % 1920 AS width,
+         | 64 + (hv // 7) % 1080 AS height,
+         | 1 + hv % 240 AS n_frames
+         |FROM h""".stripMargin,
+
+    "v_vecmath" ->
+      s"""WITH j AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+         |m AS (SELECT vec_id,
+         |  list_reduce(list_prepend(0.0, list_transform(ea, (x, i) -> x::DOUBLE * eb[i]::DOUBLE)), (a, b) -> a + b) AS dot,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(ea, (x, i) -> x::DOUBLE * ea[i]::DOUBLE)), (a, b) -> a + b)) AS norm_a,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(eb, (x, i) -> x::DOUBLE * eb[i]::DOUBLE)), (a, b) -> a + b)) AS norm_b,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(ea, (x, i) -> (x::DOUBLE - eb[i]::DOUBLE) * (x::DOUBLE - eb[i]::DOUBLE))), (a, b) -> a + b)) AS l2
+         | FROM j)
+         |SELECT vec_id, round(dot, 6) AS dot, round(norm_a, 6) AS norm_a,
+         | round(CASE WHEN norm_a * norm_b > 0 THEN dot / (norm_a * norm_b) ELSE 0.0 END, 6) AS cos,
+         | round(l2, 6) AS l2
+         |FROM m""".stripMargin,
+
+    "s_brute_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |  list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b) AS dot,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * embedding[i]::DOUBLE)), (a, b) -> a + b)) AS na,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(qe, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b)) AS nq
+        | FROM embeddings, q)
+        |SELECT vec_id, round(cos, 6) AS cos
+        |FROM (SELECT vec_id, CASE WHEN na * nq > 0 THEN dot / (na * nq) ELSE 0.0 END AS cos FROM c)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "s_ivf_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, embedding, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        | FROM (SELECT e.vec_id, e.embedding, c.cid,
+        |   CASE WHEN
+        |     sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, (x, i) -> x::DOUBLE * e.embedding[i]::DOUBLE)), (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_prepend(0.0, list_transform(c.cemb, (x, i) -> x::DOUBLE * c.cemb[i]::DOUBLE)), (a, b) -> a + b)) > 0
+        |    THEN list_reduce(list_prepend(0.0, list_transform(e.embedding, (x, i) -> x::DOUBLE * c.cemb[i]::DOUBLE)), (a, b) -> a + b) /
+        |     (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, (x, i) -> x::DOUBLE * e.embedding[i]::DOUBLE)), (a, b) -> a + b)) *
+        |      sqrt(list_reduce(list_prepend(0.0, list_transform(c.cemb, (x, i) -> x::DOUBLE * c.cemb[i]::DOUBLE)), (a, b) -> a + b)))
+        |    ELSE 0.0 END AS ccos
+        |  FROM embeddings e CROSS JOIN cents c)),
+        |probe AS (SELECT cid FROM (
+        |  SELECT cid,
+        |   CASE WHEN
+        |     sqrt(list_reduce(list_prepend(0.0, list_transform(cemb, (x, i) -> x::DOUBLE * cemb[i]::DOUBLE)), (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_prepend(0.0, list_transform(qe, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b)) > 0
+        |    THEN list_reduce(list_prepend(0.0, list_transform(cemb, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b) /
+        |     (sqrt(list_reduce(list_prepend(0.0, list_transform(cemb, (x, i) -> x::DOUBLE * cemb[i]::DOUBLE)), (a, b) -> a + b)) *
+        |      sqrt(list_reduce(list_prepend(0.0, list_transform(qe, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b)))
+        |    ELSE 0.0 END AS qcos
+        |  FROM cents, q) ORDER BY qcos DESC, cid LIMIT 2),
+        |hits AS (SELECT a.vec_id, a.embedding FROM asg a JOIN probe USING (cid) WHERE a.rn = 1)
+        |SELECT vec_id, round(cos, 6) AS cos FROM (
+        | SELECT vec_id,
+        |  CASE WHEN
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * embedding[i]::DOUBLE)), (a, b) -> a + b)) *
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(qe, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b)) > 0
+        |   THEN list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * embedding[i]::DOUBLE)), (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_prepend(0.0, list_transform(qe, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b)))
+        |   ELSE 0.0 END AS cos
+        | FROM hits, q)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Shared helpers for the registered correctness/bench queries.
+  *
+  * Conventions that keep the Spark result and the DuckDB oracle
+  * hash-identical (the driver sorts columns by name, then compares
+  * row/schema/hash):
+  *  - every computed double is `round(x, 6)` on BOTH sides — absorbs
+  *    the ≤ few-ulp libm/summation-order differences between engines;
+  *    large-magnitude sums round to 2 decimals instead;
+  *  - counts stay BIGINT on both sides; integer-valued derivations are
+  *    cast to BIGINT (DuckDB's sum(int)→HUGEINT trap is avoided by
+  *    explicit ::BIGINT);
+  *  - timestamps never appear in output (ordering keys only);
+  *  - all orderings are total (unique id tiebreak) so window results
+  *    are deterministic under shuffle.
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "customer")
+  def part(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "part")
+  def documents(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+  def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Round for engine-portable doubles (both sides round identically). */
+  def r6(c: Column): Column = round(c, 6)
+  def r2(c: Column): Column = round(c, 2)
+}

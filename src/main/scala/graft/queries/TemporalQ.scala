@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Temporal
+import Q._
+
+/** Registered queries for the temporal operators (SURVEY §2.6 W1-W8,
+  * §2.4 A1/A6, §2.8 M8-sequence) over the `events` table: per-user
+  * time series ordered by (ts, event_id).
+  *
+  * The canonical window partitions by user_id — ONE exchange serves
+  * every operator here; at 100 TB this is a single hash shuffle on the
+  * entity key, identical to the reference's per-(game,play,nfl) frame
+  * ordering (`main_cuda.py:208-232`).
+  */
+object TemporalQ {
+
+  private def w(s: org.apache.spark.sql.SparkSession) =
+    Temporal.spec(Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+
+  val queries: Map[String, QueryFn] = Map(
+    "w1_lag" -> ((s, dir) => {
+      val ww = w(s)
+      events(s, dir).select(
+        col("event_id"), col("user_id"), col("value"),
+        Temporal.lagK(col("value"), 1, ww).as("lag1"),
+        Temporal.lagK(col("value"), 3, ww).as("lag3"))
+    }),
+
+    "w2_rolling" -> ((s, dir) => {
+      val ww = w(s)
+      events(s, dir).select(
+        col("event_id"),
+        r6(Temporal.rollingMean(col("value"), 5, ww)).as("roll_mean5"),
+        r6(Temporal.rollingStd(col("value"), 5, ww)).as("roll_std5"),
+        Temporal.rollingMin(col("value"), 3, ww).as("roll_min3"),
+        Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
+    }),
+
+    "w3_diff" -> ((s, dir) => {
+      val ww = w(s)
+      events(s, dir).select(
+        col("event_id"),
+        Temporal.diff(col("value"), ww).as("d1"))
+    }),
+
+    "w4_delta2" -> ((s, dir) => {
+      val ww = w(s)
+      events(s, dir).select(
+        col("event_id"),
+        Temporal.delta2(col("value"), ww).as("d2"))
+    }),
+
+    "w5_ema" -> ((s, dir) => {
+      // Scale path: linear one-pass per-group scan (emaScan), not the
+      // O(n^2) windowed fold. Cross-checked against emaWindowed in the
+      // test suite.
+      Temporal.emaScan(
+        events(s, dir).select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 0.3, "ema")
+        .select(col("event_id"), r6(col("ema")).as("ema"))
+    }),
+
+    "w6_topk" -> ((s, dir) => {
+      Temporal.topKPerGroup(
+        events(s, dir).select("event_id", "user_id", "value"),
+        Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("rnk").cast("long").as("rnk"))
+    }),
+
+    "a1_grouptail" -> ((s, dir) => {
+      Temporal.groupTail(
+        events(s, dir).select("event_id", "user_id", "ts", "event_type", "value"),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    "a6_cumcount" -> ((s, dir) => {
+      val ww = w(s)
+      events(s, dir).select(
+        col("event_id"),
+        Temporal.cumCount(ww).cast("long").as("cumcount"),
+        r6(Temporal.cumCount(ww).cast("double") /
+          (count(lit(1)).over(Window.partitionBy(col("user_id"))) - lit(1)))
+          .as("progress"))
+    }),
+
+    "m8_seqbuild" -> ((s, dir) => {
+      // Sequence-tensor builder: trailing 8-observation window per
+      // entity (`nn/nn-mps.py:566-665` in collect_list form). Output
+      // hash-friendly scalar reductions of the sequence.
+      val ww = w(s)
+      val seq8 = collect_list(col("value")).over(ww.rowsBetween(-7, 0))
+      events(s, dir).select(
+        col("event_id"),
+        size(seq8).cast("long").as("seq_len"),
+        r6(aggregate(seq8, lit(0.0), (a, x) => a + x)).as("seq_sum"),
+        element_at(seq8, 1).as("seq_first"),
+        element_at(seq8, -1).as("seq_last"))
+    }))
+
+  private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+
+  val oracle: Map[String, String] = Map(
+    "w1_lag" ->
+      s"""SELECT event_id, user_id, value,
+         | lag(value, 1) $over) AS lag1,
+         | lag(value, 3) $over) AS lag3
+         |FROM events""".stripMargin,
+
+    "w2_rolling" ->
+      s"""SELECT event_id,
+         | round(avg(value) $over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_mean5,
+         | round(stddev_samp(value) $over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_std5,
+         | min(value) $over ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_min3,
+         | max(value) $over ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max3
+         |FROM events""".stripMargin,
+
+    "w3_diff" ->
+      s"SELECT event_id, value - lag(value, 1) $over) AS d1 FROM events",
+
+    "w4_delta2" ->
+      s"SELECT event_id, value - 2 * lag(value, 1) $over) + lag(value, 2) $over) AS d2 FROM events",
+
+    "w5_ema" ->
+      s"""SELECT event_id,
+         | round(list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ema
+         |FROM events""".stripMargin,
+
+    "w6_topk" ->
+      """SELECT user_id, event_id, value, rnk FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        | FROM events) WHERE rnk <= 3""".stripMargin,
+
+    "a1_grouptail" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "a6_cumcount" ->
+      s"""SELECT event_id,
+         | row_number() $over) - 1 AS cumcount,
+         | round(CAST(row_number() $over) - 1 AS DOUBLE) /
+         |   (count(*) OVER (PARTITION BY user_id) - 1), 6) AS progress
+         |FROM events""".stripMargin,
+
+    "m8_seqbuild" ->
+      s"""SELECT event_id,
+         | len(seq) AS seq_len,
+         | round(list_reduce(list_prepend(0.0, seq), (a, x) -> a + x), 6) AS seq_sum,
+         | seq[1] AS seq_first,
+         | seq[-1] AS seq_last
+         |FROM (SELECT event_id,
+         |  list(value) $over ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS seq
+         | FROM events)""".stripMargin)
+}
