@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Pandas-semantics checks for the temporal operators (SURVEY §5
+  * risks): ddof=1 single-row std, EMA adjust=False recursion, rank
+  * ties, diffs, group-tail, cumcount. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts = Seq(
+    // (key, t, v)
+    ("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 11.0), ("a", 4, 15.0),
+    ("b", 1, 5.0)).toDF("k", "t", "v")
+  private val w = Temporal.spec(Seq(col("k")), Seq(col("t")))
+
+  test("W1 lag: shifts within group, null at head, no cross-group leak") {
+    val r = ts.select(col("k"), col("t"), Temporal.lagK(col("v"), 1, w).as("l"))
+      .orderBy("k", "t").collect()
+    assert(r(0).isNullAt(2) && r(1).getDouble(2) == 10.0 && r(3).getDouble(2) == 11.0)
+    assert(r(4).isNullAt(2)) // group b row 1 must not see group a
+  }
+
+  test("W2 rolling std ddof=1: single-row window is null (pandas NaN)") {
+    val r = ts.select(col("k"), col("t"),
+      Temporal.rollingStd(col("v"), 3, w).as("s")).orderBy("k", "t").collect()
+    assert(r(0).isNullAt(2))       // 1 row -> ddof=1 undefined
+    assert(!r(1).isNullAt(2))      // 2 rows -> defined
+    assert(r(4).isNullAt(2))       // group b single row
+  }
+
+  test("W2 rolling mean min_periods=1: head uses partial window") {
+    val r = ts.select(col("k"), col("t"),
+      Temporal.rollingMean(col("v"), 3, w).as("m")).orderBy("k", "t").collect()
+    assert(approx(r(0).getDouble(2), 10.0))
+    assert(approx(r(1).getDouble(2), 11.0))
+    assert(approx(r(3).getDouble(2), (12.0 + 11.0 + 15.0) / 3))
+  }
+
+  test("W3/W4 diff and delta2 match hand values") {
+    val r = ts.select(col("k"), col("t"),
+      Temporal.diff(col("v"), w).as("d1"),
+      Temporal.delta2(col("v"), w).as("d2")).orderBy("k", "t").collect()
+    assert(approx(r(1).getDouble(2), 2.0))
+    assert(approx(r(2).getDouble(2), -1.0))
+    assert(r(1).isNullAt(3))              // needs lag2
+    assert(approx(r(2).getDouble(3), 11.0 - 2 * 12.0 + 10.0))
+  }
+
+  test("W5 emaScan matches the pandas adjust=False recursion by hand") {
+    val a = 0.3
+    val vals = List(12.0, 11.0, 15.0)
+    val hand = vals.scanLeft(10.0)((acc, x) => a * x + (1 - a) * acc)
+    val r = Temporal.emaScan(ts, Seq("k"), Seq("t"), "v", a, "ema")
+      .filter(col("k") === "a").orderBy("t").select("ema").as[Double].collect()
+    hand.zip(r).foreach { case (h, g) => assert(approx(h, g)) }
+  }
+
+  test("W5 emaScan == emaWindowed on a randomized frame") {
+    val rng = new scala.util.Random(42)
+    val rows = for (k <- 0 until 7; t <- 0 until 40)
+      yield (s"g$k", t, rng.nextDouble() * 100)
+    val df = rows.toDF("k", "t", "v")
+    val scan = Temporal.emaScan(df, Seq("k"), Seq("t"), "v", 0.5, "ema")
+      .select("k", "t", "ema")
+    val win = df.select(col("k"), col("t"),
+      Temporal.emaWindowed(col("v"), 0.5,
+        Temporal.spec(Seq(col("k")), Seq(col("t")))).as("ema2"))
+    val joined = scan.join(win, Seq("k", "t"))
+      .select(abs(col("ema") - col("ema2")).as("d")).agg(max("d")).head()
+    assert(joined.getDouble(0) < 1e-9)
+  }
+
+  test("W5 emaScan: nulls carry the previous EMA (pandas ffill-like)") {
+    val df = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, Some(20.0)))
+      .toDF("k", "t", "v")
+    val r = Temporal.emaScan(df, Seq("k"), Seq("t"), "v", 0.5, "ema")
+      .orderBy("t").select("ema").collect()
+    assert(approx(r(0).getDouble(0), 10.0))
+    assert(approx(r(1).getDouble(0), 10.0))   // null input -> hold state
+    assert(approx(r(2).getDouble(0), 15.0))   // recursion continues
+  }
+
+  test("W6 topK: rank method=first — deterministic tie-break") {
+    val df = Seq(("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 5.0), ("a", 4, 1.0))
+      .toDF("k", "id", "d")
+    val r = Temporal.topKPerGroup(df, Seq(col("k")),
+      Seq(col("d"), col("id")), 2)
+    val got = r.orderBy("rnk").select("id").as[Int].collect().toList
+    assert(got == List(4, 1)) // 1.0 first, then tie broken by id
+  }
+
+  test("A1 groupTail keeps the entire last row per entity") {
+    val r = Temporal.groupTail(ts, Seq(col("k")), Seq(col("t")))
+      .orderBy("k").collect()
+    assert(r.length == 2)
+    assert(r(0).getInt(1) == 4 && r(0).getDouble(2) == 15.0)
+    assert(r(1).getInt(1) == 1 && r(1).getDouble(2) == 5.0)
+  }
+
+  test("A6 cumCount starts at 0 and increments in order") {
+    val r = ts.select(col("k"), col("t"), Temporal.cumCount(w).as("c"))
+      .filter(col("k") === "a").orderBy("t").select("c").as[Int].collect()
+    assert(r.toList == List(0, 1, 2, 3))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+/** Text primitives (hashing, n-grams, ratios) and dense-vector math. */
+class TextVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("polyHash matches the reference fold formula") {
+    def hand(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Text.P)
+    val r = spark.range(1).select(
+      Text.polyHash(lit("abc")).as("a"),
+      Text.polyHash(lit("")).as("e"),
+      Text.polyHash(lit("spark table row")).as("s")).head()
+    assert(r.getLong(0) == hand("abc"))
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == hand("spark table row"))
+  }
+
+  test("charNgrams: correct count, empty below width") {
+    val r = spark.range(1).select(
+      Text.charNgrams(lit("abcde"), 3).as("g"),
+      Text.charNgrams(lit("ab"), 3).as("short")).head()
+    assert(r.getSeq[String](0) == Seq("abc", "bcd", "cde"))
+    assert(r.getSeq[String](1).isEmpty)
+  }
+
+  test("normalize + tokens: lowercase a-z only, empties dropped") {
+    val r = spark.range(1).select(
+      Text.tokens(Text.normalizeAz(lit("Hello,  World! 123"))).as("t")).head()
+    assert(r.getSeq[String](0) == Seq("hello", "world"))
+  }
+
+  test("wordSetRatio and countTokensIn") {
+    val toks = Text.tokens(lit("the cat and the dog"))
+    val r = spark.range(1).select(
+      Text.wordSetRatio(toks, Seq("the", "and")).as("r"),
+      Text.countTokensIn(toks, Seq("the")).as("c")).head()
+    assert(approx(r.getDouble(0), 3.0 / 5))
+    assert(r.getInt(1) == 2)
+  }
+
+  test("vector math: dot, norm, cosine, l2 on known vectors") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot(col("a"), col("b")).as("d"),
+      Vectors.norm(col("a")).as("n"),
+      Vectors.cosine(col("a"), col("b")).as("c"),
+      Vectors.l2Dist(col("a"), col("b")).as("l")).head()
+    assert(approx(r.getDouble(0), 24.0))
+    assert(approx(r.getDouble(1), 5.0))
+    assert(approx(r.getDouble(2), 24.0 / 25.0))
+    assert(approx(r.getDouble(3), math.sqrt(2.0)))
+  }
+
+  test("cosine zero-vector guard returns 0, not NaN") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(Vectors.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+}
