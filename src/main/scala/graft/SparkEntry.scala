@@ -23,7 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TemporalQ.queries ++ ScalarQ.queries ++ AggQ.queries ++
-      TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries
+      TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries ++ PipelineQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Scalars
+import graft.ml.GbtPair
+import graft.operators.Temporal
+import graft.pipeline.{SequenceFeaturePipeline, TreeEnsemblePipeline}
+import Q._
+
+/** Registered queries for the model layer and the two end-to-end
+  * pipelines (E1/E2). GBT/Ridge fits aren't SQL-expressible, so these
+  * are rows-only checks (no oracle entry) — their statistical
+  * correctness is asserted in PipelineSpec (ensemble must beat the
+  * physics baseline on a learnable synthetic pattern).
+  *
+  * Inputs are capped by a deterministic game_id filter so the model
+  * fits stay bounded at every scale factor (the training-row table,
+  * like the reference's, is much smaller than the tracking table).
+  */
+object PipelineQ {
+
+  private def cappedFrames(s: SparkSession, dir: String): DataFrame =
+    TrackingQ.frames(s, dir).filter(col("game_id") < 40)
+
+  /** Synthetic ground truth = physics + a smooth feature-dependent
+    * pattern, so residual learners have signal to find. */
+  def syntheticTruth(frames: DataFrame): DataFrame = {
+    val last = Temporal.groupTail(frames,
+      Seq(col("game_id"), col("play_id"), col("nfl_id")), Seq(col("frame_id")))
+      .withColumn("vx", Scalars.velocityX(col("s"), col("dir")))
+      .withColumn("vy", Scalars.velocityY(col("s"), col("dir")))
+    last.select(col("game_id"), col("play_id"), col("nfl_id"),
+        col("x"), col("y"), col("vx"), col("vy"))
+      .withColumn("frame_id_out", explode(sequence(lit(1L), lit(3L))))
+      .withColumn("dt", col("frame_id_out").cast("double") / 10)
+      .select(
+        col("game_id"), col("play_id"), col("nfl_id"), col("frame_id_out"),
+        Scalars.clampX(col("x") + col("vx") * col("dt") +
+          lit(2.0) * sin(col("x") / 10) + lit(1.5) * cos(col("y") / 7))
+          .as("x_true"),
+        Scalars.clampY(col("y") + col("vy") * col("dt") +
+          lit(1.2) * cos(col("x") / 9) - lit(0.8) * sin(col("y") / 6))
+          .as("y_true"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    // M2: one GBT pair fit on physics residuals, predictions on the
+    // held-out fold.
+    "m2_gbt" -> ((s, dir) => {
+      val frames = cappedFrames(s, dir)
+      val rows = graft.ml.Folds.withFold(
+        TreeEnsemblePipeline.trainingRows(frames, syntheticTruth(frames))
+          .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y")),
+        Seq("game_id", "play_id", "nfl_id"), 4)
+      val m = GbtPair.train(rows.filter(col("fold") =!= 0),
+        TreeEnsemblePipeline.FeatureCols, "res_x", "res_y",
+        GbtPair.Params(maxIter = 5, maxDepth = 3))
+      GbtPair.predict(rows.filter(col("fold") === 0), m)
+        .select(col("game_id"), col("play_id"), col("nfl_id"),
+          col("frame_id_out"),
+          (col("phys_x") + col("pred_x")).as("x"),
+          (col("phys_y") + col("pred_y")).as("y"))
+    }),
+
+    // E1 with second residual stage (M3) + inverse-RMSE blend (M4).
+    "e1_tree_ensemble" -> ((s, dir) => {
+      val frames = cappedFrames(s, dir)
+      val r = TreeEnsemblePipeline.run(frames, syntheticTruth(frames),
+        TreeEnsemblePipeline.Config(k = 2,
+          gbt = GbtPair.Params(maxIter = 5, maxDepth = 3),
+          secondStage = true))
+      r.oof.select("game_id", "play_id", "nfl_id", "frame_id_out",
+        "phys_x", "phys_y", "pred_x", "pred_y")
+    }),
+
+    // M5: ridge-stacked variant.
+    "m5_ridge" -> ((s, dir) => {
+      val frames = cappedFrames(s, dir)
+      val r = TreeEnsemblePipeline.run(frames, syntheticTruth(frames),
+        TreeEnsemblePipeline.Config(k = 2,
+          gbt = GbtPair.Params(maxIter = 5, maxDepth = 3),
+          ridgeStack = true))
+      r.oof.select("game_id", "play_id", "nfl_id", "frame_id_out",
+        "pred_x", "pred_y")
+    }),
+
+    // S5: model artifact round-trip — save, load, predict with the
+    // restored model.
+    "s5_artifacts" -> ((s, dir) => {
+      val frames = cappedFrames(s, dir).filter(col("game_id") < 10)
+      val rows = TreeEnsemblePipeline.trainingRows(frames, syntheticTruth(frames))
+        .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y"))
+      val m = GbtPair.train(rows, TreeEnsemblePipeline.FeatureCols,
+        "res_x", "res_y", GbtPair.Params(maxIter = 3, maxDepth = 3))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_s5_model").getAbsolutePath
+      GbtPair.save(m, path)
+      val restored = GbtPair.load(path, TreeEnsemblePipeline.FeatureCols)
+      GbtPair.predict(rows, restored)
+        .select("game_id", "play_id", "nfl_id", "frame_id_out",
+          "pred_x", "pred_y")
+    }),
+
+    // E2: sequence-tensor build (M8 + A4 + M6 over the temporal block).
+    "e2_seqfeatures" -> ((s, dir) => {
+      SequenceFeaturePipeline.build(TrackingQ.frames(s, dir))
+        .select(col("game_id"), col("play_id"), col("nfl_id"),
+          size(col("seq")).cast("long").as("seq_len"),
+          col("seq"))
+    }))
+
+  /** None of these are SQL-expressible (MLlib fits) — rows-only. */
+  val oracle: Map[String, String] = Map.empty
+}

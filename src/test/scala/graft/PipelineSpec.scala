@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{SequenceFeaturePipeline, TreeEnsemblePipeline}
+import graft.queries.PipelineQ
+
+/** End-to-end model-layer checks on a self-contained synthetic
+  * tracking fixture: the residual ensemble must beat the physics
+  * baseline when the truth carries a learnable feature-dependent
+  * pattern (the reference's core claim, `docs/raw_ensemble1.log`). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** ~2 games x 4 plays x 12 players x 12 frames of smooth motion. */
+  private def frames = {
+    val rng = new scala.util.Random(5)
+    val rows = for {
+      g <- 1 to 2; p <- 1 to 4; n <- 1 to 12
+      x0 = rng.nextDouble() * 100 + 10
+      y0 = rng.nextDouble() * 40 + 5
+      sp = rng.nextDouble() * 8
+      d = rng.nextDouble() * 360
+      f <- 1 to 12
+    } yield (g.toLong, p.toLong, f.toLong, n.toLong,
+      x0 + sp * math.sin(math.toRadians(d)) * f / 10,
+      y0 + sp * math.cos(math.toRadians(d)) * f / 10,
+      sp, d, if (n % 2 == 0) "Offense" else "Defense")
+    rows.toDF("game_id", "play_id", "frame_id", "nfl_id",
+      "x", "y", "s", "dir", "player_side")
+  }
+
+  test("E1: residual ensemble beats the physics baseline on learnable truth") {
+    val f = frames
+    val truth = PipelineQ.syntheticTruth(f)
+    val r = TreeEnsemblePipeline.run(f, truth,
+      TreeEnsemblePipeline.Config(k = 2,
+        gbt = graft.ml.GbtPair.Params(maxIter = 8, maxDepth = 3)))
+    assert(r.rmsePhysics > 0)
+    assert(r.rmseEnsemble < r.rmsePhysics,
+      s"ensemble ${r.rmseEnsemble} !< physics ${r.rmsePhysics}")
+    // learnable smooth pattern: expect a decisive improvement
+    assert(r.rmseEnsemble < 0.8 * r.rmsePhysics)
+    // inverse-RMSE weights sum to 1 and favor the residual model
+    assert(approx(r.weights.sum, 1.0, 1e-9))
+    assert(r.weights(1) > r.weights(0))
+  }
+
+  test("E1 ridge-stack variant also beats physics") {
+    val f = frames
+    val r = TreeEnsemblePipeline.run(f, PipelineQ.syntheticTruth(f),
+      TreeEnsemblePipeline.Config(k = 2,
+        gbt = graft.ml.GbtPair.Params(maxIter = 8, maxDepth = 3),
+        ridgeStack = true))
+    assert(r.rmseEnsemble < r.rmsePhysics)
+  }
+
+  test("GbtPair save/load round-trip predicts identically") {
+    val f = frames
+    val rows = TreeEnsemblePipeline.trainingRows(f, PipelineQ.syntheticTruth(f))
+      .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y"))
+    val m = graft.ml.GbtPair.train(rows, TreeEnsemblePipeline.FeatureCols,
+      "res_x", "res_y", graft.ml.GbtPair.Params(maxIter = 3, maxDepth = 3))
+    val dir = java.nio.file.Files.createTempDirectory("gbt_rt").toString
+    graft.ml.GbtPair.save(m, dir)
+    val m2 = graft.ml.GbtPair.load(dir, TreeEnsemblePipeline.FeatureCols)
+    val a = graft.ml.GbtPair.predict(rows, m)
+      .select("game_id", "play_id", "nfl_id", "frame_id_out", "pred_x", "pred_y")
+    val b = graft.ml.GbtPair.predict(rows, m2)
+      .select("game_id", "play_id", "nfl_id", "frame_id_out", "pred_x", "pred_y")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("E2: sequence tensors have window-bounded length, ordered frames") {
+    val seqs = SequenceFeaturePipeline.build(frames, window = 8)
+    assert(seqs.count() == 2L * 4 * 12)   // one sequence per entity
+    val lens = seqs.select(size(col("seq")).as("l"))
+      .agg(min("l"), max("l")).head()
+    assert(lens.getInt(0) == 8 && lens.getInt(1) == 8) // 12 frames -> full window
+    // features standardized: |mean| of scaled x over all seq heads ~ small
+    val m = seqs.select(explode(col("seq")).as("e"))
+      .select(avg(col("e.x"))).head().getDouble(0)
+    assert(math.abs(m) < 1.0)
+  }
+
+  test("E2: shorter groups than the window yield truncated sequences") {
+    val f = frames.filter(col("frame_id") <= 3)
+    val seqs = SequenceFeaturePipeline.build(f, window = 8)
+    val l = seqs.select(size(col("seq"))).distinct().as[Int].collect()
+    assert(l.toList == List(3))
+  }
+}
