@@ -47,7 +47,14 @@ object Dedup {
       g => Text.polyHashElem(g)))
 
   /** MinHash signature: array of NumHashes min-hash values. Empty gram
-    * set yields P (sentinel) in every slot. */
+    * set yields P (sentinel) in every slot.
+    *
+    * Column form — fine for single-pass use, but do NOT fan it out
+    * (bands, per-slot columns): higher-order functions run interpreted
+    * and CollapseProject inlines this whole subtree into every
+    * reference, multiplying the gram-hash cost. For anything that
+    * reuses the signature, materialize [[signatureTable]] instead.
+    */
   def minHashSignature(textCol: Column): Column =
     signatureFromGrams(gramHashes(textCol))
 
@@ -58,6 +65,23 @@ object Dedup {
         array_min(transform(grams, h => (lit(a) * h + lit(b)) % lit(Text.P))),
         lit(Text.P))
     }: _*)
+
+  /** One row per (doc, distinct gram hash) — the gram lambdas run
+    * exactly once per doc; docs with no grams drop out. */
+  def gramHashRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), explode(gramHashes(col(textCol))).as("gh"))
+
+  /** The scale-path MinHash: signature as 12 BIGINT columns m0..m11
+    * via explode + codegen'd min-aggregates — no interpreted lambda in
+    * the aggregation, one hash-agg shuffle on doc id. Docs whose gram
+    * set is empty are absent (join back + sentinel-fill if needed). */
+  def signatureTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val aggs = seeds.zipWithIndex.map { case ((a, b), k) =>
+      min((lit(a) * col("gh") + lit(b)) % lit(Text.P)).as(s"m$k")
+    }
+    gramHashRows(df, idCol, textCol)
+      .groupBy("doc").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH candidate pairs: docs sharing any full band of the signature.
     * Returns (doc_a, doc_b) with doc_a < doc_b, distinct. The band
@@ -75,18 +99,17 @@ object Dedup {
                     maxBucket: Int = MaxBucketSize,
                     bandRows: Int = DefaultBandRows): DataFrame = {
     val numBands = NumHashes / bandRows
-    // Empty-gram docs (shorter than the shingle width) all hash to the
-    // all-sentinel signature and would form one giant bucket — drop
-    // them before banding.
-    val sig = df
-      .select(col(idCol).as("doc"), gramHashes(col(textCol)).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("doc"), signatureFromGrams(col("grams")).as("sig"))
-    val bands = sig.select(col("doc"), posexplode(
-      transform(sequence(lit(0), lit(numBands - 1)),
-        b => array_join(transform(
-          slice(col("sig"), b * lit(bandRows) + lit(1), lit(bandRows)),
-          x => x.cast("string")), "_"))))
+    // signatureTable: gram lambdas run once per doc, min-hash slots are
+    // codegen'd aggregates. Empty-gram docs (shorter than the shingle
+    // width) drop out before banding — they'd form one giant
+    // all-sentinel bucket otherwise. Band keys are cheap string
+    // concats over the materialized slot columns.
+    val sig = signatureTable(df, idCol, textCol)
+    val bandKeys = (0 until numBands).map { b =>
+      concat_ws("_",
+        (b * bandRows until (b + 1) * bandRows).map(k => col(s"m$k")): _*)
+    }
+    val bands = sig.select(col("doc"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     // Cap bucket size with one extra aggregation on the band keys —
     // O(docs*bands) shuffle, negligible vs the pair join it guards.

@@ -69,11 +69,15 @@ object LlmQ {
       Dedup.exact(documents(s, dir), "doc_id", "text")),
 
     "d_minhash" -> ((s, dir) => {
-      val sig = Dedup.minHashSignature(col("text"))
-      documents(s, dir).select(
-        col("doc_id") +:
+      // Scale path: explode + codegen min-aggs (signatureTable), then
+      // a left join restores empty-gram docs with the sentinel.
+      val d = documents(s, dir)
+      val sig = Dedup.signatureTable(d, "doc_id", "text")
+      d.select(col("doc_id"))
+        .join(sig.withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id") +:
           (0 until Dedup.NumHashes).map(k =>
-            element_at(sig, k + 1).as(s"m$k")): _*)
+            coalesce(col(s"m$k"), lit(graft.functions.Text.P)).as(s"m$k")): _*)
     }),
 
     "d_lsh" -> ((s, dir) =>

@@ -37,7 +37,12 @@ object TrackingQ {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("game_id", "play_id", "frame_id", "nfl_id")
       .orderBy("l_orderkey", "l_partkey")
-    base.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    // One exchange serves the whole tracking key family: hash on the
+    // coarse (game, play, entity) key satisfies ClusteredDistribution
+    // for every finer window downstream (dedup on (g,p,f,n) here,
+    // group-tail on (g,p,n) later) — no second shuffle.
+    base.repartition(col("game_id"), col("play_id"), col("nfl_id"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn", "l_orderkey", "l_partkey")
   }
 
@@ -140,13 +145,17 @@ object TrackingQ {
     // (`main_cuda.py:433-439,1533-1540`).
     "m7_physics" -> ((s, dir) => physicsSubmission(s, dir)))
 
-  /** The flagship physics-baseline slice: scan → group-tail → template
-    * join → p+v·Δt → clip → submission id. */
+  /** The flagship physics-baseline slice: scan → group-tail → horizon
+    * expansion → p+v·Δt → clip → submission id.
+    *
+    * The horizon rows are exploded in place on the last-frame table
+    * (single lineage, ONE exchange end-to-end) rather than re-joined —
+    * a template join would recompute the whole scan+window lineage on
+    * both sides. The external-template join shape is exercised by
+    * j1_trainrows/J5. */
   def physicsSubmission(s: SparkSession, dir: String): DataFrame = {
-    val last = lastFrames(s, dir)
-    val template = last.select("game_id", "play_id", "nfl_id")
+    lastFrames(s, dir)
       .withColumn("frame_id_out", explode(sequence(lit(1L), lit(3L))))
-    template.join(last, Seq("game_id", "play_id", "nfl_id"), "left")
       .withColumn("dt", col("frame_id_out").cast("double") / 10)
       .select(
         concat_ws("_", col("game_id"), col("play_id"), col("nfl_id"),

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the temporal operators (net-new;
+  * the reference is pure batch — SURVEY §2.10): the same EMA / rolling
+  * semantics maintained incrementally over an unbounded stream with
+  * per-key state.
+  *
+  * Design for scale: state is O(1) per key for EMA (one double) and
+  * O(window) per key for rolling stats; keys partition across the
+  * cluster via the streaming groupByKey exchange. Event-time windowed
+  * aggregation with watermark is delegated to the built-in engine
+  * ([[windowedMean]]).
+  */
+// Top-level case classes: encoders for classes nested inside an
+// object trip whole-stage codegen (outer-instance constructor lookup).
+case class Obs(key: String, ts: Long, value: Double)
+case class EmaOut(key: String, ts: Long, value: Double, ema: Double)
+case class RollOut(key: String, ts: Long, value: Double,
+                   roll_mean: Double, roll_n: Int)
+case class EmaState(ema: Double)
+case class RollState(recent: List[Double])
+
+object StreamingTemporal {
+
+  /** Streaming EMA (pandas ewm adjust=False, W5): y_t = a·x_t +
+    * (1-a)·y_{t-1}, continued across micro-batches via GroupState.
+    * Rows inside a batch are folded in (ts) order; use with
+    * per-key-ordered sources (or an upstream sorter) for exact parity
+    * with the batch scan. */
+  def emaStream(ds: Dataset[Obs], alpha: Double): Dataset[EmaOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[EmaState, EmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[EmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.value))
+          var ema = state.getOption.map(_.ema)
+          val out = sorted.map { r =>
+            ema = Some(ema.fold(r.value)(prev => alpha * r.value + (1 - alpha) * prev))
+            EmaOut(key, r.ts, r.value, ema.get)
+          }
+          ema.foreach(e => state.update(EmaState(e)))
+          out.iterator
+      }
+  }
+
+  /** Streaming trailing rolling mean over the last `k` observations
+    * per key (W2, min_periods=1), state-bounded to k values. */
+  def rollingMeanStream(ds: Dataset[Obs], k: Int): Dataset[RollOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[RollState, RollOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[RollState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(r => (r.ts, r.value)).map { r =>
+            recent = (r.value :: recent).take(k)
+            RollOut(key, r.ts, r.value, recent.sum / recent.size, recent.size)
+          }
+          state.update(RollState(recent))
+          out.iterator
+      }
+  }
+
+  /** Event-time tumbling-window mean with watermark — the built-in
+    * engine handles state, late data, and window eviction. */
+  def windowedMean(df: DataFrame, tsCol: String, valueCol: String,
+                   keyCol: String, windowDur: String,
+                   watermark: String = "10 seconds"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), window(col(tsCol), windowDur))
+      .agg(avg(col(valueCol)).as("mean_value"),
+        count(lit(1)).as("n"))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Aggregations
+import graft.ml.SequenceScorer
+import graft.pipeline.SequenceFeaturePipeline
+
+/** Generic A2/A3/A4 helpers and the M8 frozen-scorer boundary. */
+class AggregationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1.0, 2.0), ("a", 3.0, 2.0), ("a", Double.NaN, 4.0),
+    ("b", 10.0, 1.0)).toDF("k", "v", "w")
+      .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+
+  test("A2 multiAgg: named outputs incl. pre-multiplied weighted mean") {
+    val r = Aggregations.multiAgg(df, Seq("k"), Seq(
+      "n" -> count(lit(1)),
+      "v_sum" -> sum("v"),
+      "w_mean_v" -> (sum(col("v") * col("w")) / sum(when(col("v").isNotNull, col("w")))),
+      "v_min" -> min("v"))).orderBy("k").collect()
+    assert(r(0).getAs[Long]("n") == 3)
+    assert(approx(r(0).getAs[Double]("v_sum"), 4.0))
+    assert(approx(r(0).getAs[Double]("w_mean_v"), (1.0 * 2 + 3 * 2) / 4))
+    assert(approx(r(1).getAs[Double]("v_min"), 10.0))
+  }
+
+  test("A3 groupedTransform: stats broadcast to rows, one per suffix") {
+    val r = Aggregations.groupedTransform(df, Seq("k"), Seq("v"))
+    assert(r.columns.count(_.startsWith("v_")) == 4)
+    val a = r.filter(col("k") === "a").select("v_mean", "v_min", "v_max").head()
+    assert(approx(a.getDouble(0), 2.0) && a.getDouble(1) == 1.0 && a.getDouble(2) == 3.0)
+    // single-row group: std is null (ddof=1)
+    assert(r.filter(col("k") === "b").select("v_std").head().isNullAt(0))
+  }
+
+  test("A4 imputeGroupMean: nulls get group mean; fallback for all-null groups") {
+    val d2 = Seq(("a", Some(1.0)), ("a", None), ("c", None))
+      .toDF("k", "v")
+    val r = Aggregations.imputeGroupMean(d2, Seq("k"), Seq("v"), fallback = Some(-1.0))
+      .orderBy("k").select("v").collect()
+    assert(r(0).getDouble(0) == 1.0 && r(1).getDouble(0) == 1.0)
+    assert(r(2).getDouble(0) == -1.0)
+  }
+
+  test("M8 scorer: frozen linear read-out over sequence tensors, map-side") {
+    val frames = (1 to 10).map(f => (1L, 1L, f.toLong, 7L,
+      f.toDouble, 2.0 * f, 1.0, 90.0, "Offense"))
+      .toDF("game_id", "play_id", "frame_id", "nfl_id",
+        "x", "y", "s", "dir", "player_side")
+    val seqs = SequenceFeaturePipeline.build(frames, window = 4)
+    val nF = SequenceFeaturePipeline.SeqFeatures.length
+    val m = SequenceScorer.LinearSeqModel(
+      window = 4, features = SequenceFeaturePipeline.SeqFeatures,
+      weightsX = Array.fill(4 * nF)(0.1), weightsY = Array.fill(4 * nF)(-0.1),
+      biasX = 5.0, biasY = 5.0)
+    val out = SequenceScorer.score(seqs, "seq", m).select("nn_x", "nn_y").head()
+    assert(!out.isNullAt(0) && !out.isNullAt(1))
+    assert(approx(out.getDouble(0) - 5.0, -(out.getDouble(1) - 5.0), 1e-9))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Obs, StreamingTemporal}
+
+/** Streaming temporal operators: state must carry EXACTLY the batch
+  * semantics across micro-batch boundaries. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runBatches[T](query: org.apache.spark.sql.Dataset[T],
+                            name: String,
+                            feed: MemoryStream[Obs],
+                            batches: Seq[Seq[Obs]]): Unit = {
+    val q = query.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => feed.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
+  test("streaming EMA continues the recursion across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val feed = MemoryStream[Obs]
+    val out = StreamingTemporal.emaStream(feed.toDS(), alpha = 0.5)
+    runBatches(out, "ema_out", feed, Seq(
+      Seq(Obs("a", 1, 10.0), Obs("a", 2, 20.0)),
+      Seq(Obs("a", 3, 30.0), Obs("b", 1, 7.0))))
+    val r = spark.table("ema_out").orderBy("key", "ts")
+      .select("ema").as[Double].collect()
+    // batch-equivalent recursion: 10, 15, 22.5 for a; 7 for b
+    assert(approx(r(0), 10.0) && approx(r(1), 15.0) && approx(r(2), 22.5))
+    assert(approx(r(3), 7.0))
+  }
+
+  test("streaming rolling mean keeps only k values of state") {
+    implicit val sq = spark.sqlContext
+    val feed = MemoryStream[Obs]
+    val out = StreamingTemporal.rollingMeanStream(feed.toDS(), k = 2)
+    runBatches(out, "roll_out", feed, Seq(
+      Seq(Obs("a", 1, 1.0)),
+      Seq(Obs("a", 2, 3.0), Obs("a", 3, 5.0))))
+    val r = spark.table("roll_out").orderBy("ts")
+      .select("roll_mean", "roll_n").collect()
+    assert(approx(r(0).getDouble(0), 1.0) && r(0).getInt(1) == 1)
+    assert(approx(r(1).getDouble(0), 2.0) && r(1).getInt(1) == 2)
+    assert(approx(r(2).getDouble(0), 4.0) && r(2).getInt(1) == 2) // window slid
+  }
+
+  test("windowed mean with watermark aggregates by event-time window") {
+    implicit val sq = spark.sqlContext
+    val feed = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = feed.toDS().toDF("ts", "k", "v")
+    val q = StreamingTemporal.windowedMean(df, "ts", "v", "k", "10 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      feed.addData(Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "a", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), "a", 4.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:15"), "a", 9.0)))
+      q.processAllAvailable()
+      val r = spark.table("win_out").orderBy("window.start")
+        .select("mean_value", "n").collect()
+      assert(r.length == 2)
+      assert(approx(r(0).getDouble(0), 3.0) && r(0).getLong(1) == 2)
+      assert(approx(r(1).getDouble(0), 9.0) && r(1).getLong(1) == 1)
+    } finally q.stop()
+  }
+}
