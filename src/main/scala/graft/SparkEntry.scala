@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TemporalQ.queries ++ ScalarQ.queries ++ AggQ.queries ++
-      TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries ++ PipelineQ.queries
+      TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries ++
+      PipelineQ.queries ++ IoQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TemporalQ.oracle ++ ScalarQ.oracle ++ AggQ.oracle ++
-      TrackingQ.oracle ++ LlmQ.oracle ++ MlQ.oracle
+      TrackingQ.oracle ++ LlmQ.oracle ++ MlQ.oracle ++
+      PipelineQ.oracle ++ IoQ.oracle
 }

@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object GbtPair {
 
+  /** fitPartitions: boosting runs hundreds of tiny jobs; when the
+    * training-row table is small relative to the parallelism, per-task
+    * scheduler overhead dominates the fit. >0 coalesces the assembled
+    * table before fitting (right-size to rows/~50k); 0 leaves the
+    * caller's partitioning (the choice at real cluster scale). */
   case class Params(maxIter: Int = 20, maxDepth: Int = 5,
                     stepSize: Double = 0.08, subsamplingRate: Double = 1.0,
-                    seed: Long = 42L)
+                    seed: Long = 42L, fitPartitions: Int = 0)
 
   case class Model(mx: GBTRegressionModel, my: GBTRegressionModel,
                    features: Seq[String])
@@ -38,7 +43,10 @@ object GbtPair {
   def train(train: DataFrame, features: Seq[String],
             targetX: String, targetY: String,
             p: Params = Params()): Model = {
-    val assembled = assemble(train, features).cache()
+    val prepared = assemble(train, features)
+    val assembled =
+      (if (p.fitPartitions > 0) prepared.coalesce(p.fitPartitions)
+       else prepared).cache()
     def gbt(target: String) = new GBTRegressor()
       .setFeaturesCol("features").setLabelCol(target)
       .setMaxIter(p.maxIter).setMaxDepth(p.maxDepth)

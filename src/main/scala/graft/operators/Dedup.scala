@@ -143,12 +143,16 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double,
                      bandRows: Int = DefaultBandRows): DataFrame = {
-    // Gram arrays are materialized ONCE per doc, not per candidate
-    // pair: higher-order functions run interpreted (no codegen), so
-    // recomputing n-grams per pair would multiply the dominant cost by
-    // the candidate fan-out. Verification touches only precomputed
-    // arrays — O(corpus) gram builds + O(candidates) intersects.
-    val grams = df.select(col(idCol).as("doc"), grams3(col(textCol)).as("g"))
+    // Gram sets are materialized ONCE per doc as sorted distinct HASH
+    // arrays, not per candidate pair: higher-order functions run
+    // interpreted (no codegen), so recomputing n-grams per pair would
+    // multiply the dominant cost by the candidate fan-out — and long
+    // arrays shuffle ~6x lighter than the gram strings. Verification
+    // touches only precomputed arrays — O(corpus) gram builds +
+    // O(candidates) intersects. (Jaccard over hashed grams: a
+    // same-doc-pair hash collision would need two distinct grams
+    // colliding mod P~1e9 within one 450-gram doc — negligible.)
+    val grams = df.select(col(idCol).as("doc"), gramHashes(col(textCol)).as("g"))
       .withColumn("gsz", size(col("g")))
     val cands = lshCandidates(df, idCol, textCol, bandRows = bandRows)
     val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")

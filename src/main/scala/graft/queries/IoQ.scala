@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Tables
+import graft.operators.Temporal
+import Q._
+
+/** Registered queries for sources/sinks and set/sort operators
+  * (SURVEY §2.1 S1-S4, §2.7 O1/O4/O6, plus W7 and the J5 template
+  * join). The CSV roundtrip exercises the explicit-schema scan and the
+  * submission writer against real files. */
+object IoQ {
+
+  private val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_brand", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val queries: Map[String, QueryFn] = Map(
+    // S1/S2/S3/S4: write two CSV part-files (submission sink mechanics),
+    // read them back through the explicit-schema multi-path scan, and
+    // aggregate — values must round-trip exactly.
+    "s1_csv_roundtrip" -> ((s, dir) => {
+      val p = part(s, dir).select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_csv_${dir.replaceAll("[^0-9.]", "")}").getAbsolutePath
+      Tables.writeSubmission(p.filter(col("p_partkey") % 2 === 0), s"$base/even")
+      Tables.writeSubmission(p.filter(col("p_partkey") % 2 =!= 0), s"$base/odd")
+      Tables.csv(s, partSchema, s"$base/even", s"$base/odd")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size").cast("long")).as("size_sum"),
+          r2(sum(col("p_retailprice"))).as("price_sum"))
+    }),
+
+    // O4: union of per-"week" slices back into one table.
+    "o4_union" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val weekly = (1 to 7).map(wk => li.filter(col("l_linenumber") === wk))
+      weekly.reduce(_.unionByName(_))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+    }),
+
+    // O1/O6: deterministic multi-key sort + limit (submission order).
+    "o1_sort" -> ((s, dir) => {
+      lineitem(s, dir)
+        .orderBy(col("l_returnflag"), col("l_quantity").desc,
+          col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+    }),
+
+    // W7: rolling std of a DERIVED column (first difference) — the
+    // route_sharpness shape (`main_cuda.py:285-292`).
+    "w7_rollstd_derived" -> ((s, dir) => {
+      val w = Temporal.spec(Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      events(s, dir)
+        .withColumn("dv", Temporal.diff(col("value"), w))
+        .select(col("event_id"),
+          r6(Temporal.rollingStd(col("dv"), 3, w)).as("sharpness"))
+    }),
+
+    // J5: variable-length test-template expansion joined back to the
+    // last observed state (`main_cuda.py:1424-1435`).
+    "j5_template" -> ((s, dir) => {
+      val last = Temporal.groupTail(TrackingQ.frames(s, dir),
+        Seq(col("game_id"), col("play_id"), col("nfl_id")), Seq(col("frame_id")))
+      val template = last
+        .select(col("game_id"), col("play_id"), col("nfl_id"),
+          (col("game_id") % 3 + 1).as("num_frames"))
+        .withColumn("frame_id_out",
+          explode(sequence(lit(1L), col("num_frames"))))
+        .drop("num_frames")
+      template.join(last, Seq("game_id", "play_id", "nfl_id"), "left")
+        .select(col("game_id"), col("play_id"), col("nfl_id"),
+          col("frame_id_out"), col("x").as("x_last"), col("y").as("y_last"),
+          col("frame_id").as("last_frame_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "s1_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+        | CAST(sum(p_size) AS BIGINT) AS size_sum,
+        | round(sum(p_retailprice), 2) AS price_sum
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    "o4_union" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem WHERE l_linenumber BETWEEN 1 AND 7
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "o1_sort" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey,
+        | CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber
+        |LIMIT 50""".stripMargin,
+
+    "w7_rollstd_derived" ->
+      """WITH t AS (SELECT event_id, user_id, ts,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+        | FROM events)
+        |SELECT event_id,
+        | round(stddev_samp(dv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS sharpness
+        |FROM t""".stripMargin,
+
+    "j5_template" ->
+      s"""WITH ${TrackingQ.FramesSql},
+         |last AS (
+         | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY game_id, play_id, nfl_id
+         |   ORDER BY frame_id DESC) AS rn FROM frames) WHERE rn = 1),
+         |template AS (
+         | SELECT game_id, play_id, nfl_id,
+         |  unnest(range(1, (game_id % 3 + 1) + 1)) AS frame_id_out
+         | FROM last)
+         |SELECT t.game_id, t.play_id, t.nfl_id, t.frame_id_out,
+         | l.x AS x_last, l.y AS y_last, l.frame_id AS last_frame_id
+         |FROM template t LEFT JOIN last l
+         | ON t.game_id = l.game_id AND t.play_id = l.play_id AND t.nfl_id = l.nfl_id""".stripMargin)
+}

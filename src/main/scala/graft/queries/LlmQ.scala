@@ -265,7 +265,7 @@ object LlmQ {
     "d_neardup" ->
       s"""WITH $SigCte,
          |$BandsCte,
-         |gs AS (SELECT doc_id, $GramStrSql AS g
+         |gs AS (SELECT doc_id, $GramsSql AS g
          | FROM (SELECT doc_id, $NormSql AS t FROM documents))
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
          |FROM (SELECT doc_a, doc_b,

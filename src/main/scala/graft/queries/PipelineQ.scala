@@ -20,8 +20,9 @@ import Q._
   */
 object PipelineQ {
 
-  private def cappedFrames(s: SparkSession, dir: String): DataFrame =
-    TrackingQ.frames(s, dir).filter(col("game_id") < 40)
+  private def cappedFrames(s: SparkSession, dir: String,
+                           cap: Int = 40): DataFrame =
+    TrackingQ.frames(s, dir).filter(col("game_id") < cap)
 
   /** Synthetic ground truth = physics + a smooth feature-dependent
     * pattern, so residual learners have signal to find. */
@@ -48,14 +49,14 @@ object PipelineQ {
     // M2: one GBT pair fit on physics residuals, predictions on the
     // held-out fold.
     "m2_gbt" -> ((s, dir) => {
-      val frames = cappedFrames(s, dir)
+      val frames = cappedFrames(s, dir, cap = 20)
       val rows = graft.ml.Folds.withFold(
         TreeEnsemblePipeline.trainingRows(frames, syntheticTruth(frames))
           .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y")),
-        Seq("game_id", "play_id", "nfl_id"), 4)
+        Seq("game_id", "play_id", "nfl_id"), 4).cache()
       val m = GbtPair.train(rows.filter(col("fold") =!= 0),
         TreeEnsemblePipeline.FeatureCols, "res_x", "res_y",
-        GbtPair.Params(maxIter = 5, maxDepth = 3))
+        GbtPair.Params(maxIter = 5, maxDepth = 3, fitPartitions = 8))
       GbtPair.predict(rows.filter(col("fold") === 0), m)
         .select(col("game_id"), col("play_id"), col("nfl_id"),
           col("frame_id_out"),
@@ -68,7 +69,7 @@ object PipelineQ {
       val frames = cappedFrames(s, dir)
       val r = TreeEnsemblePipeline.run(frames, syntheticTruth(frames),
         TreeEnsemblePipeline.Config(k = 2,
-          gbt = GbtPair.Params(maxIter = 5, maxDepth = 3),
+          gbt = GbtPair.Params(maxIter = 5, maxDepth = 3, fitPartitions = 8),
           secondStage = true))
       r.oof.select("game_id", "play_id", "nfl_id", "frame_id_out",
         "phys_x", "phys_y", "pred_x", "pred_y")
@@ -76,10 +77,10 @@ object PipelineQ {
 
     // M5: ridge-stacked variant.
     "m5_ridge" -> ((s, dir) => {
-      val frames = cappedFrames(s, dir)
+      val frames = cappedFrames(s, dir, cap = 20)
       val r = TreeEnsemblePipeline.run(frames, syntheticTruth(frames),
         TreeEnsemblePipeline.Config(k = 2,
-          gbt = GbtPair.Params(maxIter = 5, maxDepth = 3),
+          gbt = GbtPair.Params(maxIter = 5, maxDepth = 3, fitPartitions = 8),
           ridgeStack = true))
       r.oof.select("game_id", "play_id", "nfl_id", "frame_id_out",
         "pred_x", "pred_y")
@@ -92,7 +93,7 @@ object PipelineQ {
       val rows = TreeEnsemblePipeline.trainingRows(frames, syntheticTruth(frames))
         .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y"))
       val m = GbtPair.train(rows, TreeEnsemblePipeline.FeatureCols,
-        "res_x", "res_y", GbtPair.Params(maxIter = 3, maxDepth = 3))
+        "res_x", "res_y", GbtPair.Params(maxIter = 3, maxDepth = 3, fitPartitions = 8))
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_s5_model").getAbsolutePath
       GbtPair.save(m, path)
@@ -108,6 +109,19 @@ object PipelineQ {
         .select(col("game_id"), col("play_id"), col("nfl_id"),
           size(col("seq")).cast("long").as("seq_len"),
           col("seq"))
+    }),
+
+    // M8: frozen external scorer applied map-side over the tensors.
+    "m8_scorer" -> ((s, dir) => {
+      val seqs = SequenceFeaturePipeline.build(cappedFrames(s, dir))
+      val nF = SequenceFeaturePipeline.SeqFeatures.length
+      val m = graft.ml.SequenceScorer.LinearSeqModel(
+        window = 8, features = SequenceFeaturePipeline.SeqFeatures,
+        weightsX = Array.tabulate(8 * nF)(i => 0.01 * (i % 7)),
+        weightsY = Array.tabulate(8 * nF)(i => -0.01 * (i % 5)),
+        biasX = 60.0, biasY = 26.65)
+      graft.ml.SequenceScorer.score(seqs, "seq", m)
+        .select("game_id", "play_id", "nfl_id", "nn_x", "nn_y")
     }))
 
   /** None of these are SQL-expressible (MLlib fits) — rows-only. */
