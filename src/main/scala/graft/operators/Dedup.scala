@@ -41,10 +41,11 @@ object Dedup {
   def grams3(textCol: Column): Column =
     array_distinct(Text.charNgrams(Text.normalizeAz(textCol), 3))
 
-  /** Distinct char-3-gram polynomial hashes of normalized text. */
+  /** Distinct char-3-gram polynomial hashes of normalized text —
+    * one codegen'd rolling-hash loop (graft.functions.NgramPolyHash),
+    * not the interpreted transform+aggregate chain; identical values. */
   def gramHashes(textCol: Column): Column =
-    array_distinct(transform(Text.charNgrams(Text.normalizeAz(textCol), 3),
-      g => Text.polyHashElem(g)))
+    graft.functions.NgramPolyHash.ngramHashes(Text.normalizeAz(textCol), 3)
 
   /** MinHash signature: array of NumHashes min-hash values. Empty gram
     * set yields P (sentinel) in every slot.

@@ -62,6 +62,16 @@ object TemporalQ {
         .select(col("event_id"), r6(col("ema")).as("ema"))
     }),
 
+    "w5_ema_native" -> ((s, dir) => {
+      // The custom Catalyst AggregateWindowFunction: one ordered pass
+      // per partition inside the window engine (no O(n^2) fold, no
+      // mapPartitions row juggling) — the idiomatic Spark form.
+      events(s, dir).select(
+        col("event_id"),
+        r6(graft.functions.EwmAvg.ewmAvg(col("value"), 0.3,
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))).as("ema"))
+    }),
+
     "w6_topk" -> ((s, dir) => {
       Temporal.topKPerGroup(
         events(s, dir).select("event_id", "user_id", "value"),
@@ -125,6 +135,12 @@ object TemporalQ {
       s"SELECT event_id, value - 2 * lag(value, 1) $over) + lag(value, 2) $over) AS d2 FROM events",
 
     "w5_ema" ->
+      s"""SELECT event_id,
+         | round(list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ema
+         |FROM events""".stripMargin,
+
+    "w5_ema_native" ->
       s"""SELECT event_id,
          | round(list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |   (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ema

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{NgramPolyHash, Text}
+
+/** The codegen'd gram hasher must equal the composable interpreted
+  * formula exactly (it feeds the same DuckDB oracle). */
+class NgramPolyHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def slowGramHashes(c: org.apache.spark.sql.Column) =
+    array_distinct(transform(Text.charNgrams(c, 3), g => Text.polyHashElem(g)))
+
+  test("codegen == interpreted formula on random alpha strings") {
+    val rng = new scala.util.Random(13)
+    val strs = (0 until 300).map { i =>
+      (0 until rng.nextInt(60)).map(_ =>
+        if (rng.nextInt(6) == 0) ' ' else ('a' + rng.nextInt(26)).toChar).mkString
+    }
+    val df = strs.toDF("t")
+    val bad = df.select(
+      NgramPolyHash.ngramHashes(col("t"), 3).as("fast"),
+      slowGramHashes(col("t")).as("slow"))
+      .filter(not(col("fast") === col("slow"))).count()
+    assert(bad == 0)
+  }
+
+  test("edge cases: empty, shorter than n, exactly n") {
+    val r = spark.range(1).select(
+      NgramPolyHash.ngramHashes(lit(""), 3).as("e"),
+      NgramPolyHash.ngramHashes(lit("ab"), 3).as("s"),
+      NgramPolyHash.ngramHashes(lit("abc"), 3).as("x")).head()
+    assert(r.getSeq[Long](0).isEmpty && r.getSeq[Long](1).isEmpty)
+    val h = ((('a'.toLong * 31 + 'b') % Text.P) * 31 + 'c') % Text.P
+    assert(r.getSeq[Long](2) == Seq(h))
+  }
+
+  test("distinct: repeated grams hash once, first-occurrence order") {
+    val r = spark.range(1).select(
+      NgramPolyHash.ngramHashes(lit("abcabc"), 3).as("g")).head()
+    // grams: abc bca cab abc -> distinct 3
+    assert(r.getSeq[Long](0).length == 3)
+  }
+
+  test("null input yields null") {
+    val r = spark.range(1).select(
+      NgramPolyHash.ngramHashes(lit(null).cast("string"), 3).as("g")).head()
+    assert(r.isNullAt(0))
+  }
+}

@@ -82,6 +82,35 @@ class TemporalSpec extends SparkSpec {
     assert(approx(r(2).getDouble(0), 15.0))   // recursion continues
   }
 
+  test("W5 native EwmAvg window function == emaScan on a randomized frame") {
+    val rng = new scala.util.Random(9)
+    val rows = (for (k <- 0 until 5; t <- 0 until 60)
+      yield (s"g$k", t, rng.nextDouble() * 50)).toList
+    val df = rows.toDF("k", "t", "v")
+    val native = df.select(col("k"), col("t"),
+      graft.functions.EwmAvg.ewmAvg(col("v"), 0.3,
+        Seq(col("k")), Seq(col("t"))).as("ema_n"))
+    val scan = Temporal.emaScan(df, Seq("k"), Seq("t"), "v", 0.3, "ema_s")
+      .select("k", "t", "ema_s")
+    val d = native.join(scan, Seq("k", "t"))
+      .agg(max(abs(col("ema_n") - col("ema_s")))).head().getDouble(0)
+    assert(d < 1e-12)
+  }
+
+  test("W5 native EwmAvg: null inputs carry previous state, null head") {
+    val df = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, Some(20.0)),
+      ("b", 1, Option.empty[Double]))
+      .toDF("k", "t", "v")
+    val r = df.select(col("k"),
+      graft.functions.EwmAvg.ewmAvg(col("v"), 0.5,
+        Seq(col("k")), Seq(col("t"))).as("e"))
+      .orderBy("k", "t").collect()
+    assert(approx(r(0).getDouble(1), 10.0))
+    assert(approx(r(1).getDouble(1), 10.0))
+    assert(approx(r(2).getDouble(1), 15.0))
+    assert(r(3).isNullAt(1))
+  }
+
   test("W6 topK: rank method=first — deterministic tie-break") {
     val df = Seq(("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 5.0), ("a", 4, 1.0))
       .toDF("k", "id", "d")
