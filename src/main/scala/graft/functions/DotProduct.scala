@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dense dot product over two array<float|double> columns:
+  * one generated loop, promoting each element to double and
+  * accumulating strictly left-to-right — bitwise identical to the
+  * composable zip_with+aggregate fold (and the DuckDB oracle), but
+  * without the interpreted lambda dispatch per element. Null result
+  * on length mismatch or a null element (zip_with parity).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements != b.numElements) return null
+    val (ta, tb) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    while (i < a.numElements) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (ta == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (tb == FloatType) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      def get(arr: String, i: String, dt: DataType): String =
+        if (dt == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(l, i, elemType(left))} * ${get(r, i, elemType(right))};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+}

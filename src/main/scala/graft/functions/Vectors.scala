@@ -13,8 +13,15 @@ object Vectors {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential left-to-right dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left-to-right dot product in double precision — the
+    * codegen'd DotProduct expression (bitwise-identical fold to the
+    * composable zip_with+aggregate form, minus the interpreted lambda
+    * per element). */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
+
+  /** The composable higher-order-function form (kept as the
+    * cross-check for DotProduct in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

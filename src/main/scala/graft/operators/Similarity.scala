@@ -49,6 +49,28 @@ object Similarity {
       .drop("__rn", "__cemb")
   }
 
+  /** Embedding-cosine near-duplicate pairs, IVF-blocked: vectors are
+    * assigned to their nearest centroid, and only pairs WITHIN a
+    * cluster are compared — the all-pairs O(n^2) product becomes
+    * sum over clusters of O(n_c^2), the standard blocking trade
+    * (recall bounded by assignment quality). Same shape as the LSH
+    * band join for text near-dups. */
+  def embeddingNearDup(df: DataFrame, idCol: String, embCol: String,
+                       centroids: DataFrame, cIdCol: String, cEmbCol: String,
+                       threshold: Double): DataFrame = {
+    val assigned = ivfAssign(df, idCol, embCol, centroids, cIdCol, cEmbCol)
+      .select(col("centroid_id"), col(idCol), col(embCol))
+    val a = assigned.select(col("centroid_id"), col(idCol).as("vec_a"),
+      col(embCol).as("__ea"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("vec_b"),
+      col(embCol).as("__eb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", Vectors.cosine(col("__ea"), col("__eb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** IVF search: assign once, then search only rows in the query's
     * cluster(s). At scale the assignment is precomputed and the table
     * is written partitioned by centroid_id → partition pruning makes

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins (100 TB toolbox): salting spreads a hot
+  * key across `factor` synthetic sub-keys so one executor doesn't
+  * receive an entire pathological key's rows.
+  *
+  * AQE's skew-join handling covers sort-merge joins after the fact;
+  * explicit salting is the plan-level tool when the skew is known
+  * (e.g. the null/default key, a mega-user) or the join is broadcast-
+  * ineligible. Semantics: identical to the plain equi-join.
+  */
+object Skew {
+
+  /** Equi-join `large` with `small` on `keys`, salting the large side.
+    * The large side gets a deterministic salt in [0, factor) per row;
+    * the small side is replicated `factor` times (explode) so every
+    * (key, salt) bucket finds its match. Result == plain inner/left
+    * join on `keys`.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 factor: Int, joinType: String = "inner"): DataFrame = {
+    require(factor > 0)
+    // Deterministic per-row salt: hash of the whole row spreads even
+    // single-key hotspots (monotonically_increasing_id would too, but
+    // is nondeterministic under retries).
+    val salted = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col): _*), lit(factor)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

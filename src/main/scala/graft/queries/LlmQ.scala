@@ -136,6 +136,27 @@ object LlmQ {
         .select(col("vec_id"), r6(col("cos")).as("cos"))
     }),
 
+    "d_embdup" -> ((s, dir) => {
+      // Embedding-cosine near-dup, IVF-blocked (pairs within cluster).
+      val e = embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      Similarity.embeddingNearDup(e, "vec_id", "embedding", cents,
+          "cid", "cemb", threshold = 0.35)
+        .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cos"))
+    }),
+
+    "t_bpe_tokens" -> ((s, dir) => {
+      // BPE-ish token counting: word / number / single-punct pieces.
+      val pieces = regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+      documents(s, dir).select(
+        col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        size(filter(pieces, p => p.rlike("^[a-z]+$"))).cast("long")
+          .as("n_word_pieces"))
+    }),
+
     "s_ivf_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val cents = e.filter(col("vec_id") < 8)
@@ -210,7 +231,40 @@ object LlmQ {
       |      (len(ga) + len(gb) - len(list_intersect(ga, gb)))
       | ELSE 0.0 END""".stripMargin
 
+  /** DuckDB dot/cosine over list columns, mirroring Vectors.dot's
+    * strict left-fold. */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform($a, (x, i) -> x::DOUBLE * $b[i]::DOUBLE)), (p, q) -> p + q)"
+  private def cosSql(a: String, b: String) =
+    s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0
+       | THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
+       | ELSE 0.0 END""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d_embdup" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |pairs AS (
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos
+         |FROM pairs WHERE cos >= 0.35""".stripMargin,
+
+    "t_bpe_tokens" ->
+      """WITH p AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces
+        | FROM documents)
+        |SELECT doc_id,
+        | len(pieces) AS n_pieces,
+        | len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$'))) AS n_word_pieces
+        |FROM p""".stripMargin,
+
     "t_tokens" ->
       s"""SELECT doc_id, len($ToksSql) AS n_tokens, length(t) AS n_chars_norm
          |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,

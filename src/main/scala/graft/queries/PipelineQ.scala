@@ -66,7 +66,7 @@ object PipelineQ {
 
     // E1 with second residual stage (M3) + inverse-RMSE blend (M4).
     "e1_tree_ensemble" -> ((s, dir) => {
-      val frames = cappedFrames(s, dir)
+      val frames = cappedFrames(s, dir, cap = 20)
       val r = TreeEnsemblePipeline.run(frames, syntheticTruth(frames),
         TreeEnsemblePipeline.Config(k = 2,
           gbt = GbtPair.Params(maxIter = 5, maxDepth = 3, fitPartitions = 8),

@@ -55,6 +55,29 @@ class TextVectorsSpec extends SparkSpec {
     assert(approx(r.getDouble(3), math.sqrt(2.0)))
   }
 
+  test("codegen DotProduct == higher-order fold, bitwise") {
+    val rng = new scala.util.Random(21)
+    val rows = (0 until 200).map { _ =>
+      (Seq.fill(64)(rng.nextFloat()), Seq.fill(64)(rng.nextFloat()))
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+      Vectors.dot(col("a"), col("b")).as("fast"),
+      Vectors.dotHof(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad == 0)
+  }
+
+  test("DotProduct null semantics: length mismatch and null element -> null") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(Vectors.dot(col("a"), col("b")).as("d"))
+      .orderBy(col("d").asc_nulls_first).collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getDouble(0) == 5.0)
+  }
+
   test("cosine zero-vector guard returns 0, not NaN") {
     val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
     assert(df.select(Vectors.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
