@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{DotProduct, EwmAvg, NgramPolyHash}
+
+/** Spark extension entry point: registers the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get them without
+  * touching the Scala API.
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  *   SELECT dot_product(a.embedding, b.embedding) ...
+  *   SELECT ngram_poly_hash(t, 3) ...
+  *   SELECT ewm_avg(v, 0.3) OVER (PARTITION BY k ORDER BY t
+  *          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+  private def litDouble(e: Expression, name: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("ngram_poly_hash"),
+      new ExpressionInfo(classOf[NgramPolyHash].getName, "ngram_poly_hash"),
+      (children: Seq[Expression]) => NgramPolyHash(
+        children(0), litInt(children(1), "n"),
+        if (children.length > 2) litInt(children(2), "mult").toLong else 31L)))
+
+    ext.injectFunction((
+      FunctionIdentifier("ewm_avg"),
+      new ExpressionInfo(classOf[EwmAvg].getName, "ewm_avg"),
+      (children: Seq[Expression]) => EwmAvg(
+        children(0), litDouble(children(1), "alpha"))))
+  }
+}

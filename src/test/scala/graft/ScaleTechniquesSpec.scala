@@ -49,6 +49,33 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("partitioned parquet write prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (1 to 1000).map(i => (s"type${i % 5}", i, i * 1.5))
+      .toDF("event_type", "id", "v")
+    df.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("event_type") === "type3")
+    val scan = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // Pruning happened at planning: only 1 of 5 partition dirs selected.
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size == 1)
+    assert(read.count() == 200)
+  }
+
+  test("filter and column pruning reach the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_push").toString
+    (1 to 1000).map(i => (i.toLong, i * 2.0, s"s$i")).toDF("id", "v", "s")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("id") > 900).select("v")
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(id,900)"))
+    // ReadSchema carries only the needed columns, not `s`.
+    assert(scan.requiredSchema.fieldNames.toSet == Set("id", "v"))
+  }
+
   test("broadcast hint pins the small side (no shuffle of the big side)") {
     val big = (1 to 10000).map(i => (i % 100, i)).toDF("k", "v")
     val dim = (0 until 100).map(i => (i, s"d$i")).toDF("k", "name")
