@@ -156,7 +156,8 @@ object Dedup {
     val grams = df.select(col(idCol).as("doc"), gramHashes(col(textCol)).as("g"))
       .withColumn("gsz", size(col("g")))
     val cands = lshCandidates(df, idCol, textCol, bandRows = bandRows)
-    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val inter = graft.functions.LongArrayIntersectCount
+      .intersectCount(col("ga"), col("gb")).cast("double")
     cands
       .join(grams.select(col("doc").as("doc_a"), col("g").as("ga"),
         col("gsz").as("sza")), "doc_a")

@@ -42,6 +42,21 @@ class NgramPolyHashSpec extends SparkSpec {
     assert(r.getSeq[Long](0).length == 3)
   }
 
+  test("LongArrayIntersectCount == size(array_intersect) on distinct arrays") {
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 300).map { _ =>
+      (Seq.fill(rng.nextInt(50))(rng.nextInt(80).toLong).distinct,
+        Seq.fill(rng.nextInt(50))(rng.nextInt(80).toLong).distinct)
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+      graft.functions.LongArrayIntersectCount
+        .intersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad == 0)
+  }
+
   test("null input yields null") {
     val r = spark.range(1).select(
       NgramPolyHash.ngramHashes(lit(null).cast("string"), 3).as("g")).head()
