@@ -50,6 +50,19 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling over decoded media metadata: up to `maxFrames`
+    * evenly-strided frame indices from [1, nFrames] — the "which
+    * frames feed the feature extractor" stage of a video pipeline.
+    * Pure column math over the metadata (the payload column is never
+    * touched, so metadata-only sampling reads zero media bytes). */
+  def sampleFrameIndices(nFrames: org.apache.spark.sql.Column,
+                         maxFrames: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val step = ceil(nFrames.cast("double") / maxFrames).cast("long")
+    filter(sequence(lit(1L), nFrames.cast("long")),
+      i => (i - 1) % step === 0)
+  }
+
   /** Distributed decode: per-partition batch over the binary column.
     * Runs map-side (no shuffle of payload bytes); output appends the
     * metadata struct fields. */

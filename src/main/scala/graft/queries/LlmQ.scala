@@ -106,6 +106,17 @@ object LlmQ {
         Dedup.simHash32(col("text")).as("simhash"))
     }),
 
+    "mm_framesample" -> ((s, dir) => {
+      // Frame sampling over the decoded metadata (payload never read).
+      val payload = documents(s, dir).select(
+        col("doc_id"),
+        Text.normalizeAz(col("text")).cast("binary").as("payload"))
+      Multimodal.decodeFeatures(payload, "payload")
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          array_join(Multimodal.sampleFrameIndices(col("n_frames"), 8), ",")
+            .as("sampled"))
+    }),
+
     "mm_decode" -> ((s, dir) => {
       val payload = documents(s, dir).select(
         col("doc_id"),
@@ -358,6 +369,14 @@ object LlmQ {
            val (src, bb) = if (b < 16) ("h1", b) else ("h2", b - 16)
            s"(CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform($src, x -> ((x >> $bb) % 2) * 2 - 1)), (a, c) -> a + c) > 0 THEN ${1L << b} ELSE 0 END)"
          }.mkString(" + ")} AS simhash
+         |FROM h""".stripMargin,
+
+    "mm_framesample" ->
+      s"""WITH n AS (SELECT doc_id, $NormSql AS t FROM documents),
+         |h AS (SELECT doc_id, 1 + ${foldSql("t")} % 240 AS n_frames FROM n)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+         | array_to_string(list_filter(range(1, n_frames + 1),
+         |   i -> (i - 1) % CAST(ceil(n_frames / 8.0) AS BIGINT) = 0), ',') AS sampled
          |FROM h""".stripMargin,
 
     "mm_decode" ->
