@@ -67,8 +67,12 @@ object IoQ {
     // J5: variable-length test-template expansion joined back to the
     // last observed state (`main_cuda.py:1424-1435`).
     "j5_template" -> ((s, dir) => {
+      // The template derives from `last` and joins back to it — cache
+      // the shared lineage (a real pipeline persists the last-frame
+      // table) instead of recomputing the scan+window twice.
       val last = Temporal.groupTail(TrackingQ.frames(s, dir),
         Seq(col("game_id"), col("play_id"), col("nfl_id")), Seq(col("frame_id")))
+        .cache()
       val template = last
         .select(col("game_id"), col("play_id"), col("nfl_id"),
           (col("game_id") % 3 + 1).as("num_frames"))
