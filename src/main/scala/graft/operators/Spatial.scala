@@ -201,21 +201,22 @@ object Spatial {
     val wsum = Window.partitionBy((keys :+ "nfl_id").map(col): _*)
     val weighted = ranked
       .withColumn("wgt", col("w_raw") / sum(col("w_raw")).over(wsum))
-    val aggs = weighted.groupBy((keys :+ "nfl_id").map(col): _*)
+    // ONE aggregation pass: the top-3 rank->column pivot rides the same
+    // groupBy as the weighted stats via conditional aggregates (rnk is
+    // unique per group, so max(when(rnk=k)) == first at rank k). The
+    // pivot-then-rejoin form would compute the whole self-join lineage
+    // twice. (The standalone pivot operator O3 is exercised by
+    // o3_pivot.)
+    weighted.groupBy((keys :+ "nfl_id").map(col): _*)
       .agg(
         sum(col("wgt") * col("nb_s")).as("gnn_w_speed"),
         avg(col("d")).as("gnn_mean_dist"),
         min(col("d")).as("gnn_min_dist"),
         count(lit(1)).cast("int").as("gnn_n_neighbors"),
         sum(when(col("nb_side") =!= col("player_side"), 1).otherwise(0))
-          .as("gnn_n_opp"))
-    val top3 = weighted.filter(col("rnk") <= 3)
-      .groupBy((keys :+ "nfl_id").map(col): _*)
-      .pivot("rnk", Seq(1, 2, 3))
-      .agg(first(col("d")))
-      .withColumnRenamed("1", "gnn_d1")
-      .withColumnRenamed("2", "gnn_d2")
-      .withColumnRenamed("3", "gnn_d3")
-    aggs.join(top3, keys :+ "nfl_id", "left")
+          .as("gnn_n_opp"),
+        max(when(col("rnk") === 1, col("d"))).as("gnn_d1"),
+        max(when(col("rnk") === 2, col("d"))).as("gnn_d2"),
+        max(when(col("rnk") === 3, col("d"))).as("gnn_d3"))
   }
 }

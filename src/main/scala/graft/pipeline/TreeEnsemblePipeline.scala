@@ -32,7 +32,9 @@ object TreeEnsemblePipeline {
   case class Result(oof: DataFrame, rmsePhysics: Double,
                     rmseEnsemble: Double, weights: Seq[Double])
 
-  /** Feature block over the last observed frame per entity. */
+  /** Feature block over the last observed frame per entity. `last` is
+    * cached: the GNN branch derives from it AND joins back onto it —
+    * without the cache the scan+group-tail lineage runs twice. */
   def lastWithFeatures(frames: DataFrame): DataFrame = {
     val last = Temporal.groupTail(frames,
       Seq(col("game_id"), col("play_id"), col("nfl_id")), Seq(col("frame_id")))
@@ -41,6 +43,7 @@ object TreeEnsemblePipeline {
       .withColumn("dist_center", Scalars.distFromCenter(col("x"), col("y")))
       .withColumn("dist_sideline", Scalars.distFromSideline(col("y")))
       .withColumn("is_offense", Scalars.oneHot(col("player_side"), "Offense"))
+      .cache()
     val gnn = Spatial.gnnLiteFeatures(last)
     last.join(gnn, Seq("game_id", "play_id", "frame_id", "nfl_id"), "left")
       .na.fill(0.0, Seq("gnn_w_speed", "gnn_mean_dist", "gnn_min_dist",

@@ -129,7 +129,9 @@ object TrackingQ {
     // J1: future output rows × last observed input state + delta-t
     // (`main_cuda.py:422-431`).
     "j1_trainrows" -> ((s, dir) => {
-      val last = lastFrames(s, dir)
+      // Template derives from `last` and joins back — cache the shared
+      // lineage (a real pipeline persists the last-frame table).
+      val last = lastFrames(s, dir).cache()
       val template = last.select("game_id", "play_id", "nfl_id")
         .withColumn("horizon", explode(sequence(lit(1L), lit(3L))))
       template.join(last, Seq("game_id", "play_id", "nfl_id"), "left")
