@@ -39,12 +39,15 @@ object Spatial {
       circ_mean_angle_all: Option[Double], n_others: Int)
 
   /** Typed per-frame kernel. Circular mean = atan2(mean sin, mean cos)
-    * (`nn/nn-mps.py:395-413`); angle i->j = atan2(-dy, -dx) per
-    * `add.txt:28-40`; all-null guards reproduce the reference's all-NaN
-    * rows (zero-count masks → NaN, `add.txt:63-97`). Nearest-opponent
-    * ties break on the lower nfl_id (deterministic under shuffle; the
-    * reference's nanargmin takes the first index in array order which
-    * is not stable across partitioning — documented semantic choice).
+    * (`nn/nn-mps.py:395-413`); angle i->j = atan2(-dy, -dx) =
+    * atan2(y_i - y_j, x_i - x_j) per `add.txt:36`; rel speed is the
+    * velocity-difference MAGNITUDE sqrt(dvx^2 + dvy^2) per
+    * `add.txt:37-39`; all-null guards reproduce the reference's
+    * all-NaN rows (zero-count masks → NaN, `add.txt:63-97`).
+    * Nearest-opponent ties break on the lower nfl_id (deterministic
+    * under shuffle; the reference's nanargmin takes the first index in
+    * array order, which is not stable across partitioning —
+    * documented semantic choice).
     */
   def pairwiseStats(ds: Dataset[PlayerFrame]): Dataset[PairStats] = {
     val spark = ds.sparkSession
@@ -65,7 +68,7 @@ object Spatial {
             if (o.nfl_id != ego.nfl_id) {
               val dx = o.x - ego.x; val dy = o.y - ego.y
               val d = math.sqrt(dx * dx + dy * dy)
-              val ang = math.atan2(dy, dx)
+              val ang = math.atan2(-dy, -dx)
               nAll += 1; sumD += d
               sumSin += math.sin(ang); sumCos += math.cos(ang)
               if (minAll.isNaN || d < minAll) minAll = d
@@ -106,18 +109,15 @@ object Spatial {
       }
   }
 
-  /** Relative closing speed along the i->j axis (projection of the
-    * velocity difference; reference `add.txt:44-57`). dir convention:
+  /** Relative speed = magnitude of the velocity difference
+    * sqrt(dvx^2 + dvy^2) (reference `add.txt:37-39`). dir convention:
     * 0 deg = +y (`main_cuda.py:157-167`). */
   private def relSpeed(a: PlayerFrame, b: PlayerFrame): Double = {
-    val avx = a.s * math.sin(math.toRadians(a.dir))
-    val avy = a.s * math.cos(math.toRadians(a.dir))
-    val bvx = b.s * math.sin(math.toRadians(b.dir))
-    val bvy = b.s * math.cos(math.toRadians(b.dir))
-    val dx = b.x - a.x; val dy = b.y - a.y
-    val d = math.sqrt(dx * dx + dy * dy)
-    if (d == 0.0) 0.0
-    else ((avx - bvx) * dx + (avy - bvy) * dy) / d
+    val dvx = a.s * math.sin(math.toRadians(a.dir)) -
+      b.s * math.sin(math.toRadians(b.dir))
+    val dvy = a.s * math.cos(math.toRadians(a.dir)) -
+      b.s * math.cos(math.toRadians(b.dir))
+    math.sqrt(dvx * dvx + dvy * dvy)
   }
 
   /** Relational equivalent of [[pairwiseStats]] — full column parity:
@@ -140,15 +140,14 @@ object Spatial {
       .withColumn("dx", col("nb_x") - col("x"))
       .withColumn("dy", col("nb_y") - col("y"))
       .withColumn("d", sqrt(col("dx") * col("dx") + col("dy") * col("dy")))
-      .withColumn("ang", atan2(col("dy"), col("dx")))
+      .withColumn("ang", atan2(-col("dy"), -col("dx")))
       .withColumn("is_opp", col("nb_side") =!= col("player_side"))
       .withColumn("rel_speed", {
-        val avx = col("s") * sin(radians(col("dir")))
-        val avy = col("s") * cos(radians(col("dir")))
-        val bvx = col("nb_s") * sin(radians(col("nb_dir")))
-        val bvy = col("nb_s") * cos(radians(col("nb_dir")))
-        when(col("d") === 0.0, 0.0).otherwise(
-          ((avx - bvx) * col("dx") + (avy - bvy) * col("dy")) / col("d"))
+        val dvx = col("s") * sin(radians(col("dir"))) -
+          col("nb_s") * sin(radians(col("nb_dir")))
+        val dvy = col("s") * cos(radians(col("dir"))) -
+          col("nb_s") * cos(radians(col("nb_dir")))
+        sqrt(dvx * dvx + dvy * dvy)
       })
     val aggs = pairs.groupBy(ego.map(col): _*)
       .agg(

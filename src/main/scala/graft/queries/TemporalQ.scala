@@ -97,6 +97,20 @@ object TemporalQ {
           .as("progress"))
     }),
 
+    "w9_session" -> ((s, dir) => {
+      // Sessionization: built-in session_window (streaming-capable —
+      // the same expression runs under readStream+watermark). A new
+      // session starts when the gap since the previous event reaches
+      // 4 hours. Session identity for the oracle: min event_id.
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+        .agg(
+          min(col("event_id")).as("session_first"),
+          count(lit(1)).as("n_events"),
+          r6(sum(col("value"))).as("val_sum"))
+        .select("user_id", "session_first", "n_events", "val_sum")
+    }),
+
     "m8_seqbuild" -> ((s, dir) => {
       // Sequence-tensor builder: trailing 8-observation window per
       // entity (`nn/nn-mps.py:566-665` in collect_list form). Output
@@ -164,6 +178,17 @@ object TemporalQ {
          | round(CAST(row_number() $over) - 1 AS DOUBLE) /
          |   (count(*) OVER (PARTITION BY user_id) - 1), 6) AS progress
          |FROM events""".stripMargin,
+
+    "w9_session" ->
+      s"""WITH f AS (SELECT user_id, event_id, value, ts,
+         |  CASE WHEN lag(ts) $over) IS NULL
+         |        OR ts - lag(ts) $over) >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS is_new
+         | FROM events),
+         |s AS (SELECT user_id, event_id, value,
+         |  sum(is_new) $over) AS sid FROM f)
+         |SELECT user_id, min(event_id) AS session_first,
+         | count(*) AS n_events, round(sum(value), 6) AS val_sum
+         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "m8_seqbuild" ->
       s"""SELECT event_id,

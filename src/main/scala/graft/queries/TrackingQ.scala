@@ -173,12 +173,10 @@ object TrackingQ {
          | SELECT a.game_id, a.play_id, a.frame_id, a.nfl_id,
          |  b.nfl_id AS nb_id, b.x - a.x AS dx, b.y - a.y AS dy,
          |  sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) AS d,
-         |  atan2(b.y - a.y, b.x - a.x) AS ang,
+         |  atan2(a.y - b.y, a.x - b.x) AS ang,
          |  b.player_side <> a.player_side AS is_opp,
-         |  CASE WHEN sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) = 0 THEN 0.0
-         |   ELSE ((a.s*sin(radians(a.dir)) - b.s*sin(radians(b.dir))) * (b.x-a.x)
-         |       + (a.s*cos(radians(a.dir)) - b.s*cos(radians(b.dir))) * (b.y-a.y))
-         |     / sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) END AS rel_speed
+         |  sqrt((a.s*sin(radians(a.dir)) - b.s*sin(radians(b.dir))) * (a.s*sin(radians(a.dir)) - b.s*sin(radians(b.dir)))
+         |     + (a.s*cos(radians(a.dir)) - b.s*cos(radians(b.dir))) * (a.s*cos(radians(a.dir)) - b.s*cos(radians(b.dir)))) AS rel_speed
          | FROM frames a JOIN frames b
          |  ON a.game_id = b.game_id AND a.play_id = b.play_id
          |  AND a.frame_id = b.frame_id AND a.nfl_id <> b.nfl_id),
