@@ -32,23 +32,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name must be a numeric literal, got $other")
   }
 
+  private def arity(name: String, children: Seq[Expression],
+                    lo: Int, hi: Int): Unit =
+    if (children.length < lo || children.length > hi)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> (if (lo == hi) s"$lo" else s"$lo to $hi"),
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("dot_product", children, 2, 2)
+        DotProduct(children(0), children(1))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("ngram_poly_hash"),
       new ExpressionInfo(classOf[NgramPolyHash].getName, "ngram_poly_hash"),
-      (children: Seq[Expression]) => NgramPolyHash(
-        children(0), litInt(children(1), "n"),
-        if (children.length > 2) litInt(children(2), "mult").toLong else 31L)))
+      (children: Seq[Expression]) => {
+        arity("ngram_poly_hash", children, 2, 3)
+        NgramPolyHash(
+          children(0), litInt(children(1), "n"),
+          if (children.length > 2) litInt(children(2), "mult").toLong else 31L)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("ewm_avg"),
       new ExpressionInfo(classOf[EwmAvg].getName, "ewm_avg"),
-      (children: Seq[Expression]) => EwmAvg(
-        children(0), litDouble(children(1), "alpha"))))
+      (children: Seq[Expression]) => {
+        arity("ewm_avg", children, 2, 2)
+        EwmAvg(children(0), litDouble(children(1), "alpha"))
+      }))
   }
 }

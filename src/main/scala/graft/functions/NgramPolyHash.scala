@@ -29,6 +29,13 @@ case class NgramPolyHash(child: Expression, n: Int, mult: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_poly_hash"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType && n > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and n > 0, got " +
+        s"${child.dataType.sql}, n=$n")
+
   private val P = Text.P
 
   override protected def nullSafeEval(input: Any): Any = {

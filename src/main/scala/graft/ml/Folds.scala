@@ -31,7 +31,13 @@ object Folds {
       .withColumn(foldCol,
         ((dense_rank().over(Window.orderBy(groupCols.map(col): _*)) - 1) % k)
           .cast("int"))
-    df.join(broadcast(keys), groupCols)
+    // Null-safe join: a plain equi-join would silently DROP rows whose
+    // group key contains a null (null != null) instead of folding them.
+    val renamed = groupCols.foldLeft(keys)((d, c) =>
+      d.withColumnRenamed(c, s"__k_$c"))
+    val cond = groupCols.map(c => df(c) <=> renamed(s"__k_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), cond)
+      .drop(groupCols.map(c => s"__k_$c"): _*)
   }
 
   def hashFold(groupKey: Column, k: Int): Column =

@@ -76,11 +76,16 @@ object Dedup {
     * via explode + codegen'd min-aggregates — no interpreted lambda in
     * the aggregation, one hash-agg shuffle on doc id. Docs whose gram
     * set is empty are absent (join back + sentinel-fill if needed). */
-  def signatureTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def signatureTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    signatureFromGramTable(
+      df.select(col(idCol).as("doc"), gramHashes(col(textCol)).as("g")))
+
+  /** Same, from a precomputed (doc, g: array<bigint>) gram table. */
+  def signatureFromGramTable(grams: DataFrame): DataFrame = {
     val aggs = seeds.zipWithIndex.map { case ((a, b), k) =>
       min((lit(a) * col("gh") + lit(b)) % lit(Text.P)).as(s"m$k")
     }
-    gramHashRows(df, idCol, textCol)
+    grams.select(col("doc"), explode(col("g")).as("gh"))
       .groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -99,13 +104,20 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     maxBucket: Int = MaxBucketSize,
                     bandRows: Int = DefaultBandRows): DataFrame = {
-    val numBands = NumHashes / bandRows
     // signatureTable: gram lambdas run once per doc, min-hash slots are
     // codegen'd aggregates. Empty-gram docs (shorter than the shingle
     // width) drop out before banding — they'd form one giant
-    // all-sentinel bucket otherwise. Band keys are cheap string
-    // concats over the materialized slot columns.
-    val sig = signatureTable(df, idCol, textCol)
+    // all-sentinel bucket otherwise.
+    candidatesFromSig(signatureTable(df, idCol, textCol), maxBucket, bandRows)
+  }
+
+  /** Band join over a materialized m0..m11 signature table. */
+  def candidatesFromSig(sig: DataFrame, maxBucket: Int = MaxBucketSize,
+                        bandRows: Int = DefaultBandRows): DataFrame = {
+    require(bandRows > 0 && NumHashes % bandRows == 0,
+      s"bandRows must divide NumHashes=$NumHashes evenly, got $bandRows " +
+        "(trailing signature slots would be silently ignored)")
+    val numBands = NumHashes / bandRows
     val bandKeys = (0 until numBands).map { b =>
       concat_ws("_",
         (b * bandRows until (b + 1) * bandRows).map(k => col(s"m$k")): _*)
@@ -144,18 +156,20 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double,
                      bandRows: Int = DefaultBandRows): DataFrame = {
-    // Gram sets are materialized ONCE per doc as sorted distinct HASH
-    // arrays, not per candidate pair: higher-order functions run
-    // interpreted (no codegen), so recomputing n-grams per pair would
-    // multiply the dominant cost by the candidate fan-out — and long
-    // arrays shuffle ~6x lighter than the gram strings. Verification
-    // touches only precomputed arrays — O(corpus) gram builds +
-    // O(candidates) intersects. (Jaccard over hashed grams: a
-    // same-doc-pair hash collision would need two distinct grams
-    // colliding mod P~1e9 within one 450-gram doc — negligible.)
+    // The gram table is computed ONCE and cached: the signature
+    // aggregation AND the verify join both read it (recomputing the
+    // NgramPolyHash pass per consumer would double the dominant corpus
+    // scan; at scale this table — ids + hashes — is what you'd
+    // persist). Hash arrays also shuffle ~6x lighter than gram
+    // strings, and Jaccard over hashed grams is collision-safe in
+    // practice (two distinct grams colliding mod P~1e9 within one
+    // doc's ~450 grams is negligible).
     val grams = df.select(col(idCol).as("doc"), gramHashes(col(textCol)).as("g"))
+      .filter(size(col("g")) > 0)
       .withColumn("gsz", size(col("g")))
-    val cands = lshCandidates(df, idCol, textCol, bandRows = bandRows)
+      .cache()
+    val cands = candidatesFromSig(
+      signatureFromGramTable(grams), bandRows = bandRows)
     val inter = graft.functions.LongArrayIntersectCount
       .intersectCount(col("ga"), col("gb")).cast("double")
     cands

@@ -58,9 +58,15 @@ object Multimodal {
   def sampleFrameIndices(nFrames: org.apache.spark.sql.Column,
                          maxFrames: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val step = ceil(nFrames.cast("double") / maxFrames).cast("long")
-    filter(sequence(lit(1L), nFrames.cast("long")),
-      i => (i - 1) % step === 0)
+    // Guards: n <= 0 (corrupt/empty media) must yield an empty list —
+    // sequence(1, 0) would count DOWN and the % 0 would abort an
+    // ANSI-mode session.
+    val step = greatest(ceil(nFrames.cast("double") / maxFrames).cast("long"),
+      lit(1L))
+    when(nFrames.cast("long") <= 0,
+      array().cast("array<bigint>"))
+      .otherwise(filter(sequence(lit(1L), nFrames.cast("long")),
+        i => (i - 1) % step === 0))
   }
 
   /** Distributed decode: per-partition batch over the binary column.

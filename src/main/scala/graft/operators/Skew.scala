@@ -23,6 +23,12 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    // Replicating the small side is only sound when unmatched SMALL
+    // rows never surface: right/full/semi/anti would emit one row per
+    // replica.
+    require(Set("inner", "left", "leftouter")(
+      joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     // Deterministic per-row salt: hash of the whole row spreads even
     // single-key hotspots (monotonically_increasing_id would too, but
     // is nondeterministic under retries).

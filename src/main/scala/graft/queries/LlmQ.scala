@@ -410,10 +410,10 @@ object LlmQ {
         |  list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b) AS dot,
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * embedding[i]::DOUBLE)), (a, b) -> a + b)) AS na,
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(qe, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b)) AS nq
-        | FROM embeddings, q)
-        |SELECT vec_id, round(cos, 6) AS cos
-        |FROM (SELECT vec_id, CASE WHEN na * nq > 0 THEN dot / (na * nq) ELSE 0.0 END AS cos FROM c)
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+        | FROM embeddings, q),
+        |r AS (SELECT vec_id, CASE WHEN na * nq > 0 THEN dot / (na * nq) ELSE 0.0 END AS cos_raw FROM c)
+        |SELECT vec_id, round(cos_raw, 6) AS cos
+        |FROM r ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "s_ivf_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -439,8 +439,8 @@ object LlmQ {
         |      sqrt(list_reduce(list_prepend(0.0, list_transform(qe, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b)))
         |    ELSE 0.0 END AS qcos
         |  FROM cents, q) ORDER BY qcos DESC, cid LIMIT 2),
-        |hits AS (SELECT a.vec_id, a.embedding FROM asg a JOIN probe USING (cid) WHERE a.rn = 1)
-        |SELECT vec_id, round(cos, 6) AS cos FROM (
+        |hits AS (SELECT a.vec_id, a.embedding FROM asg a JOIN probe USING (cid) WHERE a.rn = 1),
+        |r AS (
         | SELECT vec_id,
         |  CASE WHEN
         |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * embedding[i]::DOUBLE)), (a, b) -> a + b)) *
@@ -448,7 +448,8 @@ object LlmQ {
         |   THEN list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b) /
         |    (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, (x, i) -> x::DOUBLE * embedding[i]::DOUBLE)), (a, b) -> a + b)) *
         |     sqrt(list_reduce(list_prepend(0.0, list_transform(qe, (x, i) -> x::DOUBLE * qe[i]::DOUBLE)), (a, b) -> a + b)))
-        |   ELSE 0.0 END AS cos
+        |   ELSE 0.0 END AS cos_raw
         | FROM hits, q)
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
+        |SELECT vec_id, round(cos_raw, 6) AS cos
+        |FROM r ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin)
 }
