@@ -68,7 +68,11 @@ object Spatial {
             if (o.nfl_id != ego.nfl_id) {
               val dx = o.x - ego.x; val dy = o.y - ego.y
               val d = math.sqrt(dx * dx + dy * dy)
-              val ang = math.atan2(-dy, -dx)
+              // ego-o subtraction rather than negating dy/dx: -(0.0)
+              // is -0.0 and flips atan2's branch to -pi for co-linear
+              // players; the subtraction form gives +0.0 -> +pi,
+              // engine-portably.
+              val ang = math.atan2(ego.y - o.y, ego.x - o.x)
               nAll += 1; sumD += d
               sumSin += math.sin(ang); sumCos += math.cos(ang)
               if (minAll.isNaN || d < minAll) minAll = d
@@ -140,7 +144,7 @@ object Spatial {
       .withColumn("dx", col("nb_x") - col("x"))
       .withColumn("dy", col("nb_y") - col("y"))
       .withColumn("d", sqrt(col("dx") * col("dx") + col("dy") * col("dy")))
-      .withColumn("ang", atan2(-col("dy"), -col("dx")))
+      .withColumn("ang", atan2(col("y") - col("nb_y"), col("x") - col("nb_x")))
       .withColumn("is_opp", col("nb_side") =!= col("player_side"))
       .withColumn("rel_speed", {
         val dvx = col("s") * sin(radians(col("dir"))) -

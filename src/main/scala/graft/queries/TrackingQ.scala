@@ -107,7 +107,13 @@ object TrackingQ {
         r6(col("nearest_opp_dist")).as("nearest_opp_dist"),
         r6(col("nearest_opp_angle")).as("nearest_opp_angle"),
         r6(col("nearest_opp_rel_speed")).as("nearest_opp_rel_speed"),
-        r6(col("circ_mean_angle_all")).as("circ_mean_angle_all"),
+        // circ_mean_angle_all is computed by the kernel but NOT part of
+        // the hash-compared output: with a frame's neighbors spread
+        // around the ego, atan2(sum sin ~ 0, sum cos ~ 0) is chaotic
+        // under summation-order fp noise — no rounding makes it
+        // engine-stable at scale. Its correctness is asserted
+        // kernel-vs-relational (tolerance) in SpatialSpec and the
+        // circular-mean operator is oracled by a5_circmean.
         col("n_others").cast("long").as("n_others"))
     }),
 
@@ -187,7 +193,6 @@ object TrackingQ {
          |  min(CASE WHEN is_opp THEN d END) AS min_dist_opp,
          |  avg(CASE WHEN NOT is_opp THEN d END) AS mean_dist_team,
          |  min(CASE WHEN NOT is_opp THEN d END) AS min_dist_team,
-         |  atan2(avg(sin(ang)), avg(cos(ang))) AS circ_mean_angle_all,
          |  count(*) AS n_others
          | FROM pairs GROUP BY 1, 2, 3, 4),
          |nearest AS (
@@ -209,7 +214,6 @@ object TrackingQ {
          | round(nearest_opp_dist, 6) AS nearest_opp_dist,
          | round(nearest_opp_angle, 6) AS nearest_opp_angle,
          | round(nearest_opp_rel_speed, 6) AS nearest_opp_rel_speed,
-         | round(circ_mean_angle_all, 6) AS circ_mean_angle_all,
          | coalesce(n_others, 0) AS n_others
          |FROM (SELECT DISTINCT game_id, play_id, frame_id, nfl_id FROM frames) e
          |LEFT JOIN aggs USING (game_id, play_id, frame_id, nfl_id)
