@@ -69,6 +69,20 @@ object Multimodal {
         i => (i - 1) % step === 0))
   }
 
+  /** Resize planning over decoded dimensions: aspect-preserving fit
+    * into a target box (the standard vision-preprocess step). Pure
+    * metadata math — the actual pixel resample belongs to the decode
+    * stage's codec (stubbed here); the engine's job is computing the
+    * target geometry for every asset without touching payload bytes. */
+  def fitDimensions(width: org.apache.spark.sql.Column,
+                    height: org.apache.spark.sql.Column,
+                    box: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val scale = least(lit(box.toDouble) / width, lit(box.toDouble) / height)
+    val capped = least(scale, lit(1.0)) // never upscale
+    (floor(width * capped).cast("long"), floor(height * capped).cast("long"))
+  }
+
   /** Distributed decode: per-partition batch over the binary column.
     * Runs map-side (no shuffle of payload bytes); output appends the
     * metadata struct fields. */

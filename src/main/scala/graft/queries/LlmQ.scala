@@ -117,6 +117,20 @@ object LlmQ {
             .as("sampled"))
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      // Aspect-preserving resize planning into a 224-box over decoded
+      // dimensions (payload untouched).
+      val payload = documents(s, dir).select(
+        col("doc_id"),
+        Text.normalizeAz(col("text")).cast("binary").as("payload"))
+      val decoded = Multimodal.decodeFeatures(payload, "payload")
+      val (ow, oh) = Multimodal.fitDimensions(col("width"), col("height"), 224)
+      decoded.select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        ow.as("out_w"), oh.as("out_h"))
+    }),
+
     "mm_decode" -> ((s, dir) => {
       val payload = documents(s, dir).select(
         col("doc_id"),
@@ -378,6 +392,16 @@ object LlmQ {
          | array_to_string(list_filter(range(1, n_frames + 1),
          |   i -> (i - 1) % CAST(ceil(n_frames / 8.0) AS BIGINT) = 0), ',') AS sampled
          |FROM h""".stripMargin,
+
+    "mm_resize" ->
+      s"""WITH n AS (SELECT doc_id, $NormSql AS t FROM documents),
+         |h AS (SELECT doc_id, ${foldSql("t")} AS hv FROM n),
+         |d AS (SELECT doc_id, 64 + hv % 1920 AS width, 64 + (hv // 7) % 1080 AS height FROM h)
+         |SELECT doc_id,
+         | CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+         | CAST(floor(width * least(least(224.0 / width, 224.0 / height), 1.0)) AS BIGINT) AS out_w,
+         | CAST(floor(height * least(least(224.0 / width, 224.0 / height), 1.0)) AS BIGINT) AS out_h
+         |FROM d""".stripMargin,
 
     "mm_decode" ->
       s"""WITH n AS (SELECT doc_id, $NormSql AS t FROM documents),

@@ -48,6 +48,30 @@ class StreamingSpec extends SparkSpec {
     assert(approx(r(2).getDouble(0), 4.0) && r(2).getInt(1) == 2) // window slid
   }
 
+  test("streaming dedup with watermark drops late duplicates") {
+    implicit val sq = spark.sqlContext
+    val feed = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val deduped = feed.toDS().toDF("ts", "id", "v")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      feed.addData(Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2L, 2.0)))
+      q.processAllAvailable()
+      feed.addData(Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 1L, 99.0), // dup id
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), 3L, 3.0)))
+      q.processAllAvailable()
+      val r = spark.table("dedup_out").orderBy("id")
+        .select("id", "v").collect()
+      assert(r.map(_.getLong(0)).toList == List(1L, 2L, 3L))
+      assert(r(0).getDouble(1) == 1.0) // first occurrence kept
+    } finally q.stop()
+  }
+
   test("windowed mean with watermark aggregates by event-time window") {
     implicit val sq = spark.sqlContext
     val feed = MemoryStream[(java.sql.Timestamp, String, Double)]
