@@ -120,6 +120,37 @@ class TemporalSpec extends SparkSpec {
     assert(got == List(4, 1)) // 1.0 first, then tie broken by id
   }
 
+  test("W2 rolling stats skip nulls (pandas NaN-ignore semantics)") {
+    val df = Seq(("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, Some(20.0)))
+      .toDF("k", "t", "v")
+    val ww = Temporal.spec(Seq(col("k")), Seq(col("t")))
+    val r = df.select(col("t"),
+      Temporal.rollingMean(col("v"), 3, ww).as("m"),
+      Temporal.rollingMin(col("v"), 3, ww).as("mn")).orderBy("t").collect()
+    assert(approx(r(1).getDouble(1), 10.0))   // null ignored, mean of {10}
+    assert(approx(r(2).getDouble(1), 15.0))   // mean of {10, 20}
+    assert(approx(r(2).getDouble(2), 10.0))
+  }
+
+  test("W3 diff propagates null across a null input (pandas parity)") {
+    val df = Seq(("a", 1, Some(5.0)), ("a", 2, None), ("a", 3, Some(9.0)))
+      .toDF("k", "t", "v")
+    val ww = Temporal.spec(Seq(col("k")), Seq(col("t")))
+    val r = df.select(col("t"), Temporal.diff(col("v"), ww).as("d"))
+      .orderBy("t").collect()
+    assert(r(0).isNullAt(1))   // no predecessor
+    assert(r(1).isNullAt(1))   // current null
+    assert(r(2).isNullAt(1))   // predecessor null
+  }
+
+  test("groupTail with ties on the order key is deterministic via tiebreak") {
+    val df = Seq(("a", 5, 1, 1.0), ("a", 5, 2, 2.0), ("a", 3, 3, 3.0))
+      .toDF("k", "t", "id", "v")
+    val r = Temporal.groupTail(df, Seq(col("k")), Seq(col("t"), col("id")))
+      .collect()
+    assert(r.length == 1 && r(0).getInt(2) == 2) // max (t, id)
+  }
+
   test("A1 groupTail keeps the entire last row per entity") {
     val r = Temporal.groupTail(ts, Seq(col("k")), Seq(col("t")))
       .orderBy("k").collect()
