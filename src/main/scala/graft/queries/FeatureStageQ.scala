@@ -57,7 +57,12 @@ object FeatureStageQ {
           r6(Temporal.rollingStd(col("s"), 5, w)).as("roll_std5_s"),
           Temporal.diff(col("x"), w).as("dx"),
           r6(Temporal.delta2(col("s"), w)).as("jerk_s"),
-          r6(EwmAvg.ewmAvg(col("s"), 0.3, entity, Seq(col("frame_id"))))
+          // alpha = 0.5 (in the reference's {0.3, 0.5, 0.7} set,
+          // `main_mps.py:231-240`), UNROUNDED — same reasoning as
+          // w5_ema: a dyadic alpha makes the recursion bitwise
+          // identical across engines, and no rounding of a recursion
+          // is safe for non-dyadic alphas (commit ce6d705).
+          EwmAvg.ewmAvg(col("s"), 0.5, entity, Seq(col("frame_id")))
             .as("ema_s"),
           r6(Scalars.angleWrap(Temporal.diff(col("dir"), w))).as("dir_change"),
           r6(Temporal.rollingStd(col("dir_change"), 3, w)).as("route_sharpness"),
@@ -94,8 +99,8 @@ object FeatureStageQ {
          | round(stddev_samp(s) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_std5_s,
          | x - lag(x, 1) OVER w AS dx,
          | round(s - 2 * lag(s, 1) OVER w + lag(s, 2) OVER w, 6) AS jerk_s,
-         | round(list_reduce(list(s) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |   (acc, v) -> 0.3 * v + 0.7 * acc), 6) AS ema_s,
+         | list_reduce(list(s) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, v) -> 0.5 * v + 0.5 * acc) AS ema_s,
          | round(dir_change, 6) AS dir_change,
          | round(stddev_samp(dir_change) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS route_sharpness,
          | row_number() OVER w - 1 AS frames_elapsed,

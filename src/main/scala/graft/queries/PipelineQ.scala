@@ -103,12 +103,32 @@ object PipelineQ {
           "pred_x", "pred_y")
     }),
 
-    // E2: sequence-tensor build (M8 + A4 + M6 over the temporal block).
+    // E2: sequence-tensor build (M8 + A4 + M6 over the temporal block,
+    // `nn/nn-mps.py:566-665`). Output = hash-friendly scalar digests of
+    // the sequence (the m8_seqbuild pattern) — a raw array<struct>
+    // column crashes the driver's pandas row-sorter. Digest fields are
+    // the UNscaled struct members: the scaled x/y/s/vx/vy depend on a
+    // global mean/std whose cross-engine summation-order drift makes
+    // them hash-hostile (the scaler itself is oracled by m6_scaler).
+    // last_dir_change is safe: the last row of any >=2-frame entity has
+    // a real lag (never the group-mean impute), and a 1-frame entity
+    // imputes to exactly 0.0 on both sides.
     "e2_seqfeatures" -> ((s, dir) => {
       SequenceFeaturePipeline.build(TrackingQ.frames(s, dir))
         .select(col("game_id"), col("play_id"), col("nfl_id"),
           size(col("seq")).cast("long").as("seq_len"),
-          col("seq"))
+          r6(element_at(col("seq"), 1).getField("dist_center"))
+            .as("first_dist_center"),
+          r6(element_at(col("seq"), -1).getField("dist_center"))
+            .as("last_dist_center"),
+          r6(element_at(col("seq"), -1).getField("dir_change"))
+            .as("last_dir_change"),
+          r6(element_at(col("seq"), -1).getField("progress"))
+            .as("last_progress"),
+          r6(aggregate(transform(col("seq"), e => e.getField("progress")),
+            lit(0.0), (a, x) => a + x)).as("progress_sum"),
+          r6(aggregate(transform(col("seq"), e => e.getField("dist_center")),
+            lit(0.0), (a, x) => a + x)).as("dist_center_sum"))
     }),
 
     // M8: frozen external scorer applied map-side over the tensors.
@@ -124,6 +144,39 @@ object PipelineQ {
         .select("game_id", "play_id", "nfl_id", "nn_x", "nn_y")
     }))
 
-  /** None of these are SQL-expressible (MLlib fits) — rows-only. */
-  val oracle: Map[String, String] = Map.empty
+  /** MLlib fits (m2/m5/e1_tree/s5/m8_scorer) are not SQL-expressible —
+    * rows-only. e2's digest IS expressible: the trailing-8 window and
+    * its fold mirror m8_seqbuild's list_reduce form (same fold order
+    * guarantees bitwise-identical sums). */
+  val oracle: Map[String, String] = Map(
+    "e2_seqfeatures" ->
+      s"""WITH ${TrackingQ.FramesSql},
+         |f AS (SELECT game_id, play_id, nfl_id, frame_id,
+         |  sqrt((x - 60.0) * (x - 60.0) + (y - 26.65) * (y - 26.65)) AS dist_center,
+         |  dir - lag(dir, 1) OVER w AS raw_dc,
+         |  CAST(row_number() OVER w - 1 AS DOUBLE) /
+         |    greatest(count(*) OVER (PARTITION BY game_id, play_id, nfl_id) - 1, 1) AS progress,
+         |  row_number() OVER w AS rn,
+         |  count(*) OVER (PARTITION BY game_id, play_id, nfl_id) AS n
+         | FROM frames
+         | WINDOW w AS (PARTITION BY game_id, play_id, nfl_id ORDER BY frame_id)),
+         |g AS (SELECT *,
+         |  coalesce(CASE WHEN abs(raw_dc) >= 180.0 THEN raw_dc - 360.0 * sign(raw_dc)
+         |                ELSE raw_dc END, 0.0) AS dir_change
+         | FROM f),
+         |d AS (SELECT game_id, play_id, nfl_id, rn, n, dir_change,
+         |  list(dist_center) OVER wr AS dc_seq,
+         |  list(progress) OVER wr AS pr_seq
+         | FROM g
+         | WINDOW wr AS (PARTITION BY game_id, play_id, nfl_id ORDER BY frame_id
+         |   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT game_id, play_id, nfl_id,
+         | len(dc_seq) AS seq_len,
+         | round(dc_seq[1], 6) AS first_dist_center,
+         | round(dc_seq[-1], 6) AS last_dist_center,
+         | round(dir_change, 6) AS last_dir_change,
+         | round(pr_seq[-1], 6) AS last_progress,
+         | round(list_reduce(list_prepend(0.0, pr_seq), (a, x) -> a + x), 6) AS progress_sum,
+         | round(list_reduce(list_prepend(0.0, dc_seq), (a, x) -> a + x), 6) AS dist_center_sum
+         |FROM d WHERE rn = n""".stripMargin)
 }

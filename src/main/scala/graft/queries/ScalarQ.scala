@@ -15,7 +15,10 @@ object ScalarQ {
   val queries: Map[String, QueryFn] = Map(
     "p2_velocity" -> ((s, dir) => {
       val li = lineitem(s, dir)
-      val dirDeg = (col("l_partkey") % 360).cast("double")
+      // Off the integer-degree lattice (see TrackingQ.frames): whole
+      // degrees make sin/cos short decimals whose products round-trip
+      // differently between Spark and DuckDB at 6 dp.
+      val dirDeg = (col("l_partkey") % 3600).cast("double") / 10 + 0.05
       li.select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         r6(Scalars.velocityX(col("l_quantity"), dirDeg)).as("vx"),
@@ -113,8 +116,8 @@ object ScalarQ {
   val oracle: Map[String, String] = Map(
     "p2_velocity" ->
       s"""SELECT $keys,
-         | round(l_quantity * sin(radians(CAST(l_partkey % 360 AS DOUBLE))), 6) AS vx,
-         | round(l_quantity * cos(radians(CAST(l_partkey % 360 AS DOUBLE))), 6) AS vy,
+         | round(l_quantity * sin(radians(CAST(l_partkey % 3600 AS DOUBLE) / 10 + 0.05)), 6) AS vx,
+         | round(l_quantity * cos(radians(CAST(l_partkey % 3600 AS DOUBLE) / 10 + 0.05)), 6) AS vy,
          | round(200.0 * l_quantity, 6) AS momentum,
          | round(0.5 * 200.0 * l_quantity * l_quantity, 6) AS ke,
          | round(200.0 * 703.0 / ((50.0 + l_discount * 100) * (50.0 + l_discount * 100)), 6) AS bmi

@@ -30,7 +30,13 @@ object TrackingQ {
       ((col("l_partkey") % 1200).cast("double") / 10).as("x"),
       ((col("l_suppkey") % 533).cast("double") / 10).as("y"),
       (col("l_quantity") / 5).as("s"),
-      (col("l_partkey") % 360).cast("double").as("dir"),
+      // dir deliberately avoids the integer-degree lattice: sin/cos of
+      // whole degrees yield short-decimal values (0, ±0.5, ±1) whose
+      // products with 2-decimal s land exactly on 6-dp rounding
+      // boundaries, where Spark's exact-binary HALF_UP and DuckDB's
+      // shortest-repr rounding disagree. Tenth-degree + 0.05 keeps
+      // every compared trig product off the tick.
+      ((col("l_partkey") % 3600).cast("double") / 10 + 0.05).as("dir"),
       when(col("l_suppkey") % 2 === 0, "Offense").otherwise("Defense")
         .as("player_side"),
       col("l_orderkey"), col("l_partkey"))
@@ -59,7 +65,7 @@ object TrackingQ {
       |   CAST(l_partkey % 1200 AS DOUBLE) / 10 AS x,
       |   CAST(l_suppkey % 533 AS DOUBLE) / 10 AS y,
       |   l_quantity / 5 AS s,
-      |   CAST(l_partkey % 360 AS DOUBLE) AS dir,
+      |   CAST(l_partkey % 3600 AS DOUBLE) / 10 + 0.05 AS dir,
       |   CASE WHEN l_suppkey % 2 = 0 THEN 'Offense' ELSE 'Defense' END AS player_side,
       |   row_number() OVER (PARTITION BY l_orderkey % 200, (l_orderkey // 200) % 4,
       |     l_linenumber, l_suppkey % 40 ORDER BY l_orderkey, l_partkey) AS rn

@@ -35,7 +35,7 @@ class ContractSpec extends SparkSpec {
   test("oracle coverage: only the MLlib-fit queries lack oracle SQL") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("m2_gbt", "e1_tree_ensemble", "m5_ridge",
-      "s5_artifacts", "e2_seqfeatures", "m8_scorer"))
+      "s5_artifacts", "m8_scorer"))
   }
 
   test("flagship entry returns rows on the smoke scale factor") {
