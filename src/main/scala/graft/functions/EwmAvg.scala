@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * expression, so the window engine evaluates it in ONE ordered pass
   * per partition — same asymptotics as the reference's C loop, no
   * O(n^2) prefix re-fold, no per-group array. Null inputs carry the
-  * previous state (pandas skips NaNs without resetting).
+  * previous state unchanged — pandas `ignore_na=True` semantics. The
+  * reference's `ewm(alpha, adjust=False)` defaults to ignore_na=False,
+  * which decays relative weights across NaN gaps; the two agree
+  * exactly on null-free inputs (all current pipelines) and diverge
+  * only when the EWM input itself contains nulls.
   *
   * Frame: rows from UNBOUNDED PRECEDING to CURRENT ROW (the running
   * frame every AggregateWindowFunction uses).

@@ -152,6 +152,13 @@ object Dedup {
   /** Near-dup pipeline: LSH candidates verified with exact 3-gram
     * Jaccard >= threshold. The verify join re-reads only candidate doc
     * ids — broadcastable when candidates are rare.
+    *
+    * The interior gram-table cache stays alive as long as the returned
+    * (lazy) DataFrame may recompute — callers in long-lived sessions
+    * own cleanup: materialize the result, then
+    * `spark.catalog.clearCache()` or unpersist via
+    * `spark.sharedState.cacheManager`. One-shot query sessions can rely
+    * on LRU eviction + session teardown.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double,

@@ -29,11 +29,17 @@ object Skew {
     require(Set("inner", "left", "leftouter")(
       joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got $joinType")
-    // Deterministic per-row salt: hash of the whole row spreads even
-    // single-key hotspots (monotonically_increasing_id would too, but
-    // is nondeterministic under retries).
+    // Per-row round-robin salt from monotonically_increasing_id
+    // (= partition_id << 33 + per-partition counter): spreads even
+    // byte-identical duplicate rows of a hot key, which a hash of the
+    // row's columns would send to one bucket — the degenerate-skew
+    // case salting exists for. The join OUTPUT is salt-invariant by
+    // construction (every salt value matches the same replicated
+    // small-side rows), and Spark marks the stage INDETERMINATE so a
+    // map-stage retry reruns all reducers rather than mixing old and
+    // new salt assignments.
     val salted = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col): _*), lit(factor)))
+      pmod(monotonically_increasing_id(), lit(factor.toLong)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -162,6 +162,23 @@ object AggQ {
         .withColumnRenamed("3", "v3")
     }),
 
+    // Skew-salted join (100 TB toolbox, `operators/Skew.scala`): ~90%
+    // of lineitem rows share hot key 0; the salted plan spreads them
+    // across `factor` sub-keys while the replicated 25-row nation dim
+    // guarantees every (key, salt) bucket still matches. Output is
+    // identical to the plain equi-join by construction — which is
+    // exactly what the oracle checks.
+    "skew_salted" -> ((s, dir) => {
+      val large = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        when(col("l_partkey") % 10 === 0, col("l_suppkey") % 25)
+          .otherwise(lit(0L)).as("k"))
+      val small = nation(s, dir).select(
+        col("n_nationkey").cast("long").as("k"), col("n_name"))
+      graft.operators.Skew.saltedJoin(large, small, Seq("k"), factor = 8)
+        .select("l_orderkey", "l_linenumber", "k", "n_name")
+    }),
+
     // O5: dedup on keys, deterministic keeper (min id per key) —
     // dropDuplicates itself is order-nondeterministic under shuffle,
     // so the engine's exact-dedup pattern is groupBy+min.
@@ -261,6 +278,15 @@ object AggQ {
         | max(CASE WHEN rnk = 2 THEN value END) AS v2,
         | max(CASE WHEN rnk = 3 THEN value END) AS v3
         |FROM r WHERE rnk <= 3 GROUP BY user_id""".stripMargin,
+
+    "skew_salted" ->
+      """WITH large AS (SELECT l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CASE WHEN l_partkey % 10 = 0 THEN l_suppkey % 25 ELSE 0 END AS k
+        | FROM lineitem),
+        |small AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation)
+        |SELECT l_orderkey, l_linenumber, k, n_name
+        |FROM large JOIN small USING (k)""".stripMargin,
 
     "o5_dedup" ->
       """SELECT user_id, event_type,

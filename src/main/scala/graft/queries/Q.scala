@@ -26,6 +26,7 @@ object Q {
   def orders(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "customer")
   def part(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "nation")
   def documents(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
   def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)

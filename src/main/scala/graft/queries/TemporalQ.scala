@@ -82,6 +82,59 @@ object TemporalQ {
           Seq(col("user_id")), Seq(col("ts"), col("event_id"))).as("ema"))
     }),
 
+    "w5_ema_75" -> ((s, dir) => {
+      // Dyadic-alpha coverage beyond 0.5: 0.75 = 3/4 and 0.25 = 1/4
+      // are exact in binary, so both recursions stay bitwise identical
+      // across engines — they bracket the reference's {0.3, 0.5, 0.7}
+      // set (`main_mps.py:231-240`) whose non-dyadic members are
+      // property-tested in GraftProps instead.
+      Temporal.emaScan(
+        events(s, dir).select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 0.75, "ema75")
+        .select(col("event_id"), col("ema75"))
+    }),
+
+    "w5_ema_25" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        graft.functions.EwmAvg.ewmAvg(col("value"), 0.25,
+          Seq(col("user_id")), Seq(col("ts"), col("event_id"))).as("ema25"))
+    }),
+
+    // W5/streaming: the SAME EMA recursion run through Structured
+    // Streaming — file-source read of the events parquet (no
+    // driver-side data path), per-key state in flatMapGroupsWithState,
+    // AvailableNow trigger, memory sink. The oracle is the batch w5_ema
+    // SQL: hash-equality IS the batch-parity proof. Cross-micro-batch
+    // state continuation is covered in StreamingSpec (a file source
+    // can't split one parquet file into multiple batches).
+    "w10_stream_ema" -> ((s, dir) => {
+      import s.implicits._
+      // Raw on-disk schema (ts = TIMESTAMP(NANOS) read as LongType):
+      // readStream needs the file schema, not Tables.events' converted
+      // one. Nanos ordering == micros ordering, and Obs.ts is only an
+      // ordering key.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // FileStreamSource wants a directory: stream the sf dir with a
+      // glob filter selecting only the events file.
+      val obs = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").cast("long").as("ts"),
+          col("event_id").cast("long").as("id"), col("value"))
+        .as[graft.streaming.Obs]
+      val sink = "w10_stream_ema_sink"
+      val q = graft.streaming.StreamingTemporal.emaStream(obs, 0.5)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select(col("id").as("event_id"), col("ema"))
+    }),
+
     "w6_topk" -> ((s, dir) => {
       Temporal.topKPerGroup(
         events(s, dir).select("event_id", "user_id", "value"),
@@ -165,6 +218,24 @@ object TemporalQ {
          |FROM events""".stripMargin,
 
     "w5_ema_native" ->
+      s"""SELECT event_id,
+         | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.5 * x + 0.5 * acc) AS ema
+         |FROM events""".stripMargin,
+
+    "w5_ema_75" ->
+      s"""SELECT event_id,
+         | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.75 * x + 0.25 * acc) AS ema75
+         |FROM events""".stripMargin,
+
+    "w5_ema_25" ->
+      s"""SELECT event_id,
+         | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.25 * x + 0.75 * acc) AS ema25
+         |FROM events""".stripMargin,
+
+    "w10_stream_ema" ->
       s"""SELECT event_id,
          | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |   (acc, x) -> 0.5 * x + 0.5 * acc) AS ema

@@ -17,9 +17,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 // Top-level case classes: encoders for classes nested inside an
 // object trip whole-stage codegen (outer-instance constructor lookup).
-case class Obs(key: String, ts: Long, value: Double)
-case class EmaOut(key: String, ts: Long, value: Double, ema: Double)
-case class RollOut(key: String, ts: Long, value: Double,
+case class Obs(key: String, ts: Long, id: Long, value: Double)
+case class EmaOut(key: String, ts: Long, id: Long, value: Double, ema: Double)
+case class RollOut(key: String, ts: Long, id: Long, value: Double,
                    roll_mean: Double, roll_n: Int)
 case class EmaState(ema: Double)
 case class RollState(recent: List[Double])
@@ -28,20 +28,21 @@ object StreamingTemporal {
 
   /** Streaming EMA (pandas ewm adjust=False, W5): y_t = a·x_t +
     * (1-a)·y_{t-1}, continued across micro-batches via GroupState.
-    * Rows inside a batch are folded in (ts) order; use with
-    * per-key-ordered sources (or an upstream sorter) for exact parity
-    * with the batch scan. */
+    * Rows inside a batch are folded in (ts, id) order — the same total
+    * order as the batch scan's (ts, event_id) sort, so parity with
+    * [[graft.operators.Temporal.emaScan]] is exact provided events
+    * arrive in (or before) the micro-batch their successors do. */
   def emaStream(ds: Dataset[Obs], alpha: Double): Dataset[EmaOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[EmaState, EmaOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Obs], state: GroupState[EmaState]) =>
-          val sorted = rows.toSeq.sortBy(r => (r.ts, r.value))
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.id))
           var ema = state.getOption.map(_.ema)
           val out = sorted.map { r =>
             ema = Some(ema.fold(r.value)(prev => alpha * r.value + (1 - alpha) * prev))
-            EmaOut(key, r.ts, r.value, ema.get)
+            EmaOut(key, r.ts, r.id, r.value, ema.get)
           }
           ema.foreach(e => state.update(EmaState(e)))
           out.iterator
@@ -57,9 +58,9 @@ object StreamingTemporal {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Obs], state: GroupState[RollState]) =>
           var recent = state.getOption.map(_.recent).getOrElse(Nil)
-          val out = rows.toSeq.sortBy(r => (r.ts, r.value)).map { r =>
+          val out = rows.toSeq.sortBy(r => (r.ts, r.id)).map { r =>
             recent = (r.value :: recent).take(k)
-            RollOut(key, r.ts, r.value, recent.sum / recent.size, recent.size)
+            RollOut(key, r.ts, r.id, r.value, recent.sum / recent.size, recent.size)
           }
           state.update(RollState(recent))
           out.iterator

@@ -25,8 +25,8 @@ class StreamingSpec extends SparkSpec {
     val feed = MemoryStream[Obs]
     val out = StreamingTemporal.emaStream(feed.toDS(), alpha = 0.5)
     runBatches(out, "ema_out", feed, Seq(
-      Seq(Obs("a", 1, 10.0), Obs("a", 2, 20.0)),
-      Seq(Obs("a", 3, 30.0), Obs("b", 1, 7.0))))
+      Seq(Obs("a", 1, 1, 10.0), Obs("a", 2, 2, 20.0)),
+      Seq(Obs("a", 3, 3, 30.0), Obs("b", 1, 4, 7.0))))
     val r = spark.table("ema_out").orderBy("key", "ts")
       .select("ema").as[Double].collect()
     // batch-equivalent recursion: 10, 15, 22.5 for a; 7 for b
@@ -39,8 +39,8 @@ class StreamingSpec extends SparkSpec {
     val feed = MemoryStream[Obs]
     val out = StreamingTemporal.rollingMeanStream(feed.toDS(), k = 2)
     runBatches(out, "roll_out", feed, Seq(
-      Seq(Obs("a", 1, 1.0)),
-      Seq(Obs("a", 2, 3.0), Obs("a", 3, 5.0))))
+      Seq(Obs("a", 1, 1, 1.0)),
+      Seq(Obs("a", 2, 2, 3.0), Obs("a", 3, 3, 5.0))))
     val r = spark.table("roll_out").orderBy("ts")
       .select("roll_mean", "roll_n").collect()
     assert(approx(r(0).getDouble(0), 1.0) && r(0).getInt(1) == 1)
