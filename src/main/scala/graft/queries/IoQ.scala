@@ -35,6 +35,36 @@ object IoQ {
           r2(sum(col("p_retailprice"))).as("price_sum"))
     }),
 
+    // S6: JSONL sink + explicit-schema scan — the interchange format
+    // of LLM training corpora. Written with multiple part-files (the
+    // 100 TB shape: JSONL shards in parallel, never one file), read
+    // back through the schema'd json scan; values must round-trip
+    // exactly, including non-ASCII text (the length check).
+    "s6_jsonl" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_jsonl_${dir.replaceAll("[^0-9.]", "")}").getAbsolutePath
+      d.repartition(4).write.mode("overwrite").json(base)
+      s.read.schema(d.schema).json(base)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).cast("long").as("text_len"))
+    }),
+
+    // S7: partitioned parquet layout + partition-pruned read-back.
+    // partitionBy(lang) gives directory-level pruning: the lang filter
+    // is satisfied by listing, not scanning — at 100 TB the difference
+    // between touching one partition and touching all of them
+    // (ScaleTechniquesSpec asserts the plan's PartitionFilters).
+    "s7_partitioned" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_part_${dir.replaceAll("[^0-9.]", "")}").getAbsolutePath
+      documents(s, dir).select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").partitionBy("lang").parquet(base)
+      s.read.parquet(base).filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // O4: union of per-"week" slices back into one table.
     "o4_union" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -91,6 +121,14 @@ object IoQ {
         | CAST(sum(p_size) AS BIGINT) AS size_sum,
         | round(sum(p_retailprice), 2) AS price_sum
         |FROM part GROUP BY p_brand""".stripMargin,
+
+    "s6_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars,
+        | CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents""".stripMargin,
+
+    "s7_partitioned" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
 
     "o4_union" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import Q._
 
 /** Registered queries for the LLM-training-data operators over
@@ -63,6 +63,39 @@ object LlmQ {
       documents(s, dir).select(
         col("doc_id"),
         Text.polyHash(Text.normalizeAz(col("text"))).as("fingerprint"))
+    }),
+
+    // Deterministic train/val/test split keyed on the CONTENT
+    // fingerprint (not doc_id): the assignment survives re-sharding,
+    // re-ordering and id reassignment — the property an LLM data
+    // pipeline needs so a doc never migrates between train and eval.
+    "t_split" -> ((s, dir) => {
+      val fp = Text.polyHash(Text.normalizeAz(col("text")))
+      val (bucket, split) = Sampling.hashSplit(fp)
+      documents(s, dir).select(col("doc_id"),
+        bucket.as("bucket"), split.as("split"))
+    }),
+
+    // Deterministic per-language sample: ceil(n/5) docs per lang,
+    // ranked by fingerprint — integer-exact keep rule, no rand().
+    "t_stratified" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("fp",
+        Text.polyHash(Text.normalizeAz(col("text"))))
+      Sampling.stratifiedSample(d, Seq(col("lang")),
+          Seq(col("fp"), col("doc_id")), num = 1, den = 5)
+        .select(col("doc_id"), col("lang"), col("fp"))
+    }),
+
+    // Context-window packing (concat-then-chunk at 256 tokens per
+    // chunk, sharded by lang).
+    "t_pack" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("n_tokens",
+        Text.tokenCount(Text.normalizeAz(col("text"))).cast("long"))
+      Sampling.chunkPack(d, Seq(col("lang")), Seq(col("doc_id")),
+          col("n_tokens"), chunkTokens = 256)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_before"), col("chunk_first"), col("chunk_last"),
+          col("offset_in_chunk"))
     }),
 
     "d_exact" -> ((s, dir) =>
@@ -325,6 +358,39 @@ object LlmQ {
     "t_fingerprint" ->
       s"""SELECT doc_id, ${foldSql("t")} AS fingerprint
          |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,
+
+    "t_split" ->
+      s"""WITH f AS (SELECT doc_id, ${foldSql("t")} AS fp
+         | FROM (SELECT doc_id, $NormSql AS t FROM documents))
+         |SELECT doc_id, fp % 100 AS bucket,
+         | CASE WHEN fp % 100 < 80 THEN 'train'
+         |      WHEN fp % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM f""".stripMargin,
+
+    "t_stratified" ->
+      s"""WITH f AS (SELECT doc_id, lang, ${foldSql("t")} AS fp
+         | FROM (SELECT doc_id, lang, $NormSql AS t FROM documents)),
+         |r AS (SELECT doc_id, lang, fp,
+         |  row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n
+         | FROM f)
+         |SELECT doc_id, lang, fp FROM r WHERE (rn - 1) * 5 < n * 1""".stripMargin,
+
+    "t_pack" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  len(list_filter(string_split($NormSql, ' '), w -> length(w) > 0))::BIGINT AS n_tokens
+         | FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+         | FROM tok)
+         |SELECT doc_id, lang, n_tokens, cum_before,
+         | cum_before // 256 AS chunk_first,
+         | CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 256
+         |      ELSE cum_before // 256 END AS chunk_last,
+         | cum_before % 256 AS offset_in_chunk
+         |FROM c""".stripMargin,
 
     "d_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id

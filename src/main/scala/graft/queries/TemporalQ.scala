@@ -109,30 +109,20 @@ object TemporalQ {
     // state continuation is covered in StreamingSpec (a file source
     // can't split one parquet file into multiple batches).
     "w10_stream_ema" -> ((s, dir) => {
-      import s.implicits._
-      // Raw on-disk schema (ts = TIMESTAMP(NANOS) read as LongType):
-      // readStream needs the file schema, not Tables.events' converted
-      // one. Nanos ordering == micros ordering, and Obs.ts is only an
-      // ordering key.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      // FileStreamSource wants a directory: stream the sf dir with a
-      // glob filter selecting only the events file.
-      val obs = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("user_id").cast("string").as("key"),
-          col("ts").cast("long").as("ts"),
-          col("event_id").cast("long").as("id"), col("value"))
-        .as[graft.streaming.Obs]
-      val sink = "w10_stream_ema_sink"
-      val q = graft.streaming.StreamingTemporal.emaStream(obs, 0.5)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).select(col("id").as("event_id"), col("ema"))
+      runStream(s, "w10_stream_ema_sink",
+        graft.streaming.StreamingTemporal.emaStream(obsStream(s, dir), 0.5))
+        .select(col("id").as("event_id"), col("ema"))
+    }),
+
+    // W2/streaming: the trailing rolling mean through the same
+    // streaming harness. The state is bounded to k values per key; the
+    // in-state sum folds oldest-first so it is bitwise identical to
+    // the oracle's window-list fold.
+    "w11_stream_roll" -> ((s, dir) => {
+      runStream(s, "w11_stream_roll_sink",
+        graft.streaming.StreamingTemporal.rollingMeanStream(obsStream(s, dir), 5))
+        .select(col("id").as("event_id"), col("roll_mean"),
+          col("roll_n").cast("long").as("roll_n"))
     }),
 
     "w6_topk" -> ((s, dir) => {
@@ -188,6 +178,40 @@ object TemporalQ {
         element_at(seq8, -1).as("seq_last"))
     }))
 
+  /** The events table as a streaming Dataset[Obs] via a parquet FILE
+    * SOURCE (no driver-side data path — the production shape). Raw
+    * on-disk schema (ts = TIMESTAMP(NANOS) read as LongType): a
+    * FileStreamSource needs the file schema, not Tables.events'
+    * converted one; nanos ordering == micros ordering and Obs.ts is
+    * only an ordering key. The source also wants a directory, so we
+    * stream the sf dir with a glob filter selecting the events file. */
+  private def obsStream(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.Dataset[graft.streaming.Obs] = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id").cast("string").as("key"),
+        col("ts").cast("long").as("ts"),
+        col("event_id").cast("long").as("id"), col("value"))
+      .as[graft.streaming.Obs]
+  }
+
+  /** Run a streaming Dataset to completion (AvailableNow) into a
+    * memory sink and return the sink table. */
+  private def runStream[T](s: org.apache.spark.sql.SparkSession,
+                           sink: String,
+                           ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.DataFrame = {
+    val q = ds.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
@@ -239,6 +263,14 @@ object TemporalQ {
       s"""SELECT event_id,
          | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |   (acc, x) -> 0.5 * x + 0.5 * acc) AS ema
+         |FROM events""".stripMargin,
+
+    "w11_stream_roll" ->
+      s"""SELECT event_id,
+         | list_reduce(list_prepend(0.0, list(value) $over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         |   (a, x) -> a + x)
+         |  / count(*) $over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_mean,
+         | count(*) $over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n
          |FROM events""".stripMargin,
 
     "w6_topk" ->

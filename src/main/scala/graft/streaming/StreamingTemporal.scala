@@ -60,7 +60,11 @@ object StreamingTemporal {
           var recent = state.getOption.map(_.recent).getOrElse(Nil)
           val out = rows.toSeq.sortBy(r => (r.ts, r.id)).map { r =>
             recent = (r.value :: recent).take(k)
-            RollOut(key, r.ts, r.id, r.value, recent.sum / recent.size, recent.size)
+            // Sum oldest-first: the same left-fold order as a batch
+            // window's list fold, so the double result is bitwise
+            // identical to the batch/oracle computation.
+            val mean = recent.reverse.foldLeft(0.0)(_ + _) / recent.size
+            RollOut(key, r.ts, r.id, r.value, mean, recent.size)
           }
           state.update(RollState(recent))
           out.iterator

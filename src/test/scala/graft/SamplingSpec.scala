@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic split / stratified sample / context-window packing. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: boundaries exact, assignment deterministic") {
+    val df = (0L until 1000L).toDF("k")
+    val (bucket, split) = Sampling.hashSplit(col("k"))
+    val r = df.select(col("k"), bucket.as("b"), split.as("s"))
+    val counts = r.groupBy("s").count().as[(String, Long)].collect().toMap
+    // keys 0..999 cycle buckets 0..99 uniformly: 80/10/10 exactly.
+    assert(counts("train") == 800 && counts("val") == 100 && counts("test") == 100)
+    // stable across evaluations
+    assert(r.collect().toSeq == r.collect().toSeq)
+  }
+
+  test("stratifiedSample keeps exactly ceil(n*num/den) rows per stratum") {
+    val df = (1 to 103).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val kept = Sampling.stratifiedSample(df, Seq(col("g")), Seq(col("id")), 1, 5)
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    val n = df.groupBy("g").count().as[(String, Long)].collect().toMap
+    for ((g, total) <- n)
+      assert(byG(g) == (total + 4) / 5, s"stratum $g: ${byG(g)} of $total")
+    // keeps the LOWEST-ranked rows: max kept id per stratum < min dropped.
+    val keptIds = kept.select("g", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max)
+    val dropped = df.except(kept).select("g", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).min)
+    for ((g, mx) <- keptIds) assert(mx < dropped(g))
+  }
+
+  test("chunkPack: contiguous exact-integer layout per shard") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 0L), ("a", 4L, 300L),
+      ("b", 1L, 1000L)).toDF("shard", "id", "toks")
+    val packed = Sampling.chunkPack(df, Seq(col("shard")), Seq(col("id")),
+      col("toks"), 256).orderBy("shard", "id")
+      .select("shard", "id", "cum_before", "chunk_first", "chunk_last",
+        "offset_in_chunk")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // shard a: cum 0,100,300,300 -> chunks (0,0),(0,1),(1,1),(1,2), off 0,100,44,44
+    assert(packed(0) == ("a", 1L, 0L, 0L, 0L, 0L))
+    assert(packed(1) == ("a", 2L, 100L, 0L, 1L, 100L))
+    assert(packed(2) == ("a", 3L, 300L, 1L, 1L, 44L)) // empty doc: first==last
+    assert(packed(3) == ("a", 4L, 300L, 1L, 2L, 44L))
+    // shard b independent: starts at 0, spans chunks 0..3
+    assert(packed(4) == ("b", 1L, 0L, 0L, 3L, 0L))
+  }
+}
