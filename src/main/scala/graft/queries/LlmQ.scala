@@ -65,6 +65,46 @@ object LlmQ {
         Text.polyHash(Text.normalizeAz(col("text"))).as("fingerprint"))
     }),
 
+    // Repetition detection (the Gopher-rule family): fraction of word
+    // bigram occurrences that are repeats — high values flag boilerplate
+    // and degenerate generations. Pure higher-order-function math, one
+    // scan, no shuffle.
+    "t_repetition" -> ((s, dir) => {
+      val toks = Text.tokens(Text.normalizeAz(col("text")))
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws("_", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      documents(s, dir)
+        .withColumn("bg", bigrams)
+        .select(col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
+          r6(when(size(col("bg")) > 0,
+            (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+              size(col("bg")).cast("double")).otherwise(lit(0.0)))
+            .as("dup_ratio"))
+    }),
+
+    // PII-style redaction: emails and long digit runs masked with
+    // placeholder tokens; emits match counts + redacted length so the
+    // masking is verifiable. regexp_replace is codegen'd — the 100 TB
+    // shape is one map-side pass.
+    "t_redact" -> ((s, dir) => {
+      val lowered = lower(col("text"))
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+      val longnum = "[0-9]{6,}"
+      val redacted = regexp_replace(
+        regexp_replace(lowered, email, "<EMAIL>"), longnum, "<NUM>")
+      documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(lowered, lit(email), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(lowered, lit(longnum), lit(0))).cast("long")
+          .as("n_longnums"),
+        length(redacted).cast("long").as("redacted_len"))
+    }),
+
     // Deterministic train/val/test split keyed on the CONTENT
     // fingerprint (not doc_id): the assignment survives re-sharding,
     // re-ordering and id reassignment — the property an LLM data
@@ -358,6 +398,32 @@ object LlmQ {
     "t_fingerprint" ->
       s"""SELECT doc_id, ${foldSql("t")} AS fingerprint
          |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,
+
+    "t_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks
+         | FROM (SELECT doc_id, $NormSql AS t FROM documents)),
+         |b AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2
+         |   THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+         |   ELSE [] END AS bg
+         | FROM t)
+         |SELECT doc_id,
+         | len(bg)::BIGINT AS n_bigrams,
+         | len(list_distinct(bg))::BIGINT AS n_distinct,
+         | round(CASE WHEN len(bg) > 0
+         |  THEN (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)
+         |  ELSE 0.0 END, 6) AS dup_ratio
+         |FROM b""".stripMargin,
+
+    "t_redact" ->
+      """WITH l AS (SELECT doc_id, lower(text) AS lt FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(lt, '[a-z0-9._%+-]+@[a-z0-9.-]+'))::BIGINT AS n_emails,
+        | len(regexp_extract_all(lt, '[0-9]{6,}'))::BIGINT AS n_longnums,
+        | CAST(length(regexp_replace(regexp_replace(lt,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+        |FROM l""".stripMargin,
 
     "t_split" ->
       s"""WITH f AS (SELECT doc_id, ${foldSql("t")} AS fp
