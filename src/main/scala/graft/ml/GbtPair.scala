@@ -52,8 +52,22 @@ object GbtPair {
       .setMaxIter(p.maxIter).setMaxDepth(p.maxDepth)
       .setStepSize(p.stepSize).setSubsamplingRate(p.subsamplingRate)
       .setSeed(p.seed)
-    try Model(gbt(targetX).fit(assembled), gbt(targetY).fit(assembled), features)
-    finally assembled.unpersist()
+    try {
+      // The x and y fits are independent jobs over the same cached
+      // table — run them concurrently (cache warmed first so the two
+      // fit threads don't race to compute it).
+      assembled.count()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fx = scala.concurrent.Future(gbt(targetX).fit(assembled))
+        val fy = scala.concurrent.Future(gbt(targetY).fit(assembled))
+        import scala.concurrent.duration.Duration
+        Model(scala.concurrent.Await.result(fx, Duration.Inf),
+          scala.concurrent.Await.result(fy, Duration.Inf), features)
+      } finally pool.shutdown()
+    } finally assembled.unpersist()
   }
 
   /** Append prediction columns; input needs the same feature columns. */

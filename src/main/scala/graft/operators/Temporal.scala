@@ -128,4 +128,41 @@ object Temporal {
 
   /** A6/W8: cumcount + normalized progress within group. */
   def cumCount(w: WindowSpec): Column = row_number().over(w) - lit(1)
+
+  /** As-of join (net-new; Spark has no built-in): for every left row,
+    * attach the LATEST right row with rightTime <= leftTime within the
+    * same key group — the canonical point-in-time lookup (feature
+    * stores, market data, sensor alignment).
+    *
+    * Implementation is the union+window scan, not a per-row probe: tag
+    * both sides, sort each key group by (time, tag) — right rows sort
+    * BEFORE left rows at equal times, making the match inclusive — and
+    * carry right values forward with last_value(ignoreNulls). ONE
+    * shuffle on the key columns, linear scan per group, no join blow-up:
+    * at 100 TB this is the same cost as any windowed op, while a naive
+    * theta-join (l.t >= r.t) would be quadratic per key.
+    *
+    * `rightCols` must not collide with left column names. Right rows
+    * must be unique per (keys, rightTime) — pre-aggregate otherwise
+    * (ties would be resolved by sort order nondeterministically).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains).toSeq
+    val lTagged = left
+      .withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
+    val rTagged = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag")) ++
+        rightCols.map(col): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 1)
+      .select((keys ++ leftCols ++ rightCols).map(col): _*)
+  }
 }

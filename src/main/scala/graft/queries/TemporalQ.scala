@@ -164,6 +164,27 @@ object TemporalQ {
         .select("user_id", "session_first", "n_events", "val_sum")
     }),
 
+    // J7/net-new: as-of join — each event picks up the latest
+    // earlier-or-equal purchase by the same user (point-in-time
+    // lookup). Times are RAW integer nanos on both sides: Spark's
+    // micros truncation would disagree with DuckDB's nanos on <=
+    // comparisons of sub-microsecond neighbors. The right side is
+    // pre-aggregated unique per (user, t) so the match is
+    // deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    // independent algorithm validating the union+window formulation.
+    "j7_asof" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val ref = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("ref_event_id"),
+          max_by(col("value"), col("event_id")).as("ref_value"))
+      Temporal.asofJoin(
+        e.select("event_id", "user_id", "ts"), ref, Seq("user_id"),
+        "ts", "ts", Seq("ref_event_id", "ref_value"))
+        .select("event_id", "ref_event_id", "ref_value")
+    }),
+
     "m8_seqbuild" -> ((s, dir) => {
       // Sequence-tensor builder: trailing 8-observation window per
       // entity (`nn/nn-mps.py:566-665` in collect_list form). Output
@@ -302,6 +323,17 @@ object TemporalQ {
          |SELECT user_id, min(event_id) AS session_first,
          | count(*) AS n_events, round(sum(value), 6) AS val_sum
          |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "j7_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ns(ts) AS tns FROM events),
+        |ref AS (SELECT user_id, tns,
+        |  max(event_id) AS ref_event_id,
+        |  arg_max(value, event_id) AS ref_value
+        | FROM e WHERE event_type = 'purchase' GROUP BY user_id, tns)
+        |SELECT l.event_id, r.ref_event_id, r.ref_value
+        |FROM e l ASOF LEFT JOIN ref r
+        | ON l.user_id = r.user_id AND r.tns <= l.tns""".stripMargin,
 
     "m8_seqbuild" ->
       s"""SELECT event_id,

@@ -164,4 +164,33 @@ class TemporalSpec extends SparkSpec {
       .filter(col("k") === "a").orderBy("t").select("c").as[Int].collect()
     assert(r.toList == List(0, 1, 2, 3))
   }
+
+  test("asofJoin: latest right <= left time, inclusive ties, per key") {
+    val left = Seq(("a", 5L, 100L), ("a", 10L, 101L), ("a", 3L, 102L),
+      ("b", 7L, 103L)).toDF("k", "t", "lid")
+    val right = Seq(("a", 4L, 1.0), ("a", 9L, 2.0), ("a", 10L, 3.0),
+      ("b", 99L, 9.0)).toDF("k", "t", "rv")
+    val r = Temporal.asofJoin(left, right, Seq("k"), "t", "t", Seq("rv"))
+      .orderBy("lid").select("lid", "rv").collect()
+    assert(r(0).getDouble(1) == 1.0)            // t=5 -> right t=4
+    assert(r(1).getDouble(1) == 3.0)            // t=10 -> tie inclusive
+    assert(r(2).isNullAt(1))                    // t=3 -> no earlier right
+    assert(r(3).isNullAt(1))                    // key b: right is later
+  }
+
+  test("asofJoin plan: one exchange, no join node") {
+    val left = (1 to 100).map(i => ("k" + i % 3, i.toLong, i)).toDF("k", "t", "lid")
+    val right = (1 to 50).map(i => ("k" + i % 3, i * 2L, i * 1.5)).toDF("k", "t", "rv")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val j = Temporal.asofJoin(left, right, Seq("k"), "t", "t", Seq("rv"))
+    val plan = j.queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    val joins = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BaseJoinExec => b }
+    assert(shuffles.size == 1, s"want 1 exchange, got ${shuffles.size}")
+    assert(joins.isEmpty, "asofJoin must not produce a join operator")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
