@@ -162,6 +162,34 @@ object AggQ {
         .withColumnRenamed("3", "v3")
     }),
 
+    // A9/net-new: exact interpolated quantiles per group — Spark's
+    // `percentile` (exact, (n-1)p linear interpolation; same definition
+    // as DuckDB quantile_cont). percentile_approx is the 100 TB path
+    // but is algorithm-specific, so the EXACT variant is the oracled
+    // surface; a 60-row group sort per user is one hash shuffle.
+    "a9_quantiles" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          r6(percentile(col("value"), lit(0.5))).as("p50"),
+          r6(percentile(col("value"), lit(0.9))).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A10/net-new: rollup subtotals (grouping-set aggregation). Data
+    // has no null group keys, so subtotal rows are distinguished by a
+    // literal sentinel — portable without engines' grouping_id
+    // encodings having to agree.
+    "a10_rollup" -> ((s, dir) => {
+      lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("qty"))
+    }),
+
     // Skew-salted join (100 TB toolbox, `operators/Skew.scala`): ~90%
     // of lineitem rows share hot key 0; the salted plan spreads them
     // across `factor` sub-keys while the replicated 25-row nation dim
@@ -278,6 +306,19 @@ object AggQ {
         | max(CASE WHEN rnk = 2 THEN value END) AS v2,
         | max(CASE WHEN rnk = 3 THEN value END) AS v3
         |FROM r WHERE rnk <= 3 GROUP BY user_id""".stripMargin,
+
+    "a9_quantiles" ->
+      """SELECT user_id,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | count(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a10_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        | coalesce(l_linestatus, '(all)') AS ls,
+        | count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "skew_salted" ->
       """WITH large AS (SELECT l_orderkey,

@@ -164,6 +164,31 @@ object TemporalQ {
         .select("user_id", "session_first", "n_events", "val_sum")
     }),
 
+    // Streaming event-time tumbling-window aggregation with watermark
+    // through the file-source harness, complete mode (the memory sink
+    // holds every finalized window). Hour buckets are epoch-aligned in
+    // both engines.
+    "w12_stream_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      val agg = graft.streaming.StreamingTemporal.windowedMean(
+        stream, "ts", "value", "user_id", "1 hour")
+      val sink = "w12_stream_window_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select(col("user_id"),
+        unix_micros(col("window.start")).as("win_start"),
+        r6(col("mean_value")).as("mean_value"), col("n"))
+    }),
+
     // J7/net-new: as-of join — each event picks up the latest
     // earlier-or-equal purchase by the same user (point-in-time
     // lookup). Times are RAW integer nanos on both sides: Spark's
@@ -323,6 +348,13 @@ object TemporalQ {
          |SELECT user_id, min(event_id) AS session_first,
          | count(*) AS n_events, round(sum(value), 6) AS val_sum
          |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "w12_stream_window" ->
+      """SELECT user_id,
+        | epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start,
+        | round(avg(value), 6) AS mean_value,
+        | count(*) AS n
+        |FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)""".stripMargin,
 
     "j7_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
