@@ -162,6 +162,25 @@ object AggQ {
         .withColumnRenamed("3", "v3")
     }),
 
+    // J8/net-new: range (band) join — same-user event pairs whose
+    // values differ by <= 10 cents, via bucket blocking
+    // (`operators/Spatial.bandJoin`). Values become exact integer cents
+    // first so bucket coverage is float-proof; the oracle is the plain
+    // theta-join, feasible only at oracle scale — which is the point.
+    "j8_range" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cv"))
+      val a = e.select(col("user_id"), col("event_id").as("id_a"),
+        col("cv").as("cv_a"))
+      val b = e.select(col("user_id"), col("event_id").as("id_b"),
+        col("cv").as("cv_b"))
+      graft.operators.Spatial.bandJoin(a, b, Seq("user_id"),
+          "cv_a", "cv_b", 10.0)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          (col("cv_b") - col("cv_a")).as("dcents"))
+    }),
+
     // A9/net-new: exact interpolated quantiles per group — Spark's
     // `percentile` (exact, (n-1)p linear interpolation; same definition
     // as DuckDB quantile_cont). percentile_approx is the 100 TB path
@@ -306,6 +325,15 @@ object AggQ {
         | max(CASE WHEN rnk = 2 THEN value END) AS v2,
         | max(CASE WHEN rnk = 3 THEN value END) AS v3
         |FROM r WHERE rnk <= 3 GROUP BY user_id""".stripMargin,
+
+    "j8_range" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cv FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        | b.cv - a.cv AS dcents
+        |FROM e a JOIN e b
+        | ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.cv - b.cv) <= 10""".stripMargin,
 
     "a9_quantiles" ->
       """SELECT user_id,

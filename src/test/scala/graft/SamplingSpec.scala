@@ -33,6 +33,20 @@ class SamplingSpec extends SparkSpec {
     for ((g, mx) <- keptIds) assert(mx < dropped(g))
   }
 
+  test("bandJoin == theta-join result, negative values included") {
+    val l = Seq(("a", 1L, -5.0), ("a", 2L, 0.0), ("a", 3L, 9.9),
+      ("b", 4L, 100.0)).toDF("k", "lid", "lv")
+    val r = Seq(("a", 11L, -9.0), ("a", 12L, 4.9), ("a", 13L, 5.1),
+      ("b", 14L, 104.9), ("b", 15L, 106.0)).toDF("k", "rid", "rv")
+    val band = graft.operators.Spatial.bandJoin(l, r, Seq("k"), "lv", "rv", 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val theta = l.join(r, Seq("k")).filter(abs(col("lv") - col("rv")) <= 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(band == theta && theta.nonEmpty)
+    assert(band.contains((1L, 11L)) && band.contains((4L, 14L)))
+    assert(!band.contains((4L, 15L))) // 6.0 > radius
+  }
+
   test("chunkPack: contiguous exact-integer layout per shard") {
     val df = Seq(
       ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 0L), ("a", 4L, 300L),
