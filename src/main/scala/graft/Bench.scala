@@ -25,7 +25,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // toRdd.count(), not count(): a count() aggregate lets the
+        // optimizer PRUNE expensive output columns, so queries whose
+        // cost lives in the projection would be timed as no-ops.
+        // toRdd keeps the full output schema and forces every column.
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           errors ::= (name -> e.getClass.getSimpleName); false
         }

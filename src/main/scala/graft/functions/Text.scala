@@ -26,13 +26,24 @@ object Text {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** The string as a materialized single-char array. Higher-order
+    * lambdas are interpreted (not codegen'd), so any per-index
+    * `substr(c, i, 1)` re-evaluates the WHOLE expression tree of `c`
+    * per character — O(len·cost(c)) per row, quadratic when `c` is the
+    * normalize regex over the same string. Splitting once makes every
+    * per-char op read a materialized element instead. */
+  private def chars(c: Column): Column =
+    filter(split(c, ""), ch => length(ch) > lit(0))
+
   /** Character n-grams of a (normalized) string; empty array when the
-    * string is shorter than n. */
+    * string is shorter than n. Built from the materialized char array
+    * (one evaluation of `c`), not per-index substr on `c`. */
   def charNgrams(c: Column, n: Int): Column = {
+    val cs = chars(c)
     val grams = transform(
-      sequence(lit(1), length(c) - lit(n - 1)),
-      i => c.substr(i, lit(n)))
-    when(length(c) >= lit(n), grams).otherwise(array().cast("array<string>"))
+      sequence(lit(1), size(cs) - lit(n - 1)),
+      i => concat_ws("", slice(cs, i, lit(n))))
+    when(size(cs) >= lit(n), grams).otherwise(array().cast("array<string>"))
   }
 
   /** Large prime for all polynomial hashing; fits comfortably in Long
@@ -44,8 +55,7 @@ object Text {
     * DuckDB via list_reduce) unlike Spark's xxhash64/murmur. Apply to
     * normalized a-z text only. */
   def polyHash(c: Column): Column = {
-    val codes = transform(sequence(lit(1), length(c)),
-      i => ascii(c.substr(i, lit(1))).cast("long"))
+    val codes = transform(chars(c), ch => ascii(ch).cast("long"))
     val folded = aggregate(codes, lit(0L),
       (acc, x) => (acc * lit(31L) + x) % lit(P))
     when(length(c) > lit(0), folded).otherwise(lit(0L))

@@ -141,13 +141,15 @@ object Dedup {
   /** Exact character-3-gram Jaccard between two text columns. Uses the
     * gram strings themselves (not hashes) so the result is
     * collision-free. */
-  def ngramJaccard(a: Column, b: Column): Column = {
-    val ga = grams3(a)
-    val gb = grams3(b)
-    val inter = size(array_intersect(ga, gb)).cast("double")
-    val uni = (size(ga) + size(gb)).cast("double") - inter
-    when(uni > lit(0.0), inter / uni).otherwise(lit(0.0))
-  }
+  def ngramJaccard(a: Column, b: Column): Column =
+    // One codegen'd pass per pair (graft.functions.NgramJaccard): the
+    // composable grams3+array_intersect form re-evaluates the
+    // interpreted gram builder for every reference of each side (CSE
+    // does not cross CodegenFallback HOFs), which made the verify
+    // kernel ~20ms/pair. Byte-packed grams are exact string-set
+    // equality for single-byte normalized text — identical values.
+    graft.functions.NgramJaccard.ngramJaccard(
+      Text.normalizeAz(a), Text.normalizeAz(b), 3)
 
   /** Near-dup pipeline: LSH candidates verified with exact 3-gram
     * Jaccard >= threshold. The verify join re-reads only candidate doc
@@ -201,15 +203,28 @@ object Dedup {
     * contribute their low 16 bits so all 32 output bits carry signal.
     */
   def simHash32(textCol: Column): Column = {
+    // Single-pass formulation: per token compute the two hash-family
+    // values ONCE into a pair, fold the pairs into a 32-slot vote
+    // array, then map votes to bit values and sum. Each stage
+    // references the previous exactly once — the per-bit aggregate
+    // form re-evaluated the whole token-hash transform 32 times
+    // (interpreted HOFs get no common-subexpression elimination).
     val toks = array_distinct(Text.tokens(Text.normalizeAz(textCol)))
-    val h1 = transform(toks, t => Text.polyHashElem(t))
-    val h2 = transform(toks, t => Text.polyHashElem(t, 131L))
-    val bits = (0 until 32).map { b =>
-      val (hs, bb) = if (b < 16) (h1, b) else (h2, b - 16)
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, bb) % lit(2L)) * lit(2L) - lit(1L))
-      when(vote > lit(0L), lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val pairs = transform(toks,
+      t => array(Text.polyHashElem(t), Text.polyHashElem(t, 131L)))
+    val votes = aggregate(pairs, array_repeat(lit(0L), 32),
+      (acc, p) => transform(sequence(lit(0), lit(31)), b => {
+        val src = when(b < 16, element_at(p, 1)).otherwise(element_at(p, 2))
+        val bb = when(b < 16, b).otherwise(b - 16)
+        // dynamic-shift bit extract: src < P ~ 2^30, exact in double
+        val bit = (src.cast("double") /
+          pow(lit(2.0), bb.cast("double"))).cast("long") % lit(2L)
+        element_at(acc, b + 1) + bit * lit(2L) - lit(1L)
+      }))
+    val bitVals = zip_with(votes,
+      transform(sequence(lit(0), lit(31)), b => b),
+      (v, b) => when(v > lit(0L),
+        pow(lit(2.0), b.cast("double")).cast("long")).otherwise(lit(0L)))
+    aggregate(bitVals, lit(0L), (acc, x) => acc + x)
   }
 }

@@ -65,6 +65,23 @@ object IoQ {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // S8: ORC round-trip — the other big columnar format Spark ships
+    // natively (predicate pushdown + column pruning work the same as
+    // parquet). DuckDB can't read ORC, so the oracle reads the source
+    // parquet: exact value equality proves the round-trip lossless.
+    "s8_orc" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_orc_${dir.replaceAll("[^0-9.]", "")}").getAbsolutePath
+      val src = lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      src.write.mode("overwrite").orc(base)
+      s.read.orc(base)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("l_quantity"))).as("qty"),
+          max(col("l_orderkey")).as("max_key"))
+    }),
+
     // O4: union of per-"week" slices back into one table.
     "o4_union" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -129,6 +146,12 @@ object IoQ {
 
     "s7_partitioned" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+
+    "s8_orc" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty,
+        | max(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "o4_union" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty

@@ -70,19 +70,24 @@ object LlmQ {
     // and degenerate generations. Pure higher-order-function math, one
     // scan, no shuffle.
     "t_repetition" -> ((s, dir) => {
+      // zip_with over shifted slices, NOT element_at per index: an
+      // indexed lambda re-evaluates the whole token-builder expression
+      // per bigram (interpreted HOFs, no CSE) — O(len^2) per doc.
       val toks = Text.tokens(Text.normalizeAz(col("text")))
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws("_", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
+      val nb = greatest(size(toks) - 1, lit(0))
+      val bigrams = zip_with(slice(toks, lit(1), nb), slice(toks, lit(2), nb),
+        (a, b) => concat_ws("_", a, b))
+      // n_distinct (and with it bigrams) is inlined into dup_ratio by
+      // projection collapse — keep the expression referenced once and
+      // derive the ratio from the two counts.
       documents(s, dir)
-        .withColumn("bg", bigrams)
         .select(col("doc_id"),
-          size(col("bg")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
-          r6(when(size(col("bg")) > 0,
-            (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
-              size(col("bg")).cast("double")).otherwise(lit(0.0)))
+          nb.cast("long").as("n_bigrams"),
+          size(array_distinct(bigrams)).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          r6(when(col("n_bigrams") > 0,
+            (col("n_bigrams") - col("n_distinct")).cast("double") /
+              col("n_bigrams").cast("double")).otherwise(lit(0.0)))
             .as("dup_ratio"))
     }),
 

@@ -133,6 +133,19 @@ object TemporalQ {
           col("rnk").cast("long").as("rnk"))
     }),
 
+    // W13/net-new: relative-rank windows — percent_rank, cume_dist and
+    // ntile quartiles over the per-user value ordering (standard
+    // normalization features; same single exchange as every window op).
+    "w13_pctrank" -> ((s, dir) => {
+      val ww = Temporal.spec(Seq(col("user_id")),
+        Seq(col("value"), col("event_id")))
+      events(s, dir).select(
+        col("event_id"),
+        r6(percent_rank().over(ww)).as("pct_rank"),
+        r6(cume_dist().over(ww)).as("cume"),
+        ntile(4).over(ww).cast("long").as("quartile"))
+    }),
+
     "a1_grouptail" -> ((s, dir) => {
       Temporal.groupTail(
         events(s, dir).select("event_id", "user_id", "ts", "event_type", "value"),
@@ -324,6 +337,14 @@ object TemporalQ {
         | SELECT user_id, event_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
         | FROM events) WHERE rnk <= 3""".stripMargin,
+
+    "w13_pctrank" ->
+      """SELECT event_id,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume,
+        | ntile(4) OVER w AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
 
     "a1_grouptail" ->
       """SELECT user_id, event_id, event_type, value FROM (
