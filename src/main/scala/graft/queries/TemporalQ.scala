@@ -202,6 +202,38 @@ object TemporalQ {
         r6(col("mean_value")).as("mean_value"), col("n"))
     }),
 
+    // Stream-stream interval join with watermarks on BOTH sides — the
+    // event-time range condition is what lets the state store evict
+    // rows at scale (purchases older than the interval + watermark are
+    // dropped). Run to completion via AvailableNow; the oracle is the
+    // equivalent batch interval join on microsecond-exact times.
+    "w14_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream(tag: String) = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_id").as(s"${tag}_id"),
+          col("user_id").as(s"${tag}_user"),
+          col("event_type").as(s"${tag}_type"),
+          timestamp_micros(expr("ts div 1000")).as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", "10 seconds")
+      val clicks = stream("c").filter(col("c_type") === "click")
+      val purchases = stream("p").filter(col("p_type") === "purchase")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"))
+      val sink = "w14_stream_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select(col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"),
+        col("c_user").as("user_id"))
+    }),
+
     // J7/net-new: as-of join — each event picks up the latest
     // earlier-or-equal purchase by the same user (point-in-time
     // lookup). Times are RAW integer nanos on both sides: Spark's
@@ -376,6 +408,16 @@ object TemporalQ {
         | round(avg(value), 6) AS mean_value,
         | count(*) AS n
         |FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)""".stripMargin,
+
+    "w14_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS tus FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        | c.user_id
+        |FROM e c JOIN e p
+        | ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.tus BETWEEN c.tus - 3600000000 AND c.tus""".stripMargin,
 
     "j7_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,

@@ -67,6 +67,50 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("asofJoin equals the per-row scan definition") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 20L))),
+      Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 20L)))) {
+      (ls, rsRaw) =>
+        // right side unique per (key, t) — the operator's precondition
+        val rs = rsRaw.distinct.groupBy(identity).keys.toList
+          .zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) }
+        val lls = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        lls.isEmpty || rs.isEmpty || {
+          val got = Temporal.asofJoin(
+            lls.toDF("k", "t", "lid"), rs.toDF("k", "t", "rv"),
+            Seq("k"), "t", "t", Seq("rv"))
+            .select("lid", "rv").collect()
+            .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+            .toMap
+          lls.forall { case (k, t, lid) =>
+            val expect = rs.filter(r => r._1 == k && r._2 <= t)
+              .sortBy(_._2).lastOption.map(_._3)
+            got(lid) == expect
+          }
+        }
+    }
+
+  property("chunkPack: cum_before is the exact prefix sum; chunks contiguous") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.oneOf("s1", "s2"), Gen.chooseNum(0L, 400L)))) {
+      rows0 =>
+        val rows = rows0.zipWithIndex.map { case ((sh, tk), i) => (sh, i.toLong, tk) }
+        rows.isEmpty || {
+          val got = graft.operators.Sampling.chunkPack(
+            rows.toDF("shard", "id", "toks"), Seq(col("shard")), Seq(col("id")),
+            col("toks"), 256)
+            .select("shard", "id", "toks", "cum_before", "chunk_first",
+              "chunk_last", "offset_in_chunk")
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+          val byShard = rows.groupBy(_._1)
+          got.forall { case (sh, id, tk, cum, cf, cl, off) =>
+            val prefix = byShard(sh).filter(_._2 < id).map(_._3).sum
+            cum == prefix && cf == cum / 256 && off == cum % 256 &&
+              cl == (if (tk > 0) (cum + tk - 1) / 256 else cf) && cl >= cf
+          }
+        }
+    }
+
   property("emaScan output equals the sequential fold, any group sizes") =
     forAll(Gen.listOfN(3, Gen.chooseNum(1, 15)),
       Gen.chooseNum(0.05, 0.95)) { (sizes, alpha) =>
