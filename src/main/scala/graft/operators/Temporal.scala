@@ -77,9 +77,23 @@ object Temporal {
     * must be a deterministic total order within the group. Appends
     * `outCol` to the frame. For very large groups prefer this over
     * [[emaWindowed]].
+    *
+    * `ignoreNa` selects the pandas null semantics:
+    *  - true: a null carries the previous state unchanged
+    *    (`ewm(ignore_na=True)`).
+    *  - false (the pandas DEFAULT, used by the reference's
+    *    `ewm(alpha, adjust=False)`): a gap of g missing periods decays
+    *    the PREVIOUS mean's weight to (1−α)^(g+1) for the next blend,
+    *    and the weight resets after every valid observation (pandas
+    *    `old_wt = 1` when adjust=False):
+    *      y = ((1−α)^δ·y_prev + α·x) / ((1−α)^δ + α), δ = periods
+    *    since the last valid observation. Nulls emit y unchanged.
+    *    Identical to ignore_na=True on null-free input (δ=1 gives the
+    *    plain recursion).
     */
   def emaScan(df: DataFrame, keyCols: Seq[String], ordCols: Seq[String],
-              valueCol: String, alpha: Double, outCol: String): DataFrame = {
+              valueCol: String, alpha: Double, outCol: String,
+              ignoreNa: Boolean = true): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
@@ -94,19 +108,33 @@ object Temporal {
       .mapPartitions { it =>
         var curKey: Seq[Any] = null
         var ema: Double = Double.NaN
+        var delta: Long = 1L
         var has = false
         it.map { r =>
           val k = keyIdx.map(r.get)
-          if (k != curKey) { curKey = k; has = false }
-          val v = if (r.isNullAt(valIdx)) null
-                  else r.getDouble(valIdx)
+          if (k != curKey) { curKey = k; has = false; delta = 1L }
+          val isNull = r.isNullAt(valIdx)
           val out: Any =
-            if (v == null) { if (has) ema else null }
-            else {
-              ema = if (has) alpha * v.asInstanceOf[Double] + (1 - alpha) * ema
-                    else v.asInstanceOf[Double]
-              has = true
-              ema
+            if (ignoreNa) {
+              if (isNull) { if (has) ema else null }
+              else {
+                val v = r.getDouble(valIdx)
+                ema = if (has) alpha * v + (1 - alpha) * ema else v
+                has = true
+                ema
+              }
+            } else {
+              if (isNull) {
+                if (has) { delta += 1; ema } else null
+              } else {
+                val v = r.getDouble(valIdx)
+                if (has) {
+                  val w = math.pow(1 - alpha, delta.toDouble)
+                  ema = (w * ema + alpha * v) / (w + alpha)
+                } else { ema = v; has = true }
+                delta = 1L
+                ema
+              }
             }
           Row.fromSeq(r.toSeq :+ out)
         }

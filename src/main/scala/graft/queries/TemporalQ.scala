@@ -82,6 +82,21 @@ object TemporalQ {
           Seq(col("user_id")), Seq(col("ts"), col("event_id"))).as("ema"))
     }),
 
+    // W5 with the pandas DEFAULT null semantics (ignore_na=False, what
+    // the reference's ewm(alpha, adjust=False) actually does): nulls
+    // (masked error events) decay older weights by absolute position
+    // via the num/den recursion. alpha=0.5 keeps every product dyadic
+    // and n/d divides identical operands — raw doubles hash-match.
+    "w5_ema_nafalse" -> ((s, dir) => {
+      val masked = events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("mv"))
+      Temporal.emaScan(masked, Seq("user_id"), Seq("ts", "event_id"),
+        "mv", 0.5, "ema_nf", ignoreNa = false)
+        .select(col("event_id"), col("ema_nf"))
+    }),
+
     "w5_ema_75" -> ((s, dir) => {
       // Dyadic-alpha coverage beyond 0.5: 0.75 = 3/4 and 0.25 = 1/4
       // are exact in binary, so both recursions stay bitwise identical
@@ -337,6 +352,34 @@ object TemporalQ {
          | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |   (acc, x) -> 0.5 * x + 0.5 * acc) AS ema
          |FROM events""".stripMargin,
+
+    // NOTE: a struct-accumulator list_reduce formulation of this fold
+    // returned DIFFERENT values run-to-run in DuckDB 1.0 (lambda +
+    // window-list nondeterminism) — the recursive CTE below is plain
+    // scalar arithmetic, deterministic, and matches pandas
+    // ewm(0.5, adjust=False, ignore_na=False) exactly.
+    "w5_ema_nafalse" ->
+      s"""WITH RECURSIVE m AS (SELECT event_id, user_id, ts,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS mv
+         | FROM events),
+         |p AS (SELECT event_id, user_id, mv,
+         |  row_number() $over) AS pos,
+         |  count(mv) $over) AS nvalid
+         | FROM m),
+         |valid AS (SELECT user_id, mv, pos,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY pos) AS k,
+         |  pos - lag(pos) OVER (PARTITION BY user_id ORDER BY pos) AS delta
+         | FROM p WHERE mv IS NOT NULL),
+         |rec AS (
+         | SELECT user_id, k, CAST(mv AS DOUBLE) AS y FROM valid WHERE k = 1
+         | UNION ALL
+         | SELECT v.user_id, v.k,
+         |  (pow(0.5, v.delta) * rec.y + 0.5 * v.mv)
+         |    / (pow(0.5, v.delta) + 0.5)
+         | FROM rec JOIN valid v ON v.user_id = rec.user_id AND v.k = rec.k + 1)
+         |SELECT p.event_id, rec.y AS ema_nf
+         |FROM p LEFT JOIN rec
+         | ON rec.user_id = p.user_id AND rec.k = p.nvalid""".stripMargin,
 
     "w5_ema_75" ->
       s"""SELECT event_id,

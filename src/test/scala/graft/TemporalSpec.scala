@@ -57,6 +57,35 @@ class TemporalSpec extends SparkSpec {
     hand.zip(r).foreach { case (h, g) => assert(approx(h, g)) }
   }
 
+  test("W5 emaScan ignore_na=False matches pandas position-decay weights") {
+    // pandas: s = pd.Series([1.0, None, 5.0]); s.ewm(alpha=0.5,
+    // adjust=False).mean() -> [1.0, 1.0, 3.6666...]: weights of x0, x2
+    // at t=2 are (1-a)^2 and a, normalized.
+    val df = Seq(("a", 1, Some(1.0)), ("a", 2, None), ("a", 3, Some(5.0)),
+      ("a", 4, Some(9.0)),
+      ("b", 1, None), ("b", 2, Some(7.0))).toDF("k", "t", "v")
+    val r = Temporal.emaScan(df, Seq("k"), Seq("t"), "v", 0.5, "e",
+      ignoreNa = false)
+      .orderBy("k", "t").select("e").collect()
+    assert(approx(r(0).getDouble(0), 1.0))
+    assert(approx(r(1).getDouble(0), 1.0))     // gap: mean unchanged
+    val y3 = (0.25 * 1.0 + 0.5 * 5.0) / 0.75
+    assert(approx(r(2).getDouble(0), y3))
+    // weight RESETS after a valid obs (pandas old_wt = 1 for
+    // adjust=False): next step is the plain recursion, NOT an
+    // accumulated denominator.
+    assert(approx(r(3).getDouble(0), 0.5 * y3 + 0.5 * 9.0))
+    assert(r(4).isNullAt(0))                   // leading null
+    assert(approx(r(5).getDouble(0), 7.0))
+    // on null-free input both semantics agree
+    val clean = Seq(("a", 1, 2.0), ("a", 2, 4.0), ("a", 3, 8.0)).toDF("k", "t", "v")
+    val y1 = Temporal.emaScan(clean, Seq("k"), Seq("t"), "v", 0.3, "e")
+      .orderBy("t").select("e").as[Double].collect()
+    val y2 = Temporal.emaScan(clean, Seq("k"), Seq("t"), "v", 0.3, "e",
+      ignoreNa = false).orderBy("t").select("e").as[Double].collect()
+    y1.zip(y2).foreach { case (p, q) => assert(approx(p, q)) }
+  }
+
   test("W5 emaScan == emaWindowed on a randomized frame") {
     val rng = new scala.util.Random(42)
     val rows = for (k <- 0 until 7; t <- 0 until 40)
