@@ -217,6 +217,39 @@ object TemporalQ {
         r6(col("mean_value")).as("mean_value"), col("n"))
     }),
 
+    // Streaming dedup-within-watermark: the same events file streamed
+    // TWICE and unioned (every row a duplicate), deduped on event_id
+    // with a watermark bounding the dedup state. Output = the distinct
+    // events — the oracle is a plain scan.
+    "w15_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+      val deduped = src.union(src)
+        .withWatermark("ets", "10 seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+      val sink = "w15_stream_dedup_sink"
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select("event_id", "user_id", "value")
+    }),
+
+    // Sliding event-time windows (1 hour window, 30 minute slide):
+    // every event lands in exactly two epoch-aligned windows.
+    "w16_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("mean_value"))
+        .select(unix_micros(col("window.start")).as("win_start"),
+          col("n"), col("mean_value"))
+    }),
+
     // Stream-stream interval join with watermarks on BOTH sides — the
     // event-time range condition is what lets the state store evict
     // rows at scale (purchases older than the interval + watermark are
@@ -451,6 +484,19 @@ object TemporalQ {
         | round(avg(value), 6) AS mean_value,
         | count(*) AS n
         |FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)""".stripMargin,
+
+    "w15_stream_dedup" ->
+      "SELECT event_id, user_id, value FROM events",
+
+    "w16_sliding" ->
+      """WITH c AS (SELECT value, ts,
+        | unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |         time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+        | FROM events)
+        |SELECT epoch_us(ws) AS win_start, count(*) AS n,
+        | round(avg(value), 6) AS mean_value
+        |FROM c WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+        |GROUP BY ws""".stripMargin,
 
     "w14_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
