@@ -86,6 +86,27 @@ object PipelineQ {
         "pred_x", "pred_y")
     }),
 
+    // M5 with a REAL oracle: the MLlib ridge fit itself (elasticNet=0,
+    // regParam=1, standardization=true) on pure column-derived
+    // candidates, hash-checked against the closed-form normal
+    // equations. Empirically (machine-precision match): MLlib solves
+    //   (Cov + lambda*diag(var_j)/sigma_y) beta = cov(x, y),
+    //   intercept = mean_y - mean_x . beta
+    // with POPULATION moments. The GBT-fed m5_ridge stays rows-only;
+    // this pins the solver's exact semantics.
+    "m5_ridge_closed" -> ((s, dir) => {
+      val base = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").as("c0"),
+        ((col("l_partkey") % 97).cast("double") / 10).as("c1"),
+        (lit(5.0) + col("l_quantity") * 0.8 -
+          (col("l_partkey") % 97).cast("double") * 0.03 +
+          sin(col("l_orderkey").cast("double") / 7)).as("yt"))
+      val m = graft.ml.Stacking.train(base, Seq("c0", "c1"), "yt")
+      graft.ml.Stacking.predict(base, m, "pred")
+        .select(col("l_orderkey"), col("l_linenumber"), r6(col("pred")).as("pred"))
+    }),
+
     // S5: model artifact round-trip — save, load, predict with the
     // restored model.
     "s5_artifacts" -> ((s, dir) => {
@@ -149,6 +170,34 @@ object PipelineQ {
     * its fold mirror m8_seqbuild's list_reduce form (same fold order
     * guarantees bitwise-identical sums). */
   val oracle: Map[String, String] = Map(
+    "m5_ridge_closed" ->
+      """WITH base AS (SELECT l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity AS c0,
+        |  CAST(l_partkey % 97 AS DOUBLE) / 10 AS c1,
+        |  5.0 + l_quantity * 0.8 - CAST(l_partkey % 97 AS DOUBLE) * 0.03
+        |    + sin(CAST(l_orderkey AS DOUBLE) / 7) AS yt
+        | FROM lineitem),
+        |mom AS (SELECT
+        |  avg(c0) AS m0, avg(c1) AS m1, avg(yt) AS my,
+        |  avg(c0*c0) - avg(c0)*avg(c0) AS v0,
+        |  avg(c1*c1) - avg(c1)*avg(c1) AS v1,
+        |  avg(c0*c1) - avg(c0)*avg(c1) AS v01,
+        |  avg(c0*yt) - avg(c0)*avg(yt) AS cy0,
+        |  avg(c1*yt) - avg(c1)*avg(yt) AS cy1,
+        |  sqrt(avg(yt*yt) - avg(yt)*avg(yt)) AS sy
+        | FROM base),
+        |beta AS (SELECT m0, m1, my,
+        |  -- (Cov + diag(var)/sy) beta = cy, solved by Cramer's rule
+        |  ((cy0 * (v1 + v1/sy) - cy1 * v01)
+        |    / ((v0 + v0/sy) * (v1 + v1/sy) - v01 * v01)) AS b0,
+        |  ((cy1 * (v0 + v0/sy) - cy0 * v01)
+        |    / ((v0 + v0/sy) * (v1 + v1/sy) - v01 * v01)) AS b1
+        | FROM mom)
+        |SELECT l_orderkey, l_linenumber,
+        | round((my - m0*b0 - m1*b1) + b0*c0 + b1*c1, 6) AS pred
+        |FROM base, beta""".stripMargin,
+
     "e2_seqfeatures" ->
       s"""WITH ${TrackingQ.FramesSql},
          |f AS (SELECT game_id, play_id, nfl_id, frame_id,
