@@ -71,6 +71,36 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** KNN join, IVF-blocked: every vector's top-k nearest neighbors
+    * WITHIN its cluster (the batch-retrieval counterpart of ivfTopK's
+    * single query). One cluster-local self-join + rank — sum over
+    * clusters of O(n_c^2) work and no global shuffle beyond the
+    * centroid key, the shape that survives 100 TB. Recall is bounded
+    * by assignment quality exactly as for [[embeddingNearDup]]. */
+  def knnJoin(df: DataFrame, idCol: String, embCol: String,
+              centroids: DataFrame, cIdCol: String, cEmbCol: String,
+              k: Int): DataFrame = {
+    val assigned = ivfAssign(df, idCol, embCol, centroids, cIdCol, cEmbCol)
+      .select(col("centroid_id"), col(idCol), col(embCol))
+    val a = assigned.select(col("centroid_id"), col(idCol).as("vec_id"),
+      col(embCol).as("__ea"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("nb_id"),
+      col(embCol).as("__eb"))
+    // Rank on the 6-dp ROUNDED cosine (nb_id tiebreak): raw cosines
+    // agree across engines only to a few ulp, which would flip ranks
+    // of near-equal neighbors; rounded values order identically.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb_id"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("cos", round(Vectors.cosine(col("__ea"), col("__eb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nb_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** IVF search: assign once, then search only rows in the query's
     * cluster(s). At scale the assignment is precomputed and the table
     * is written partitioned by centroid_id → partition pruning makes

@@ -249,6 +249,15 @@ object LlmQ {
         .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cos"))
     }),
 
+    // Batch KNN join: every vector's top-3 neighbors within its IVF
+    // cluster — the retrieval counterpart of the single-query s_ivf.
+    "s_knn_join" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      Similarity.knnJoin(e, "vec_id", "embedding", cents, "cid", "cemb", 3)
+    }),
+
     "t_bpe_tokens" -> ((s, dir) => {
       // BPE-ish token counting: word / number / single-punct pieces.
       val pieces = regexp_extract_all(lower(col("text")),
@@ -344,6 +353,23 @@ object LlmQ {
        | ELSE 0.0 END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s_knn_join" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT vec_id, nb_id, cos, rnk FROM (
+         | SELECT a.vec_id, b.vec_id AS nb_id,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos,
+         |  row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round(${cosSql("a.embedding", "b.embedding")}, 6) DESC,
+         |             b.vec_id) AS rnk
+         | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+         |WHERE rnk <= 3""".stripMargin,
+
     "d_embdup" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
          |  FROM embeddings WHERE vec_id < 8),
