@@ -148,8 +148,11 @@ object Dedup {
     // does not cross CodegenFallback HOFs), which made the verify
     // kernel ~20ms/pair. Byte-packed grams are exact string-set
     // equality for single-byte normalized text — identical values.
+    // coalesce: NULL text means "no grams" (jaccard 0.0, as the
+    // pre-codegen form and the oracle compute), not a NULL result.
     graft.functions.NgramJaccard.ngramJaccard(
-      Text.normalizeAz(a), Text.normalizeAz(b), 3)
+      coalesce(Text.normalizeAz(a), lit("")),
+      coalesce(Text.normalizeAz(b), lit("")), 3)
 
   /** Near-dup pipeline: LSH candidates verified with exact 3-gram
     * Jaccard >= threshold. The verify join re-reads only candidate doc

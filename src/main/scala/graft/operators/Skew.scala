@@ -29,17 +29,21 @@ object Skew {
     require(Set("inner", "left", "leftouter")(
       joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got $joinType")
-    // Per-row round-robin salt from monotonically_increasing_id
-    // (= partition_id << 33 + per-partition counter): spreads even
-    // byte-identical duplicate rows of a hot key, which a hash of the
-    // row's columns would send to one bucket — the degenerate-skew
-    // case salting exists for. The join OUTPUT is salt-invariant by
-    // construction (every salt value matches the same replicated
-    // small-side rows), and Spark marks the stage INDETERMINATE so a
-    // map-stage retry reruns all reducers rather than mixing old and
-    // new salt assignments.
+    // Salt = hash(row columns, partition id): DETERMINISTIC under task
+    // retry — a recomputed map partition has the same contents and the
+    // same partition id, so rows reproduce their salts and reducers
+    // that already fetched output stay consistent (a row-position
+    // counter like monotonically_increasing_id would not guarantee
+    // that: expression nondeterminism does not mark the stage
+    // indeterminate, so a partial map retry could re-salt rows onto
+    // different reducers and duplicate or drop them). The partition-id
+    // component spreads byte-identical duplicates of a hot key that
+    // live in different input partitions — the common 100 TB case;
+    // duplicates within ONE input partition (bounded by split size)
+    // still share a salt.
     val salted = large.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+      pmod(hash(large.columns.map(col) :+ spark_partition_id(): _*),
+        lit(factor)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

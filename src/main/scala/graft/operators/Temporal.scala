@@ -165,10 +165,13 @@ object Temporal {
     * Implementation is the union+window scan, not a per-row probe: tag
     * both sides, sort each key group by (time, tag) — right rows sort
     * BEFORE left rows at equal times, making the match inclusive — and
-    * carry right values forward with last_value(ignoreNulls). ONE
-    * shuffle on the key columns, linear scan per group, no join blow-up:
-    * at 100 TB this is the same cost as any windowed op, while a naive
-    * theta-join (l.t >= r.t) would be quadratic per key.
+    * carry the matched right row forward as ONE STRUCT with
+    * last_value(ignoreNulls): the struct is non-null for every right
+    * row (even when its fields are null), so a null field survives the
+    * carry and all rightCols always come from the SAME right row. ONE
+    * shuffle on the key columns, linear scan per group, no join
+    * blow-up: at 100 TB this is the same cost as any windowed op,
+    * while a naive theta-join (l.t >= r.t) would be quadratic per key.
     *
     * `rightCols` must not collide with left column names. Right rows
     * must be unique per (keys, rightTime) — pre-aggregate otherwise
@@ -181,16 +184,16 @@ object Temporal {
     val lTagged = left
       .withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
     val rTagged = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag")) ++
-        rightCols.map(col): _*)
+      keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 1)
-      .select((keys ++ leftCols ++ rightCols).map(col): _*)
+    unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(keys.map(col) ++ leftCols.map(col) ++
+        rightCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

@@ -197,24 +197,16 @@ object TemporalQ {
     // holds every finalized window). Hour buckets are epoch-aligned in
     // both engines.
     "w12_stream_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = eventsStream(s, dir)
         .select(col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
-      val agg = graft.streaming.StreamingTemporal.windowedMean(
-        stream, "ts", "value", "user_id", "1 hour")
-      val sink = "w12_stream_window_sink"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).select(col("user_id"),
-        unix_micros(col("window.start")).as("win_start"),
-        r6(col("mean_value")).as("mean_value"), col("n"))
+      runStream(s, "w12_stream_window_sink",
+        graft.streaming.StreamingTemporal.windowedMean(
+          stream, "ts", "value", "user_id", "1 hour"),
+        mode = "complete")
+        .select(col("user_id"),
+          unix_micros(col("window.start")).as("win_start"),
+          r6(col("mean_value")).as("mean_value"), col("n"))
     }),
 
     // Streaming dedup-within-watermark: the same events file streamed
@@ -222,22 +214,14 @@ object TemporalQ {
     // with a watermark bounding the dedup state. Output = the distinct
     // events — the oracle is a plain scan.
     "w15_stream_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      def src = eventsStream(s, dir)
         .select(col("event_id"), col("user_id"), col("value"),
           timestamp_micros(expr("ts div 1000")).as("ets"))
-      val deduped = src.union(src)
-        .withWatermark("ets", "10 seconds")
-        .dropDuplicatesWithinWatermark("event_id")
-      val sink = "w15_stream_dedup_sink"
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).select("event_id", "user_id", "value")
+      runStream(s, "w15_stream_dedup_sink",
+        src.union(src)
+          .withWatermark("ets", "10 seconds")
+          .dropDuplicatesWithinWatermark("event_id"))
+        .select("event_id", "user_id", "value")
     }),
 
     // Sliding event-time windows (1 hour window, 30 minute slide):
@@ -256,10 +240,7 @@ object TemporalQ {
     // dropped). Run to completion via AvailableNow; the oracle is the
     // equivalent batch interval join on microsecond-exact times.
     "w14_stream_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      def stream(tag: String) = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      def stream(tag: String) = eventsStream(s, dir)
         .select(col("event_id").as(s"${tag}_id"),
           col("user_id").as(s"${tag}_user"),
           col("event_type").as(s"${tag}_type"),
@@ -267,19 +248,14 @@ object TemporalQ {
         .withWatermark(s"${tag}_ts", "10 seconds")
       val clicks = stream("c").filter(col("c_type") === "click")
       val purchases = stream("p").filter(col("p_type") === "purchase")
-      val joined = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-          col("p_ts") <= col("c_ts"))
-      val sink = "w14_stream_join_sink"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).select(col("c_id").as("click_id"),
-        col("p_id").as("purchase_id"),
-        col("c_user").as("user_id"))
+      runStream(s, "w14_stream_join_sink",
+        clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+            col("p_ts") <= col("c_ts")))
+        .select(col("c_id").as("click_id"),
+          col("p_id").as("purchase_id"),
+          col("c_user").as("user_id"))
     }),
 
     // J7/net-new: as-of join — each event picks up the latest
@@ -324,14 +300,22 @@ object TemporalQ {
     * converted one; nanos ordering == micros ordering and Obs.ts is
     * only an ordering key. The source also wants a directory, so we
     * stream the sf dir with a glob filter selecting the events file. */
-  private def obsStream(s: org.apache.spark.sql.SparkSession,
-                        dir: String): org.apache.spark.sql.Dataset[graft.streaming.Obs] = {
-    import s.implicits._
+  /** The events file as a raw streaming DataFrame (ts = TIMESTAMP
+    * (NANOS) read as LongType — the on-disk schema a FileStreamSource
+    * needs; the source also wants a directory, hence the glob). */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+  }
+
+  private def obsStream(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.Dataset[graft.streaming.Obs] = {
+    import s.implicits._
+    eventsStream(s, dir)
       .select(col("user_id").cast("string").as("key"),
         col("ts").cast("long").as("ts"),
         col("event_id").cast("long").as("id"), col("value"))
@@ -342,9 +326,10 @@ object TemporalQ {
     * memory sink and return the sink table. */
   private def runStream[T](s: org.apache.spark.sql.SparkSession,
                            sink: String,
-                           ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.DataFrame = {
+                           ds: org.apache.spark.sql.Dataset[T],
+                           mode: String = "append"): org.apache.spark.sql.DataFrame = {
     val q = ds.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -207,6 +207,16 @@ class TemporalSpec extends SparkSpec {
     assert(r(3).isNullAt(1))                    // key b: right is later
   }
 
+  test("asofJoin: null right fields survive; no cross-row stitching") {
+    val left = Seq(("u", 3L, 1L)).toDF("k", "t", "lid")
+    val right = Seq(("u", 1L, Some(5.0), Some(1.0)),
+      ("u", 2L, None, Some(7.0))).toDF("k", "t", "a", "b")
+    val r = Temporal.asofJoin(left, right, Seq("k"), "t", "t", Seq("a", "b"))
+      .select("a", "b").collect()(0)
+    // match is the t=2 row: a must be null (not t=1's 5.0), b = 7.0
+    assert(r.isNullAt(0) && r.getDouble(1) == 7.0)
+  }
+
   test("asofJoin plan: one exchange, no join node") {
     val left = (1 to 100).map(i => ("k" + i % 3, i.toLong, i)).toDF("k", "t", "lid")
     val right = (1 to 50).map(i => ("k" + i % 3, i * 2L, i * 1.5)).toDF("k", "t", "rv")
