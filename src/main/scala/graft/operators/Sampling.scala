@@ -75,4 +75,42 @@ object Sampling {
           .otherwise(col("chunk_first")))
       .withColumn("offset_in_chunk", pmod(col("cum_before"), c))
   }
+
+  /** Chunk ASSEMBLY on top of [[chunkPack]]'s layout: explode each doc
+    * into the chunks it spans, slice its token array to the piece that
+    * falls inside each chunk, and group by (shard, chunk) — the
+    * emitted row is one training chunk: contributing doc count, token
+    * count, and the ordered token stream (pieces sorted by the docs'
+    * global offset, so the stream is exactly the concat-then-cut
+    * layout). Shuffle cost: one window (layout) + one groupBy on
+    * (shard, chunk) — both on bounded keys.
+    */
+  def chunkAssemble(df: DataFrame, shard: Seq[Column], order: Seq[Column],
+                    toksCol: Column, chunkTokens: Int): DataFrame = {
+    val c = lit(chunkTokens.toLong)
+    val laid = chunkPack(df, shard, order, size(toksCol).cast("long"),
+      chunkTokens)
+      .withColumn("__toks", toksCol)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("chunk_id",
+        explode(sequence(col("chunk_first"), col("chunk_last"))))
+    // doc's global token span is [cum_before, cum_before + n); the
+    // piece inside chunk k covers global [max(cum_before, k*c),
+    // min(cum_before + n, (k+1)*c)) — slice is 1-based doc-local.
+    val pieceFrom = greatest(col("chunk_id") * c - col("cum_before"), lit(0L))
+    val pieceLen =
+      least(col("cum_before") + size(col("__toks")), (col("chunk_id") + 1) * c) -
+        greatest(col("cum_before"), col("chunk_id") * c)
+    val pieces = laid
+      .withColumn("piece", slice(col("__toks"), (pieceFrom + 1).cast("int"),
+        pieceLen.cast("int")))
+    pieces
+      .groupBy(shard :+ col("chunk_id"): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("piece"))).cast("long").as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("cum_before"), col("piece")))),
+          e => e.getField("piece"))).as("chunk_tokens"))
+  }
 }

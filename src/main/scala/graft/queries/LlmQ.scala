@@ -110,6 +110,19 @@ object LlmQ {
         length(redacted).cast("long").as("redacted_len"))
     }),
 
+    // Chunk ASSEMBLY (the emit step on top of t_pack's layout): each
+    // output row is one 256-token training chunk with its assembled
+    // token stream, digested to a portable fingerprint for the hash
+    // gate.
+    "t_pack_emit" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("toks",
+        Text.tokens(Text.normalizeAz(col("text"))))
+      Sampling.chunkAssemble(d, Seq(col("lang")), Seq(col("doc_id")),
+          col("toks"), chunkTokens = 256)
+        .select(col("lang"), col("chunk_id"), col("n_docs"), col("n_tokens"),
+          Text.polyHash(concat_ws(" ", col("chunk_tokens"))).as("content_fp"))
+    }),
+
     // Deterministic train/val/test split keyed on the CONTENT
     // fingerprint (not doc_id): the assignment survives re-sharding,
     // re-ordering and id reassignment — the property an LLM data
@@ -429,6 +442,32 @@ object LlmQ {
     "t_fingerprint" ->
       s"""SELECT doc_id, ${foldSql("t")} AS fingerprint
          |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,
+
+    "t_pack_emit" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  list_filter(string_split($NormSql, ' '), w -> length(w) > 0) AS toks
+         | FROM documents),
+         |lay AS (SELECT doc_id, lang, toks, len(toks)::BIGINT AS n,
+         |  coalesce(CAST(sum(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+         | FROM tok),
+         |x AS (SELECT lang, cum_before, toks, n,
+         |  unnest(range(cum_before // 256, (cum_before + n - 1) // 256 + 1)) AS chunk_id
+         | FROM lay WHERE n > 0),
+         |p AS (SELECT lang, chunk_id, cum_before,
+         |  toks[(greatest(chunk_id * 256 - cum_before, 0) + 1):
+         |       (greatest(chunk_id * 256 - cum_before, 0) +
+         |        least(cum_before + n, (chunk_id + 1) * 256) -
+         |        greatest(cum_before, chunk_id * 256))] AS piece
+         | FROM x),
+         |g AS (SELECT lang, chunk_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+         |  array_to_string(flatten(list(piece ORDER BY cum_before)), ' ') AS t
+         | FROM p GROUP BY lang, chunk_id)
+         |SELECT lang, chunk_id, n_docs, n_tokens,
+         | ${foldSql("t")} AS content_fp
+         |FROM g""".stripMargin,
 
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks

@@ -47,6 +47,30 @@ class SamplingSpec extends SparkSpec {
     assert(!band.contains((4L, 15L))) // 6.0 > radius
   }
 
+  test("chunkAssemble: chunks partition the token stream at exactly C") {
+    val docs = Seq(
+      ("s1", 1L, (1 to 100).map(i => s"a$i")),
+      ("s1", 2L, (1 to 500).map(i => s"b$i")),
+      ("s1", 3L, Seq.empty[String]),
+      ("s1", 4L, (1 to 37).map(i => s"c$i")),
+      ("s2", 5L, (1 to 10).map(i => s"d$i"))).toDF("shard", "id", "toks")
+    val chunks = graft.operators.Sampling.chunkAssemble(docs,
+      Seq(col("shard")), Seq(col("id")), col("toks"), 256)
+      .orderBy("shard", "chunk_id")
+      .select("shard", "chunk_id", "n_tokens", "chunk_tokens")
+      .as[(String, Long, Long, Seq[String])].collect()
+    // s1: 637 tokens -> chunks of 256, 256, 125; s2: one chunk of 10
+    assert(chunks.map(c => (c._1, c._2, c._3)).toList ==
+      List(("s1", 0L, 256L), ("s1", 1L, 256L), ("s1", 2L, 125L),
+        ("s2", 0L, 10L)))
+    // stream order preserved across doc boundaries and chunk cuts
+    val s1Stream = chunks.filter(_._1 == "s1").flatMap(_._4).toSeq
+    val expected = (1 to 100).map(i => s"a$i") ++
+      (1 to 500).map(i => s"b$i") ++ (1 to 37).map(i => s"c$i")
+    assert(s1Stream == expected)
+    chunks.foreach(c => assert(c._4.length == c._3))
+  }
+
   test("chunkPack: contiguous exact-integer layout per shard") {
     val df = Seq(
       ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 0L), ("a", 4L, 300L),
