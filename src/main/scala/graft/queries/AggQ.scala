@@ -162,6 +162,57 @@ object AggQ {
         .withColumnRenamed("3", "v3")
     }),
 
+    // J9/net-new: null-safe equality join (<=>) — NULL keys match each
+    // other instead of dropping, the semantics imputation pipelines
+    // need when the "unknown" bucket is a real group.
+    "j9_nullsafe" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type")).as("mkey"))
+      val counts = e.groupBy("mkey").agg(count(lit(1)).as("type_n"))
+        .withColumnRenamed("mkey", "ckey")
+      e.join(counts, col("mkey") <=> col("ckey"))
+        .select(col("event_id"), col("mkey"), col("type_n"))
+    }),
+
+    // J10/net-new: left-semi and left-anti joins (existence filters
+    // that never duplicate or widen rows), tagged and unioned.
+    "j10_semi_anti" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+      val fOrders = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val semi = li.join(fOrders, col("l_orderkey") === col("o_orderkey"),
+        "left_semi").withColumn("tag", lit("semi"))
+      val anti = li.join(fOrders, col("l_orderkey") === col("o_orderkey"),
+        "left_anti").withColumn("tag", lit("anti"))
+      semi.unionByName(anti)
+    }),
+
+    // O7/net-new: unpivot (wide metric columns -> long rows), the
+    // inverse of the O3 pivot.
+    "o7_unpivot" -> ((s, dir) => {
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").as("qty"), (col("l_discount") * 100).as("disc_pct"),
+          col("l_tax").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("disc_pct"), col("tax")),
+          "metric", "value")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          r6(col("value")).as("value"))
+    }),
+
+    // O8/net-new: INTERSECT / EXCEPT set operations, tagged and
+    // unioned (distinct-set semantics on both engines).
+    "o8_setops" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val big = li.filter(col("l_quantity") > 45).select("l_orderkey").distinct()
+      val disc = li.filter(col("l_discount") > 0.08).select("l_orderkey").distinct()
+      big.intersect(disc).withColumn("tag", lit("both"))
+        .unionByName(big.except(disc).withColumn("tag", lit("big_only")))
+    }),
+
     // J8/net-new: range (band) join — same-user event pairs whose
     // values differ by <= 10 cents, via bucket blocking
     // (`operators/Spatial.bandJoin`). Values become exact integer cents
@@ -325,6 +376,42 @@ object AggQ {
         | max(CASE WHEN rnk = 2 THEN value END) AS v2,
         | max(CASE WHEN rnk = 3 THEN value END) AS v3
         |FROM r WHERE rnk <= 3 GROUP BY user_id""".stripMargin,
+
+    "j9_nullsafe" ->
+      """WITH e AS (SELECT event_id,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS mkey
+        | FROM events),
+        |c AS (SELECT mkey, count(*) AS type_n FROM e GROUP BY mkey)
+        |SELECT e.event_id, e.mkey, c.type_n
+        |FROM e JOIN c ON e.mkey IS NOT DISTINCT FROM c.mkey""".stripMargin,
+
+    "j10_semi_anti" ->
+      """WITH li AS (SELECT l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem),
+        |f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT l_orderkey, l_linenumber, 'semi' AS tag FROM li
+        | WHERE EXISTS (SELECT 1 FROM f WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'anti' AS tag FROM li
+        | WHERE NOT EXISTS (SELECT 1 FROM f WHERE o_orderkey = l_orderkey)""".stripMargin,
+
+    "o7_unpivot" ->
+      """WITH b AS (SELECT l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity AS qty, l_discount * 100 AS disc_pct, l_tax AS tax
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, 'qty' AS metric, round(qty, 6) AS value FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc_pct', round(disc_pct, 6) FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', round(tax, 6) FROM b""".stripMargin,
+
+    "o8_setops" ->
+      """WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45),
+        |disc AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount > 0.08)
+        |SELECT l_orderkey, 'both' AS tag FROM (SELECT * FROM big INTERSECT SELECT * FROM disc)
+        |UNION ALL
+        |SELECT l_orderkey, 'big_only' AS tag FROM (SELECT * FROM big EXCEPT SELECT * FROM disc)""".stripMargin,
 
     "j8_range" ->
       """WITH e AS (SELECT user_id, event_id,
