@@ -67,6 +67,25 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("bandJoin equals the theta-join on random keyed values") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(-50.0, 50.0))),
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(-50.0, 50.0))),
+      Gen.chooseNum(0.5, 20.0)) { (ls, rs, radius) =>
+      val lls = ls.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+      val rrs = rs.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+      lls.isEmpty || rrs.isEmpty || {
+        val l = lls.toDF("k", "lid", "lv")
+        val r = rrs.toDF("k", "rid", "rv")
+        val band = graft.operators.Spatial
+          .bandJoin(l, r, Seq("k"), "lv", "rv", radius)
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        val theta = l.join(r, Seq("k"))
+          .filter(abs(col("lv") - col("rv")) <= radius)
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        band == theta
+      }
+    }
+
   property("asofJoin equals the per-row scan definition") =
     forAll(Gen.listOfN(12, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 20L))),
       Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 20L)))) {
