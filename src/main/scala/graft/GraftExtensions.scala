@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, EwmAvg, NgramPolyHash}
+import graft.functions.{DotProduct, EwmAvg, NgramJaccard, NgramPolyHash}
 
 /** Spark extension entry point: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramPolyHash(
           children(0), litInt(children(1), "n"),
           if (children.length > 2) litInt(children(2), "mult").toLong else 31L)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("ngram_jaccard"),
+      new ExpressionInfo(classOf[NgramJaccard].getName, "ngram_jaccard"),
+      (children: Seq[Expression]) => {
+        arity("ngram_jaccard", children, 2, 3)
+        NgramJaccard(children(0), children(1),
+          if (children.length > 2) litInt(children(2), "n") else 3)
       }))
 
     ext.injectFunction((

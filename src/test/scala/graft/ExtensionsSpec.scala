@@ -17,6 +17,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) == Seq(h))
   }
 
+  test("ngram_jaccard available in SQL") {
+    val r = spark.sql(
+      "SELECT ngram_jaccard('abcd', 'abcd') AS same, " +
+        "ngram_jaccard('abcd', 'wxyz') AS disj, " +
+        "ngram_jaccard('abcde', 'bcdef', 4) AS n4").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+    assert(approx(r.getDouble(2), 1.0 / 3.0)) // {abcd,bcde} vs {bcde,cdef}
+  }
+
   test("ewm_avg usable as a SQL window function") {
     spark.sql("""SELECT * FROM VALUES ('a', 1, 10.0), ('a', 2, 20.0), ('a', 3, 30.0)
       AS t(k, ts, v)""").createOrReplaceTempView("ewm_in")
