@@ -162,6 +162,22 @@ object AggQ {
         .withColumnRenamed("3", "v3")
     }),
 
+    // J11: snowflake dimension chain supplier -> nation -> region, both
+    // dims broadcast — the chained small-dim lookup every star-schema
+    // pipeline does; also the only consumers of the region/supplier
+    // tables, completing driver-table coverage.
+    "j11_snowflake" -> ((s, dir) => {
+      supplier(s, dir)
+        .join(broadcast(nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          r2(sum(col("s_acctbal"))).as("acctbal_sum"),
+          countDistinct(col("n_name")).as("n_nations"))
+    }),
+
     // J9/net-new: null-safe equality join (<=>) — NULL keys match each
     // other instead of dropping, the semantics imputation pipelines
     // need when the "unknown" bucket is a real group.
@@ -376,6 +392,15 @@ object AggQ {
         | max(CASE WHEN rnk = 2 THEN value END) AS v2,
         | max(CASE WHEN rnk = 3 THEN value END) AS v3
         |FROM r WHERE rnk <= 3 GROUP BY user_id""".stripMargin,
+
+    "j11_snowflake" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        | round(sum(s_acctbal), 2) AS acctbal_sum,
+        | count(DISTINCT n_name) AS n_nations
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     "j9_nullsafe" ->
       """WITH e AS (SELECT event_id,

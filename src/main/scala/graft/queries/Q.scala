@@ -27,6 +27,8 @@ object Q {
   def customer(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "customer")
   def part(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "region")
+  def supplier(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "supplier")
   def documents(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
   def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
