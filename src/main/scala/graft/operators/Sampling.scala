@@ -22,10 +22,15 @@ object Sampling {
     */
   def hashSplit(key: Column, buckets: Int = 100,
                 trainPct: Int = 80, valPct: Int = 10): (Column, Column) = {
-    require(trainPct + valPct <= buckets)
+    require(trainPct + valPct <= 100, "trainPct/valPct are PERCENTAGES")
+    // thresholds scale with the bucket count so the percentages hold
+    // for any `buckets` (finer bucket counts give finer granularity,
+    // not silently different fractions)
+    val trainUpTo = buckets.toLong * trainPct / 100
+    val valUpTo = buckets.toLong * (trainPct + valPct) / 100
     val bucket = pmod(key, lit(buckets.toLong))
-    val split = when(bucket < trainPct, "train")
-      .when(bucket < trainPct + valPct, "val")
+    val split = when(bucket < trainUpTo, "train")
+      .when(bucket < valUpTo, "val")
       .otherwise("test")
     (bucket, split)
   }

@@ -58,8 +58,10 @@ object Similarity {
   def embeddingNearDup(df: DataFrame, idCol: String, embCol: String,
                        centroids: DataFrame, cIdCol: String, cEmbCol: String,
                        threshold: Double): DataFrame = {
+    // cached for the same both-sides-of-the-self-join reason as knnJoin
     val assigned = ivfAssign(df, idCol, embCol, centroids, cIdCol, cEmbCol)
       .select(col("centroid_id"), col(idCol), col(embCol))
+      .cache()
     val a = assigned.select(col("centroid_id"), col(idCol).as("vec_a"),
       col(embCol).as("__ea"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("vec_b"),
@@ -80,8 +82,13 @@ object Similarity {
   def knnJoin(df: DataFrame, idCol: String, embCol: String,
               centroids: DataFrame, cIdCol: String, cEmbCol: String,
               k: Int): DataFrame = {
+    // cached: both sides of the self-join read the assignment — without
+    // it the centroid crossJoin + rank (the dominant pass) runs twice.
+    // One-shot sessions release it with the session; long-lived callers
+    // own cleanup (same contract as Dedup.nearDuplicates).
     val assigned = ivfAssign(df, idCol, embCol, centroids, cIdCol, cEmbCol)
       .select(col("centroid_id"), col(idCol), col(embCol))
+      .cache()
     val a = assigned.select(col("centroid_id"), col(idCol).as("vec_id"),
       col(embCol).as("__ea"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("nb_id"),

@@ -183,9 +183,16 @@ object Temporal {
     val leftCols = left.columns.filterNot(keys.contains).toSeq
     val lTagged = left
       .withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
-    val rTagged = right.select(
-      keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
-        struct(rightCols.map(col): _*).as("__r"): _*)
+    // NULL join keys never match (standard equi-join semantics; the
+    // window's partitionBy would otherwise group null keys together):
+    // drop null-key right rows — null-key left rows then sit in a
+    // window group with no right rows and get null fields, as a join
+    // would produce.
+    val rTagged = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
+          struct(rightCols.map(col): _*).as("__r"): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))

@@ -18,14 +18,20 @@ object IoQ {
     StructField("p_size", IntegerType),
     StructField("p_retailprice", DoubleType)))
 
+  /** Per-invocation unique scratch dir: derived-from-sfDir names
+    * collide when two processes (bench + tests, parallel CI) run the
+    * same query concurrently — one overwrite deletes part-files the
+    * other is reading. */
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   val queries: Map[String, QueryFn] = Map(
     // S1/S2/S3/S4: write two CSV part-files (submission sink mechanics),
     // read them back through the explicit-schema multi-path scan, and
     // aggregate — values must round-trip exactly.
     "s1_csv_roundtrip" -> ((s, dir) => {
       val p = part(s, dir).select("p_partkey", "p_brand", "p_size", "p_retailprice")
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_csv_${dir.replaceAll("[^0-9.]", "")}").getAbsolutePath
+      val base = scratchDir("graft_csv")
       Tables.writeSubmission(p.filter(col("p_partkey") % 2 === 0), s"$base/even")
       Tables.writeSubmission(p.filter(col("p_partkey") % 2 =!= 0), s"$base/odd")
       Tables.csv(s, partSchema, s"$base/even", s"$base/odd")
@@ -43,8 +49,7 @@ object IoQ {
     "s6_jsonl" -> ((s, dir) => {
       val d = documents(s, dir)
         .select("doc_id", "text", "lang", "source", "n_chars")
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_jsonl_${dir.replaceAll("[^0-9.]", "")}").getAbsolutePath
+      val base = scratchDir("graft_jsonl")
       d.repartition(4).write.mode("overwrite").json(base)
       s.read.schema(d.schema).json(base)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -57,8 +62,7 @@ object IoQ {
     // between touching one partition and touching all of them
     // (ScaleTechniquesSpec asserts the plan's PartitionFilters).
     "s7_partitioned" -> ((s, dir) => {
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_part_${dir.replaceAll("[^0-9.]", "")}").getAbsolutePath
+      val base = scratchDir("graft_part")
       documents(s, dir).select("doc_id", "text", "lang", "n_chars")
         .write.mode("overwrite").partitionBy("lang").parquet(base)
       s.read.parquet(base).filter(col("lang") === "en")
@@ -70,8 +74,7 @@ object IoQ {
     // parquet). DuckDB can't read ORC, so the oracle reads the source
     // parquet: exact value equality proves the round-trip lossless.
     "s8_orc" -> ((s, dir) => {
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_orc_${dir.replaceAll("[^0-9.]", "")}").getAbsolutePath
+      val base = scratchDir("graft_orc")
       val src = lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       src.write.mode("overwrite").orc(base)

@@ -73,7 +73,8 @@ object LlmQ {
       // zip_with over shifted slices, NOT element_at per index: an
       // indexed lambda re-evaluates the whole token-builder expression
       // per bigram (interpreted HOFs, no CSE) — O(len^2) per doc.
-      val toks = Text.tokens(Text.normalizeAz(col("text")))
+      // coalesce: NULL text means zero bigrams, not size(null) = -1.
+      val toks = Text.tokens(Text.normalizeAz(coalesce(col("text"), lit(""))))
       val nb = greatest(size(toks) - 1, lit(0))
       val bigrams = zip_with(slice(toks, lit(1), nb), slice(toks, lit(2), nb),
         (a, b) => concat_ws("_", a, b))

@@ -115,8 +115,10 @@ object PipelineQ {
         .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y"))
       val m = GbtPair.train(rows, TreeEnsemblePipeline.FeatureCols,
         "res_x", "res_y", GbtPair.Params(maxIter = 3, maxDepth = 3, fitPartitions = 8))
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_s5_model").getAbsolutePath
+      // unique per invocation — a fixed path collides across
+      // concurrent runs (one overwrite deletes files the other reads)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_s5_model").toString
       GbtPair.save(m, path)
       val restored = GbtPair.load(path, TreeEnsemblePipeline.FeatureCols)
       GbtPair.predict(rows, restored)

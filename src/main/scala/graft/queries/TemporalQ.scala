@@ -293,16 +293,13 @@ object TemporalQ {
         element_at(seq8, -1).as("seq_last"))
     }))
 
-  /** The events table as a streaming Dataset[Obs] via a parquet FILE
-    * SOURCE (no driver-side data path — the production shape). Raw
-    * on-disk schema (ts = TIMESTAMP(NANOS) read as LongType): a
-    * FileStreamSource needs the file schema, not Tables.events'
-    * converted one; nanos ordering == micros ordering and Obs.ts is
-    * only an ordering key. The source also wants a directory, so we
-    * stream the sf dir with a glob filter selecting the events file. */
-  /** The events file as a raw streaming DataFrame (ts = TIMESTAMP
-    * (NANOS) read as LongType — the on-disk schema a FileStreamSource
-    * needs; the source also wants a directory, hence the glob). */
+  /** The events file as a raw streaming DataFrame via a parquet FILE
+    * SOURCE (no driver-side data path — the production shape).
+    * ts = TIMESTAMP(NANOS) read as LongType: a FileStreamSource needs
+    * the on-disk schema, not Tables.events' converted one; nanos
+    * ordering == micros ordering and the column is only an ordering
+    * key downstream. The source also wants a directory, hence the sf
+    * dir + glob filter selecting the events file. */
   private def eventsStream(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

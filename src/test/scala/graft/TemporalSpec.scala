@@ -215,6 +215,13 @@ class TemporalSpec extends SparkSpec {
       .select("a", "b").collect()(0)
     // match is the t=2 row: a must be null (not t=1's 5.0), b = 7.0
     assert(r.isNullAt(0) && r.getDouble(1) == 7.0)
+    // NULL keys never match (equi-join semantics), in either direction
+    val nl = Seq((null.asInstanceOf[String], 9L, 1L)).toDF("k", "t", "lid")
+    val nr = Seq((null.asInstanceOf[String], 1L, Some(5.0), Some(1.0)))
+      .toDF("k", "t", "a", "b")
+    val rn = Temporal.asofJoin(nl, nr, Seq("k"), "t", "t", Seq("a", "b"))
+      .select("a", "b").collect()(0)
+    assert(rn.isNullAt(0) && rn.isNullAt(1))
   }
 
   test("asofJoin plan: one exchange, no join node") {
