@@ -25,6 +25,39 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("scale smoke: 16x data through the window+join pipeline, one exchange family") {
+    // The shuffle-discipline claim is that a whole per-key feature
+    // block rides ONE exchange. Inflate events 16x (~160k rows) with
+    // distinct synthetic users per copy, run lag+rolling+diff+cumcount
+    // over one window spec, and assert the executed plan still has
+    // exactly one shuffle and the results stay per-key correct.
+    val base = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts", "value")
+    val big = (0 until 16).map(i => base
+      .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+      .reduce(_.unionByName(_))
+    val w = graft.operators.Temporal.spec(
+      Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = big.select(col("event_id"), col("user_id"),
+        graft.operators.Temporal.lagK(col("value"), 1, w).as("lag1"),
+        graft.operators.Temporal.rollingMean(col("value"), 5, w).as("rm"),
+        graft.operators.Temporal.diff(col("value"), w).as("d1"),
+        graft.operators.Temporal.cumCount(w).as("cc"))
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1,
+        s"window block must ride one exchange, got ${shuffles.size}")
+      assert(out.count() == 16 * base.count())
+      // spot-check per-key correctness survived the inflation
+      val g = out.filter(col("user_id") === 15000000L + 3)
+        .orderBy("event_id").limit(2).collect()
+      if (g.length == 2) assert(g(0).isNullAt(2) && !g(1).isNullAt(2))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed tables co-locate: join plan has NO shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
