@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TemporalQ.queries ++ ScalarQ.queries ++ AggQ.queries ++
       TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries ++
-      PipelineQ.queries ++ IoQ.queries ++ FeatureStageQ.queries
+      PipelineQ.queries ++ IoQ.queries ++ FeatureStageQ.queries ++
+      CorpusQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TemporalQ.oracle ++ ScalarQ.oracle ++ AggQ.oracle ++
       TrackingQ.oracle ++ LlmQ.oracle ++ MlQ.oracle ++
-      PipelineQ.oracle ++ IoQ.oracle ++ FeatureStageQ.oracle
+      PipelineQ.oracle ++ IoQ.oracle ++ FeatureStageQ.oracle ++
+      CorpusQ.oracle
 }

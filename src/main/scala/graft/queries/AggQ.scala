@@ -301,6 +301,43 @@ object AggQ {
         .groupBy("user_id", "event_type")
         .agg(min(col("event_id")).as("keep_event_id"),
           count(lit(1)).as("n_dups"))
+    }),
+
+    // A11/net-new: HLL++ approximate count-distinct — THE 100 TB
+    // cardinality operator (exact distinct shuffles every key; the
+    // sketch is a few KB per group, merged map-side). The sketch is
+    // algorithm-specific, so the oracle encodes a TOLERANCE instead of
+    // a value: ratio_x20 = round(approx/exact * 20) must equal 20,
+    // i.e. the estimate lands within 2.5% of truth (rsd=0.01 gives
+    // ~1% typical error). Register-max merging is order-independent,
+    // so the estimate itself is deterministic under any partitioning.
+    "a11_approx" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          round(col("approx_nd").cast("double") / col("exact_nd") * 20)
+            .cast("long").as("ratio_x20"))
+    }),
+
+    // A12/net-new: full grouping-set aggregation (CUBE) with explicit
+    // GROUPING flags — extends a10's ROLLUP to all 2^k subtotal
+    // combinations. Null group keys are disambiguated BOTH ways: the
+    // sentinel coalesce (portable display) and grouping() flags (the
+    // real API). One expand + one hash-agg shuffle.
+    "a12_cube" -> ((s, dir) => {
+      lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("qty"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -472,5 +509,19 @@ object AggQ {
     "o5_dedup" ->
       """SELECT user_id, event_type,
         | min(event_id) AS keep_event_id, count(*) AS n_dups
-        |FROM events GROUP BY user_id, event_type""".stripMargin)
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "a11_approx" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_nd,
+        | 20::BIGINT AS ratio_x20
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a12_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        | coalesce(l_linestatus, '(all)') AS ls,
+        | GROUPING(l_returnflag)::BIGINT AS g_rf,
+        | GROUPING(l_linestatus)::BIGINT AS g_ls,
+        | count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
 }

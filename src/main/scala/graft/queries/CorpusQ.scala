@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{Dedup, Sampling}
+import Q._
+
+/** The flagship LLM-corpus preparation pipeline as ONE dataflow:
+  * quality gate → exact dedup → MinHash/LSH near-dup pruning →
+  * split assignment. Each stage is individually oracled elsewhere
+  * (`t_quality`, `d_exact`, `d_neardup`, `t_split`); this query checks
+  * that they COMPOSE — the end-to-end shape a 100 TB data-prep job
+  * actually runs.
+  *
+  * Scale design, stage by stage:
+  *  - the quality gate is one map-side projection+filter (no shuffle)
+  *    and runs FIRST, so every downstream shuffle moves only surviving
+  *    docs;
+  *  - the gate itself is integer-exact: `quality >= 0.5` is evaluated
+  *    by cross-multiplication over BIGINT token/char counts, never by
+  *    comparing a computed double against a threshold (a doc landing
+  *    bitwise-differently on the boundary would flip membership — the
+  *    float-tie trap, see verify SKILL.md);
+  *  - exact dedup is groupBy(md5) → min(id) → left-semi join back on
+  *    id: the aggregate shuffles (hash, id) pairs only — NOT a window
+  *    over md5(text), which would shuffle the full text payload;
+  *  - near-dup pruning reuses [[Dedup.nearDuplicates]] (cached gram
+  *    table, banded LSH with bucket cap, codegen'd verify) on the
+  *    survivors; the greedy keep-smallest-id rule drops any doc that
+  *    appears as the larger side of a verified pair — deterministic
+  *    and engine-portable;
+  *  - the split keys off the content fingerprint, so the assignment
+  *    is stable under re-sharding and dedup-order changes.
+  */
+object CorpusQ {
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val queries: Map[String, QueryFn] = Map(
+    "c_corpus" -> ((s, dir) => {
+      val t = Text.normalizeAz(col("text"))
+      val toks = Text.tokens(t)
+      val base = documents(s, dir).select(
+        col("doc_id"), col("lang"), col("text"), t.as("t"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(t).cast("long").as("len_norm"),
+        size(toks).cast("long").as("n"),
+        Text.countTokensIn(toks, EnStop).cast("long").as("st"))
+
+      // quality >= 0.5 without touching a double:
+      //   least(1, n/50) * (len_norm/len_raw) * ((2*st + n) / (2*n)) >= 1/2
+      // ⟺ len_norm * (2*st + n) >= greatest(n, 50) * len_raw
+      val gated = base.filter(
+        col("len_norm") * (col("st") * 2 + col("n")) >=
+          greatest(col("n"), lit(50L)) * col("len_raw"))
+
+      // Exact dedup, deterministic keeper: the aggregate output is
+      // (content_hash, keeper_id) — tiny — and the semi join restores
+      // the full surviving rows without ever shuffling text on md5.
+      val keepIds = gated
+        .groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val keepers = gated.join(keepIds, Seq("doc_id"), "left_semi")
+
+      // Near-dup pruning on the survivors (threshold/bands = d_neardup):
+      // drop the larger id of every verified pair.
+      val dupIds = Dedup
+        .nearDuplicates(keepers, "doc_id", "text",
+          threshold = 0.6, bandRows = 6)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val fin = keepers.join(dupIds, Seq("doc_id"), "left_anti")
+
+      val nonAz =
+        (col("len_raw") - col("len_norm")).cast("double") / col("len_raw")
+      val stop = col("st").cast("double") / col("n")
+      val (_, split) = Sampling.hashSplit(Text.polyHash(col("t")))
+      fin.select(
+        col("doc_id"), col("lang"),
+        col("n").as("n_tokens"),
+        r6(least(lit(1.0), col("n") / lit(50.0)) *
+          (lit(1.0) - nonAz) * (lit(0.5) + stop)).as("quality"),
+        split.as("split"))
+    }))
+
+  // Mirrors LlmQ's CTE builders over the pipeline's intermediate sets
+  // (those constants are hard-wired to `FROM documents`; the pipeline
+  // needs them over `keep1`).
+  private val P = Text.P
+  private val NormSql = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+  private val ToksSql = "list_filter(string_split(t, ' '), w -> length(w) > 0)"
+  private def foldSql(e: String) =
+    s"""CASE WHEN length($e) > 0 THEN list_reduce(
+       | list_prepend(0::BIGINT, list_transform(range(1, length($e) + 1),
+       |   j -> ascii(substr($e, j::INT, 1))::BIGINT)),
+       | (a, b) -> (a * 31 + b) % $P) ELSE 0 END""".stripMargin
+  private val GramsSql =
+    s"""list_distinct(list_transform(
+       | CASE WHEN length(t) >= 3
+       |  THEN list_transform(range(1, length(t) - 1), i -> substr(t, i::INT, 3))
+       |  ELSE [] END,
+       | s -> list_reduce(list_transform(range(1, 4), j -> ascii(substr(s, j::INT, 1))::BIGINT),
+       |   (a, b) -> (a * 31 + b) % $P)))""".stripMargin
+  private def slotSql(k: Int): String = {
+    val (a, b) = Dedup.seeds(k)
+    s"coalesce(list_min(list_transform(grams, h -> ($a::BIGINT * h + $b) % $P)), $P)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "c_corpus" ->
+      s"""WITH b AS (SELECT doc_id, lang, text, $NormSql AS t FROM documents),
+         |m AS (SELECT doc_id, lang, text, t,
+         |  length(text)::BIGINT AS len_raw, length(t)::BIGINT AS len_norm,
+         |  len($ToksSql)::BIGINT AS n,
+         |  len(list_filter($ToksSql, w -> list_contains(['the','a','of','and','to','in','is'], w)))::BIGINT AS st
+         | FROM b),
+         |gated AS (SELECT * FROM m
+         | WHERE len_norm * (2*st + n) >= greatest(n, 50) * len_raw),
+         |keep1 AS (SELECT g.* FROM gated g JOIN
+         |  (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)) k
+         |  USING (doc_id)),
+         |gs AS (SELECT doc_id, $GramsSql AS grams FROM keep1),
+         |sig AS (SELECT doc_id, ${(0 until 12).map(k => s"${slotSql(k)} AS m$k").mkString(", ")}
+         | FROM gs WHERE len(grams) > 0),
+         |bands AS (
+         | SELECT doc_id, 0 AS band,
+         |  m0::VARCHAR || '_' || m1::VARCHAR || '_' || m2::VARCHAR || '_' ||
+         |  m3::VARCHAR || '_' || m4::VARCHAR || '_' || m5::VARCHAR AS bk FROM sig
+         | UNION ALL
+         | SELECT doc_id, 1 AS band,
+         |  m6::VARCHAR || '_' || m7::VARCHAR || '_' || m8::VARCHAR || '_' ||
+         |  m9::VARCHAR || '_' || m10::VARCHAR || '_' || m11::VARCHAR AS bk FROM sig),
+         |small AS (SELECT band, bk FROM bands GROUP BY band, bk HAVING count(*) <= 1000),
+         |kept AS (SELECT bands.* FROM bands JOIN small USING (band, bk)),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b FROM cands
+         | JOIN gs a ON cands.doc_a = a.doc_id JOIN gs b ON cands.doc_b = b.doc_id
+         | WHERE CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+         |  THEN len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+         |  ELSE 0.0 END >= 0.6)
+         |SELECT doc_id, lang, n AS n_tokens,
+         | round(least(1.0, n / 50.0) * (1.0 - (len_raw - len_norm)::DOUBLE / len_raw)
+         |   * (0.5 + st::DOUBLE / n), 6) AS quality,
+         | CASE WHEN ${foldSql("t")} % 100 < 80 THEN 'train'
+         |      WHEN ${foldSql("t")} % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM keep1
+         |WHERE doc_id NOT IN (SELECT doc_b FROM ver)""".stripMargin)
+}

@@ -85,6 +85,23 @@ object IoQ {
           max(col("l_orderkey")).as("max_key"))
     }),
 
+    // P12/net-new: JSON field extraction from a string column — the
+    // semi-structured payload every event/log pipeline carries. Both
+    // the path-string form (get_json_object) and the typed form
+    // (from_json with an explicit schema — inference at 100 TB is a
+    // non-starter) are exercised; both are map-side projections, no
+    // shuffle, and missing keys yield NULL, never an error.
+    "p12_json" -> ((s, dir) => {
+      val parsed = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+      events(s, dir).select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        parsed.getField("k").as("k_typed"),
+        get_json_object(col("props"), "$.missing").as("missing"))
+    }),
+
     // O4: union of per-"week" slices back into one table.
     "o4_union" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -155,6 +172,13 @@ object IoQ {
         | round(sum(l_quantity), 2) AS qty,
         | max(l_orderkey) AS max_key
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "p12_json" ->
+      """SELECT event_id, event_type,
+        | json_extract_string(props, '$.k')::BIGINT AS k,
+        | json_extract_string(props, '$.k')::BIGINT AS k_typed,
+        | json_extract_string(props, '$.missing') AS missing
+        |FROM events""".stripMargin,
 
     "o4_union" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty

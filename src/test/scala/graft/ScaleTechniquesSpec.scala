@@ -109,6 +109,40 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(scan.requiredSchema.fieldNames.toSet == Set("id", "v"))
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    // Static pruning (above) handles literal filters; DPP is the 100 TB
+    // join shape — fact partitioned on the join key, dim filtered by a
+    // predicate only known at plan time. The fact scan must receive a
+    // runtime `dynamicpruning` subquery filter so only the matching
+    // partition directories are read, not the whole fact table.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact = (1 to 10000).map(i => (i % 20, i.toLong, i * 1.1))
+      .toDF("part_key", "id", "v")
+    fact.write.mode("overwrite").partitionBy("part_key").parquet(dir)
+    // The dim must be a real scan: a local Seq constant-folds its
+    // Filter into a LocalRelation, and the DPP rule requires a
+    // selective predicate NODE on the pruning side.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppd").toString
+    (0 until 20).map(i => (i, s"grp${i % 4}")).toDF("part_key", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    // AQE wraps the join in AdaptiveSparkPlanExec, which hides the scan
+    // from collect() until execution — assert on the static plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.read.parquet(dir)
+        .join(spark.read.parquet(dimDir).filter(col("grp") === "grp1"),
+          "part_key")
+      val scan = j.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.requiredSchema.fieldNames.contains("id") => f
+      }.head
+      assert(scan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+        s"fact scan must carry a DPP filter, got: ${scan.partitionFilters}")
+      // grp1 selects part_key in {1, 5, 9, 13, 17}: 5 of 20 partitions.
+      assert(j.count() == 2500)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("broadcast hint pins the small side (no shuffle of the big side)") {
     val big = (1 to 10000).map(i => (i % 100, i)).toDF("k", "v")
     val dim = (0 until 100).map(i => (i, s"d$i")).toDF("k", "name")
