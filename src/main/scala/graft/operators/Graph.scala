@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components for duplicate-cluster resolution.
+  *
+  * Near-dup detection ([[Dedup.nearDuplicates]]) emits an EDGE LIST of
+  * verified pairs, but "keep one doc per duplicate group" needs the
+  * transitive closure: if A~B and B~C, then {A,B,C} is ONE group even
+  * when A~C was never emitted (chain duplicates are common — v1~v2~v3
+  * of the same page). Resolving that closure is a connected-components
+  * problem on a graph with billions of edges at 100 TB, so the driver
+  * must never see the graph: this is the alternating large-star /
+  * small-star algorithm (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14), where every round is a pair of
+  * groupBy shuffles on node ids and the edge set monotonically
+  * contracts toward a star forest in O(log n) rounds.
+  *
+  * Scale notes:
+  *  - each round's state is ONE (src, dst) edge table, cached and
+  *    unpersisted as soon as the next round is materialized — peak
+  *    memory is two edge sets, not the closure;
+  *  - the convergence check is an exact set comparison (two left-anti
+  *    counts) on the cached tables — no driver-side data movement;
+  *  - hot nodes (a component min with millions of members) appear only
+  *    as the VALUE side of the final star edges, never as a groupBy
+  *    key with unbounded fan-in: large-star groups by each node's own
+  *    id, and a node's degree in the contracted graph shrinks every
+  *    round (the paper's load-balance argument).
+  */
+object Graph {
+
+  /** Connected components of an undirected graph given as an edge list
+    * with BIGINT-comparable columns `a`, `b` (self-loops ignored).
+    * Returns (node, component) for every node that appears in an edge;
+    * `component` is the minimum node id of the component. Callers with
+    * isolated nodes left-join and coalesce to the node's own id.
+    *
+    * @param maxIter safety bound; the algorithm provably converges in
+    *   O(log n) rounds, so 25 covers any graph that fits in storage.
+    *   Throws if the bound is hit (a correctness guard, not a budget).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Each round substitutes `cur` into largeStar/smallStar several
+    // times, so the LOGICAL plan would grow ~9x per round — after a
+    // handful of rounds planning itself stack-overflows. localCheckpoint
+    // truncates lineage to the materialized partitions (the standard
+    // iterative-algorithm pattern; a production cluster would configure
+    // a reliable checkpoint dir and use checkpoint() for fault
+    // tolerance). Superseded rounds are dropped by reference — Spark's
+    // ContextCleaner reclaims unreferenced checkpoint RDDs.
+    var cur = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var curCount = cur.count()
+    var converged = curCount == 0
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCount = next.count()
+      // Exact set equality on two distinct sets: same count and no
+      // element of next outside cur.
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("a", "b"), "left_anti").isEmpty
+      cur = next
+      curCount = nextCount
+      it += 1
+    }
+    if (!converged && it >= maxIter)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // Converged state is a star forest: every edge is (member, root).
+    // Roots appear only on the b side — add their self-assignments.
+    cur.select(col("a").as("node"), col("b").as("component"))
+      .union(cur.select(col("b").as("node"), col("b").as("component")))
+      .distinct()
+  }
+
+  /** Large-star: every node links its LARGER neighbors to the minimum
+    * of its neighborhood (including itself). Keeps component minima
+    * reachable while cutting long chains in half each round. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+    val m = sym.groupBy("a")
+      .agg(min(col("b")).as("__mn"))
+      .select(col("a"), least(col("__mn"), col("a")).as("__m"))
+    sym.join(m, "a")
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("__m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Small-star: every node links its SMALLER-or-equal neighbors (and
+    * itself) to the minimum among them — flattens local trees into
+    * stars. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+        greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val m = oriented.groupBy("u").agg(min(col("v")).as("__m"))
+    val pointed = oriented.join(m, "u")
+      .select(col("v").as("a"), col("__m").as("b"))
+    val self = m.select(col("u").as("a"), col("__m").as("b"))
+    pointed.union(self)
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Duplicate-cluster resolution over a document table: near-dup
+    * pairs → connected components → one row per doc with its cluster
+    * representative (component-minimum id) and cluster size. Docs with
+    * no near-dup are their own singleton cluster. The downstream
+    * "drop all but the representative" filter is then
+    * `doc_id = cluster_rep` — transitive-closure-correct, unlike
+    * dropping the larger side of each raw pair. */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double,
+                  bandRows: Int = Dedup.DefaultBandRows): DataFrame = {
+    val pairs = Dedup
+      .nearDuplicates(df, idCol, textCol, threshold, bandRows)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = connectedComponents(pairs)
+    val labeled = df.select(col(idCol).cast("long").as("node"))
+      .join(comp, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("component"), col("node")).as("cluster_rep"))
+    // Cluster size by one count-agg on the rep (tiny: ids only).
+    val sizes = labeled.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_rep")
+      .select(col(idCol), col("cluster_rep"), col("cluster_size"))
+  }
+}

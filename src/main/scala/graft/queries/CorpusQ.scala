@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.Text
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Contamination, Dedup, Graph, Sampling}
 import Q._
 
 /** The flagship LLM-corpus preparation pipeline as ONE dataflow:
@@ -81,7 +81,36 @@ object CorpusQ {
         r6(least(lit(1.0), col("n") / lit(50.0)) *
           (lit(1.0) - nonAz) * (lit(0.5) + stop)).as("quality"),
         split.as("split"))
-    }))
+    }),
+
+    // Duplicate-CLUSTER resolution: near-dup pairs (same params as
+    // d_neardup) closed under transitivity by large-star/small-star
+    // connected components. The oracle mirrors with a recursive-CTE
+    // closure — feasible only at oracle scale; the Spark side is the
+    // O(log n)-round contraction that works on billions of edges.
+    "d_components" -> ((s, dir) =>
+      Graph.dupClusters(documents(s, dir), "doc_id", "text",
+        threshold = 0.6, bandRows = 6)),
+
+    // Benchmark decontamination: every 50th doc stands in for the eval
+    // set; train docs sharing any token 5-gram with it are flagged.
+    "d_contamination" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Contamination.flagContaminated(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
+    // Corpus-wide heavy hitters: top-20 token bigrams by DOCUMENT
+    // frequency (distinct per doc), deterministic tie-break on the
+    // gram itself so the limit boundary is engine-portable.
+    "t_topngrams" -> ((s, dir) =>
+      documents(s, dir)
+        .select(explode(Contamination.tokenNgrams(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(20)))
 
   // Mirrors LlmQ's CTE builders over the pipeline's intermediate sets
   // (those constants are hard-wired to `FROM documents`; the pipeline
@@ -106,7 +135,76 @@ object CorpusQ {
     s"coalesce(list_min(list_transform(grams, h -> ($a::BIGINT * h + $b) % $P)), $P)"
   }
 
+  private val TokCte =
+    s"""norm AS (SELECT doc_id, $NormSql AS t FROM documents),
+       |tok AS (SELECT doc_id, $ToksSql AS toks FROM norm)""".stripMargin
+  /** Distinct space-joined token n-grams from a `toks` list column. */
+  private def tokenGramsSql(n: Int): String =
+    if (n == 2)
+      """list_distinct(CASE WHEN len(toks) >= 2
+        | THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        | ELSE [] END)""".stripMargin
+    else
+      s"""list_distinct(CASE WHEN len(toks) >= $n
+         | THEN list_transform(range(1, len(toks) - ${n - 2}),
+         |   i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))
+         | ELSE [] END)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d_contamination" ->
+      s"""WITH $TokCte,
+         |g AS (SELECT doc_id, ${tokenGramsSql(5)} AS grams FROM tok),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+         |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+         | FROM tg JOIN bg USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0::BIGINT) AS n_hits,
+         | coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM norm WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "t_topngrams" ->
+      s"""WITH $TokCte,
+         |g AS (SELECT doc_id, ${tokenGramsSql(2)} AS grams FROM tok),
+         |e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+         |SELECT gram, count(*)::BIGINT AS n_docs FROM e
+         |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+
+    "d_components" ->
+      s"""WITH RECURSIVE
+         |norm AS (SELECT doc_id, $NormSql AS t FROM documents),
+         |g AS (SELECT doc_id, $GramsSql AS grams FROM norm),
+         |sig AS (SELECT doc_id, ${(0 until 12).map(k => s"${slotSql(k)} AS m$k").mkString(", ")}
+         | FROM g WHERE len(grams) > 0),
+         |bands AS (
+         | SELECT doc_id, 0 AS band,
+         |  m0::VARCHAR || '_' || m1::VARCHAR || '_' || m2::VARCHAR || '_' ||
+         |  m3::VARCHAR || '_' || m4::VARCHAR || '_' || m5::VARCHAR AS bk FROM sig
+         | UNION ALL
+         | SELECT doc_id, 1 AS band,
+         |  m6::VARCHAR || '_' || m7::VARCHAR || '_' || m8::VARCHAR || '_' ||
+         |  m9::VARCHAR || '_' || m10::VARCHAR || '_' || m11::VARCHAR AS bk FROM sig),
+         |small AS (SELECT band, bk FROM bands GROUP BY band, bk HAVING count(*) <= 1000),
+         |kept AS (SELECT bands.* FROM bands JOIN small USING (band, bk)),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b FROM cands
+         | JOIN g a ON cands.doc_a = a.doc_id JOIN g b ON cands.doc_b = b.doc_id
+         | WHERE CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+         |  THEN len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+         |  ELSE 0.0 END >= 0.6),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         | UNION SELECT doc_b, doc_a FROM ver),
+         |r AS (SELECT a, b FROM sym
+         | UNION SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a AND s.b <> r.a),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS component FROM r GROUP BY a),
+         |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+         | FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |sz AS (SELECT cluster_rep, count(*)::BIGINT AS cluster_size
+         | FROM lab GROUP BY cluster_rep)
+         |SELECT doc_id, cluster_rep, cluster_size FROM lab JOIN sz USING (cluster_rep)""".stripMargin,
+
     "c_corpus" ->
       s"""WITH b AS (SELECT doc_id, lang, text, $NormSql AS t FROM documents),
          |m AS (SELECT doc_id, lang, text, t,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Connected components (large-star/small-star) vs a brute-force
+  * union-find oracle, plus dup-cluster resolution semantics. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find for the expected labeling. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to its minimum") {
+    val got = run(Seq((4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep separate minima") {
+    val got = run(Seq((1L, 2L), (5L, 6L), (6L, 7L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val got = run(Seq((1L, 1L), (2L, 3L), (3L, 2L), (2L, 3L)))
+    assert(got == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("empty edge set yields empty labeling") {
+    assert(run(Seq.empty).isEmpty)
+  }
+
+  test("matches union-find on a pseudo-random graph") {
+    // Deterministic LCG so the test is reproducible.
+    var s = 12345L
+    def next(n: Int): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s % n }
+    val edges = (1 to 300).map(_ => (next(120), next(120))).filter(e => e._1 != e._2)
+    assert(run(edges) == unionFind(edges))
+  }
+
+  test("long path (worst case for naive propagation) converges") {
+    val n = 513L
+    val edges = (1L until n).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.size == n && got.values.forall(_ == 1L))
+  }
+
+  test("dupClusters: transitive chain resolved, singletons kept") {
+    // 1~2 and 2~3 are near-dups but 1~3 may not pair directly; all
+    // three must share one cluster_rep = 1. Doc 4 is a singleton.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "a the quick brown fox jumps over the lazy dog again and again!"),
+      (4L, "completely different content about spark engines at scale")
+    ).toDF("doc_id", "text")
+    val got = Graph.dupClusters(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L)))
+  }
+}
