@@ -197,6 +197,49 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Segment-level (paragraph-level) dedup with reassembly — the
+    * CCNet/C4 corpus op: split every doc into segments, drop every
+    * segment whose content already appeared earlier in the corpus
+    * (first occurrence by (doc, position) wins, globally), and rebuild
+    * each doc from its surviving segments in original order.
+    *
+    * `segments` is caller-supplied (newline paragraphs in real
+    * corpora; any array<string> expression works), so the dedup core
+    * is segmentation-agnostic.
+    *
+    * Scale shape: the keeper decision shuffles ONLY (hash, doc, pos)
+    * triples — a groupBy on the content hash with map-side combine, so
+    * a boilerplate segment duplicated a million times arrives at its
+    * reducer as one partial per map task, not a million rows (the
+    * window-function formulation would put all million in one window
+    * partition AND shuffle their text). Segment text itself moves in
+    * exactly two bounded shuffles: the (doc, pos)-keyed semi join and
+    * the per-doc reassembly — both keyed on (doc, pos)/doc, neither
+    * skewed by content popularity. */
+  def segmentDedup(df: DataFrame, idCol: String,
+                   segments: Column, sep: String = " "): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), segments.as("__segs"))
+    val segs = base.select(col("__id"),
+      posexplode(col("__segs")).as(Seq("__pos", "__seg")))
+    val hashed = segs.select(col("__id"), col("__pos"), md5(col("__seg")).as("__h"))
+    val keeper = hashed.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__k"))
+    val keepPos = hashed.join(keeper, "__h")
+      .filter(col("__id") === col("__k.__id") && col("__pos") === col("__k.__pos"))
+      .select("__id", "__pos")
+    val kept = segs.join(keepPos, Seq("__id", "__pos"), "left_semi")
+    val reassembled = kept.groupBy("__id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          s => s.getField("__seg")), sep).as("text_dedup"))
+    base.select(col("__id"), size(col("__segs")).cast("long").as("n_segments"))
+      .join(reassembled, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** 32-bit SimHash over distinct token hashes: bit b of the result is
     * set iff sum over tokens of (2*bit_b(h)-1) > 0. One projection
     * pass; bucketing on a prefix gives near-dup blocking.

@@ -102,6 +102,19 @@ object CorpusQ {
         "doc_id", "text", n = 5)
     }),
 
+    // Segment-level dedup with reassembly (CCNet-style paragraph
+    // dedup; segments here are fixed 10-token windows since the
+    // synthetic docs carry no newlines). First corpus-wide occurrence
+    // of a segment survives; docs are rebuilt in original order.
+    "d_segdedup" -> ((s, dir) => {
+      val toks = Text.tokens(Text.normalizeAz(col("text")))
+      val segs = when(size(toks) > 0,
+        transform(sequence(lit(1), size(toks), lit(10)),
+          i => concat_ws(" ", slice(toks, i, lit(10)))))
+        .otherwise(typedLit(Seq.empty[String]))
+      Dedup.segmentDedup(documents(s, dir), "doc_id", segs)
+    }),
+
     // Corpus-wide heavy hitters: top-20 token bigrams by DOCUMENT
     // frequency (distinct per doc), deterministic tie-break on the
     // gram itself so the limit boundary is engine-portable.
@@ -162,6 +175,26 @@ object CorpusQ {
          | coalesce(h.n_hits, 0) > 0 AS contaminated
          |FROM (SELECT doc_id FROM norm WHERE doc_id % 50 <> 0) d
          |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "d_segdedup" ->
+      s"""WITH $TokCte,
+         |seg AS (SELECT doc_id, CASE WHEN len(toks) > 0
+         |  THEN list_transform(range(1, len(toks) + 1, 10),
+         |    i -> array_to_string(list_slice(toks, i, i + 9), ' '))
+         |  ELSE [] END AS parts FROM tok),
+         |p0 AS (SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1),
+         |  i -> {'pos': i, 'seg': parts[i]})) AS s FROM seg),
+         |p AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM p0),
+         |r AS (SELECT doc_id, pos, seg,
+         |  row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn FROM p),
+         |keep AS (SELECT doc_id, pos, seg FROM r WHERE rn = 1),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |  string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+         | FROM keep GROUP BY doc_id)
+         |SELECT s.doc_id, len(parts)::BIGINT AS n_segments,
+         | coalesce(a.n_kept, 0::BIGINT) AS n_kept,
+         | coalesce(a.text_dedup, '') AS text_dedup
+         |FROM seg s LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "t_topngrams" ->
       s"""WITH $TokCte,

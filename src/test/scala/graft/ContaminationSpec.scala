@@ -22,6 +22,22 @@ class ContaminationSpec extends SparkSpec {
     assert(got(3L) == Set.empty)
   }
 
+  test("segmentDedup keeps first occurrence globally, reassembles in order") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, Seq("alpha", "beta", "alpha")),  // in-doc dup of "alpha"
+      (2L, Seq("beta", "gamma")),           // "beta" already in doc 1
+      (3L, Seq.empty[String])               // nothing survives
+    ).toDF("doc_id", "segs")
+    val got = Dedup.segmentDedup(docs, "doc_id", col("segs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 3L, 2L, "alpha beta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 0L, 0L, "")))
+  }
+
   test("flagContaminated counts distinct benchmark-overlapping grams") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams
