@@ -51,6 +51,49 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Temperature-based language/domain mixture sampling (the
+    * UniMax-style rebalance): group shares are flattened with
+    * exponent 1/2 — share_g = sqrt(n_g) / Σ_k sqrt(n_k) — and each
+    * group's keep probability is min(1, budget·share_g / n_g), so
+    * over-represented groups are down-sampled toward the flattened
+    * mixture while small groups keep everything.
+    *
+    * Engine-portable by construction: sqrt, multiply and divide are
+    * IEEE correctly-rounded (bitwise-identical in any engine), the
+    * cross-group normalizer is folded in SORTED group order over a
+    * collected (tiny: one row per group) list so summation order is
+    * fixed, and the per-row keep decision is an INTEGER comparison
+    * `pmod(key, 1e6) < floor(rate·1e6)`. The general-temperature
+    * exponent is deliberately not offered: pow() is not
+    * correctly-rounded and its cross-engine drift would land keep
+    * boundaries on coin flips.
+    *
+    * Scale: two tiny aggregates (one row per group, then one row
+    * total, broadcast back); the per-row decision is map-side. Returns
+    * the input plus (rate_ppm, kept).
+    *
+    * @param key deterministic non-negative long (content fingerprint)
+    * @param budgetFrac fraction of ALL rows to target, in [0, 1]
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, key: Column,
+                         budgetFrac: Double): DataFrame = {
+    require(budgetFrac >= 0 && budgetFrac <= 1, "budgetFrac in [0,1]")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n_g"))
+    val z = counts.agg(
+      sum(col("__n_g")).as("__n_total"),
+      aggregate(
+        array_sort(collect_list(struct(col(groupCol).as("g"), col("__n_g").as("n")))),
+        lit(0.0),
+        (acc, s) => acc + sqrt(s.getField("n").cast("double"))).as("__z"))
+    val rate = least(lit(1.0),
+      ((lit(budgetFrac) * col("__n_total")) *
+        (sqrt(col("__n_g").cast("double")) / col("__z"))) / col("__n_g"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(groupCol), floor(rate * lit(1000000.0)).cast("long").as("rate_ppm"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn("kept", pmod(key, lit(1000000L)) < col("rate_ppm"))
+  }
+
   /** Context-window packing, concat-then-chunk — the standard LLM
     * pretraining layout: within each shard, documents are laid
     * end-to-end in `order` and the token stream is cut every

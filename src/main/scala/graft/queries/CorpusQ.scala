@@ -123,7 +123,49 @@ object CorpusQ {
         .select(explode(Contamination.tokenNgrams(col("text"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("gram"))
-        .limit(20)))
+        .limit(20)),
+
+    // Temperature mixture sampling: sqrt-flattened language shares,
+    // keep decision = integer hash threshold (see
+    // Sampling.temperatureMixture for the bitwise-portability design).
+    "t_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(documents(s, dir), "lang",
+          Text.polyHash(Text.normalizeAz(col("text"))), budgetFrac = 0.5)
+        .select(col("doc_id"), col("lang"), col("rate_ppm"), col("kept"))),
+
+    // TF-IDF over the token stream. tf/df are exact integers; the
+    // ln(N/df) factor is transcendental, hence never ON a rounding
+    // tick — r6 is safe (audited: min tick distance >> cross-engine
+    // libm drift).
+    "t_tfidf" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val tf = d.select(col("doc_id"),
+          explode(Text.tokens(Text.normalizeAz(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("__N"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          r6(col("tf") * log(col("__N").cast("double") / col("df"))).as("tfidf"))
+    }),
+
+    // Inverted-index build: per term, document frequency + the first
+    // 50 postings "doc:tf" in doc order. The posting-list cap bounds
+    // row width; at real scale the list would be range-bucketed per
+    // term instead of capped (documented, not silent: df carries the
+    // true total).
+    "t_postings" -> ((s, dir) => {
+      val tf = documents(s, dir).select(col("doc_id"),
+          explode(Text.tokens(Text.normalizeAz(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.groupBy("term").agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))), 1, 50),
+            s => concat_ws(":", s.getField("doc_id"), s.getField("tf"))),
+          " ").as("postings"))
+    }))
 
   // Mirrors LlmQ's CTE builders over the pipeline's intermediate sets
   // (those constants are hard-wired to `FROM documents`; the pipeline
@@ -202,6 +244,42 @@ object CorpusQ {
          |e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
          |SELECT gram, count(*)::BIGINT AS n_docs FROM e
          |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+
+    "t_mixture" ->
+      s"""WITH counts AS (SELECT lang, count(*)::BIGINT AS n_g FROM documents GROUP BY lang),
+         |z AS (SELECT sum(n_g)::BIGINT AS n_total,
+         |  list_reduce(list_prepend(0.0,
+         |    list_transform(list(n_g ORDER BY lang), x -> sqrt(x::DOUBLE))),
+         |    (a, b) -> a + b) AS z
+         | FROM counts),
+         |rates AS (SELECT lang,
+         |  floor(least(1.0, ((0.5 * n_total) * (sqrt(n_g::DOUBLE) / z)) / n_g)
+         |    * 1000000.0)::BIGINT AS rate_ppm
+         | FROM counts, z),
+         |norm AS (SELECT doc_id, lang, $NormSql AS t FROM documents)
+         |SELECT doc_id, norm.lang, rate_ppm,
+         | (${foldSql("t")} % 1000000) < rate_ppm AS kept
+         |FROM norm JOIN rates ON norm.lang = rates.lang""".stripMargin,
+
+    "t_tfidf" ->
+      s"""WITH $TokCte,
+         |e AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*)::BIGINT AS N FROM documents)
+         |SELECT doc_id, term, tf, df,
+         | round(tf * ln(N::DOUBLE / df), 6) AS tfidf
+         |FROM tf JOIN df USING (term), n""".stripMargin,
+
+    "t_postings" ->
+      s"""WITH $TokCte,
+         |e AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, term)
+         |SELECT term, count(*)::BIGINT AS df,
+         | array_to_string(list_transform(
+         |   list_slice(list({'d': doc_id, 'f': tf} ORDER BY doc_id), 1, 50),
+         |   s -> s.d::VARCHAR || ':' || s.f::VARCHAR), ' ') AS postings
+         |FROM tf GROUP BY term""".stripMargin,
 
     "d_components" ->
       s"""WITH RECURSIVE

@@ -18,6 +18,24 @@ class SamplingSpec extends SparkSpec {
     assert(r.collect().toSeq == r.collect().toSeq)
   }
 
+  test("temperatureMixture: sqrt-flattened rates, small groups capped at 1") {
+    // 900 'big' rows vs 100 'small': shares flatten to 3:1, budget 0.5
+    // of 1000 = 500 → big rate = 500*0.75/900 ≈ 0.4167, small =
+    // 500*0.25/100 = 1.25 → capped to 1 (small keeps everything).
+    val df = ((0L until 900L).map(i => ("big", i)) ++
+      (900L until 1000L).map(i => ("small", i))).toDF("grp", "k")
+    val r = Sampling.temperatureMixture(df, "grp", col("k"), budgetFrac = 0.5)
+    val rates = r.select("grp", "rate_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("small") == 1000000L)
+    assert(math.abs(rates("big") - 416666L) <= 1)
+    // every small-group row kept; big-group keep decision is the
+    // integer hash threshold
+    assert(r.filter(col("grp") === "small" && !col("kept")).isEmpty)
+    val keptBig = r.filter(col("grp") === "big" && col("kept")).count()
+    assert(keptBig == (0L until 900L).count(k => k % 1000000L < rates("big")))
+  }
+
   test("stratifiedSample keeps exactly ceil(n*num/den) rows per stratum") {
     val df = (1 to 103).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
     val kept = Sampling.stratifiedSample(df, Seq(col("g")), Seq(col("id")), 1, 5)
