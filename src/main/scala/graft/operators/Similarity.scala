@@ -108,6 +108,62 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Deterministic ±1 sign for the random-projection matrix — an LCG
+    * over the flattened (outDim, inDim) index, fixed and public so any
+    * engine reproduces the projection bit-for-bit. */
+  def projSign(j: Int, i: Int, inDims: Int): Int = {
+    val h = (1103515245L * (j.toLong * inDims + i) + 12345L) % 2147483648L
+    if (h % 2 == 0) 1 else -1
+  }
+
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions
+    * with a deterministic ±1 matrix, scaled by 1/sqrt(outDims).
+    *
+    * Each output dim is an UNROLLED left-associated sum of ±x_i — a
+    * plain codegen'd arithmetic expression (no higher-order functions,
+    * no shuffle; a pure map stage that fuses into whatever reads it).
+    * Because sign flips, adds and the final divide are all IEEE
+    * correctly-rounded and the association is pinned, the result is
+    * bitwise identical in any engine — no rounding needed downstream.
+    * Output columns p0..p{outDims-1} (flat doubles, not an array: flat
+    * columns keep the result joinable/sortable everywhere).
+    */
+  def randomProjection(df: DataFrame, embCol: String,
+                       inDims: Int, outDims: Int): DataFrame = {
+    val scale = math.sqrt(outDims.toDouble)
+    val projs = (0 until outDims).map { j =>
+      val terms = (0 until inDims).map { i =>
+        lit(projSign(j, i, inDims).toDouble) *
+          element_at(col(embCol), i + 1).cast("double")
+      }
+      (terms.reduceLeft(_ + _) / lit(scale)).as(s"p$j")
+    }
+    df.select(col("*") +: projs: _*).drop(embCol)
+  }
+
+  /** Per-dimension int8 scalar quantization: code = floor(255·(x−min)/
+    * (max−min)) clamped to [0,255], with the per-dim (min,max) learned
+    * from the data. min/max are order-independent aggregates and every
+    * arithmetic op is correctly-rounded, so codes are engine-portable
+    * without rounding. Long form (id, dim, code): one explode + one
+    * tiny (dims-sized, broadcast) stats join — both map-side scalable;
+    * the wide re-pack is `groupBy(id).pivot` when a columnar layout is
+    * wanted. Degenerate dims (max == min) code to 0. */
+  def scalarQuantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val long = df.select(col(idCol),
+      posexplode(col(embCol)).as(Seq("dim", "__x")))
+    val stats = long.groupBy("dim")
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+    long.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        when(col("__mx") > col("__mn"),
+          least(lit(255L), floor(
+            (col("__x").cast("double") - col("__mn").cast("double")) /
+              (col("__mx").cast("double") - col("__mn").cast("double")) *
+              lit(255.0)).cast("long")))
+          .otherwise(lit(0L)).as("code"))
+  }
+
   /** IVF search: assign once, then search only rows in the query's
     * cluster(s). At scale the assignment is precomputed and the table
     * is written partitioned by centroid_id → partition pruning makes

@@ -253,6 +253,20 @@ object LlmQ {
         .select(col("vec_id"), r6(col("cos")).as("cos"))
     }),
 
+    // JL random projection 64 -> 8 dims; raw doubles are emitted
+    // unrounded because the unrolled pinned-association arithmetic is
+    // bitwise-portable (see Similarity.randomProjection).
+    "v_randproj" -> ((s, dir) =>
+      Similarity.randomProjection(
+        embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "embedding", inDims = 64, outDims = 8)),
+
+    // Per-dimension int8 quantization (long form: id, dim, code).
+    "v_quantize" -> ((s, dir) =>
+      Similarity.scalarQuantize(
+        embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")),
+
     "d_embdup" -> ((s, dir) => {
       // Embedding-cosine near-dup, IVF-blocked (pairs within cluster).
       val e = embeddings(s, dir)
@@ -630,6 +644,29 @@ object LlmQ {
          | round(CASE WHEN norm_a * norm_b > 0 THEN dot / (norm_a * norm_b) ELSE 0.0 END, 6) AS cos,
          | round(l2, 6) AS l2
          |FROM m""".stripMargin,
+
+    "v_randproj" -> {
+      val scale = math.sqrt(8.0)
+      val projs = (0 until 8).map { j =>
+        val sum = (0 until 64).map { i =>
+          s"(${Similarity.projSign(j, i, 64)}) * (embedding[${i + 1}]::DOUBLE)"
+        }.mkString(" + ")
+        s"(($sum) / $scale) AS p$j"
+      }.mkString(",\n ")
+      s"SELECT vec_id,\n $projs\nFROM embeddings"
+    },
+
+    "v_quantize" ->
+      """WITH L AS (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |  i -> {'d': i - 1, 'x': embedding[i]})) AS s FROM embeddings),
+        |p AS (SELECT vec_id, s.d::BIGINT AS dim, s.x AS x FROM L),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM p GROUP BY dim)
+        |SELECT vec_id, p.dim,
+        | CASE WHEN mx > mn
+        |  THEN least(255::BIGINT, floor(((x::DOUBLE - mn::DOUBLE) /
+        |        (mx::DOUBLE - mn::DOUBLE)) * 255.0)::BIGINT)
+        |  ELSE 0::BIGINT END AS code
+        |FROM p JOIN st USING (dim)""".stripMargin,
 
     "s_brute_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -82,4 +82,30 @@ class TextVectorsSpec extends SparkSpec {
     val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
     assert(df.select(Vectors.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
   }
+
+  test("randomProjection: deterministic signs, pinned association") {
+    import graft.operators.Similarity
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.randomProjection(df, "embedding", inDims = 4, outDims = 2)
+      .head()
+    val expected = (0 until 2).map { j =>
+      (0 until 4).map(i => Similarity.projSign(j, i, 4).toDouble * (i + 1))
+        .reduceLeft(_ + _) / math.sqrt(2.0)
+    }
+    assert(r.getDouble(1) == expected(0) && r.getDouble(2) == expected(1))
+  }
+
+  test("scalarQuantize: endpoints hit 0/255, degenerate dim codes 0") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Seq(0.0f, 7.0f)),
+      (2L, Seq(10.0f, 7.0f)),
+      (3L, Seq(5.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L), (2L, 0L, 255L), (3L, 0L, 127L),  // dim 0: 0..10
+      (1L, 1L, 0L), (2L, 1L, 0L), (3L, 1L, 0L)))     // dim 1 degenerate
+  }
 }
