@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, EwmAvg, NgramJaccard, NgramPolyHash}
+import graft.functions.{DotProduct, EwmAvg, LongArrayIntersectCount, NgramJaccard, NgramPolyHash}
 
 /** Spark extension entry point: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -69,6 +69,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("ngram_jaccard", children, 2, 3)
         NgramJaccard(children(0), children(1),
           if (children.length > 2) litInt(children(2), "n") else 3)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("array_intersect_count"),
+      new ExpressionInfo(classOf[LongArrayIntersectCount].getName,
+        "array_intersect_count"),
+      (children: Seq[Expression]) => {
+        arity("array_intersect_count", children, 2, 2)
+        LongArrayIntersectCount(children(0), children(1))
       }))
 
     ext.injectFunction((

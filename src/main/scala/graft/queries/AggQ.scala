@@ -338,6 +338,30 @@ object AggQ {
           coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
           col("g_rf"), col("g_ls"), col("n"), col("qty"))
+    }),
+
+    // A13/net-new: per-group OLS (closed form) in ONE hash-agg pass —
+    // the distributed "fit a line per key" primitive. Engine-portable
+    // by construction: x and y are integerized (quantity is
+    // integer-valued; floor(price) is exact on doubles), so every
+    // Σ is an exact BIGINT unaffected by summation order, and the only
+    // float ops are two correctly-rounded divisions at the end. Raw
+    // doubles emitted — bitwise identical cross-engine.
+    "a13_grouplr" -> ((s, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = floor(col("l_extendedprice")).cast("long")
+      val a = lineitem(s, dir).groupBy("l_suppkey").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val slope = num.cast("double") / den.cast("double")
+      a.select(col("l_suppkey"), col("n"),
+        when(den =!= 0, slope).as("slope"),
+        when(den =!= 0,
+          (col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double")).as("intercept"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -523,5 +547,20 @@ object AggQ {
         | GROUPING(l_returnflag)::BIGINT AS g_rf,
         | GROUPING(l_linestatus)::BIGINT AS g_ls,
         | count(*) AS n, round(sum(l_quantity), 2) AS qty
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a13_grouplr" ->
+      """WITH a AS (SELECT l_suppkey, count(*)::BIGINT AS n,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sx,
+        |  sum(floor(l_extendedprice)::BIGINT)::BIGINT AS sy,
+        |  sum((l_quantity::BIGINT) * (l_quantity::BIGINT))::BIGINT AS sxx,
+        |  sum((l_quantity::BIGINT) * (floor(l_extendedprice)::BIGINT))::BIGINT AS sxy
+        | FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, n,
+        | CASE WHEN (n*sxx - sx*sx) <> 0
+        |  THEN ((n*sxy - sx*sy)::DOUBLE) / ((n*sxx - sx*sx)::DOUBLE) END AS slope,
+        | CASE WHEN (n*sxx - sx*sx) <> 0
+        |  THEN (sy::DOUBLE - (((n*sxy - sx*sy)::DOUBLE) / ((n*sxx - sx*sx)::DOUBLE))
+        |        * sx::DOUBLE) / n::DOUBLE END AS intercept
+        |FROM a""".stripMargin)
 }

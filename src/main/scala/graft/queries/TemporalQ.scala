@@ -279,6 +279,32 @@ object TemporalQ {
         .select("event_id", "ref_event_id", "ref_value")
     }),
 
+    // W17/net-new: TIME-range rolling window (RANGE BETWEEN INTERVAL),
+    // complementing the row-count windows of w2: each event sees the
+    // trailing 10 minutes of its user's stream. Aggregates are
+    // restricted to order-free ones (count, max) — a windowed SUM of
+    // doubles would depend on intra-frame accumulation order, which is
+    // unstable under ts ties (determinism trap #4's windowed cousin).
+    // The frame is defined on MICROSECOND-truncated integer time on
+    // both sides: DuckDB's TIMESTAMP is micros internally (it
+    // truncates the file's nanos on read), so framing on raw nanos
+    // would flip membership for events within a micro of the 600 s
+    // boundary.
+    "w17_timerange" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(s"$dir/events.parquet")
+      // integer DIV: ts ~ 1.7e18 ns exceeds double's 2^53 — a float
+      // division here would corrupt low microseconds
+      val tus = expr("ts DIV 1000")
+      val tw = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-600L * 1000000L, 0L)
+      e.select(col("event_id"), col("user_id"), tus.as("ts_us"),
+          col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(tw).as("n_10m"),
+          max(col("value")).over(tw).as("max_10m"))
+    }),
+
     "m8_seqbuild" -> ((s, dir) => {
       // Sequence-tensor builder: trailing 8-observation window per
       // entity (`nn/nn-mps.py:566-665` in collect_list form). Output
@@ -336,6 +362,15 @@ object TemporalQ {
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "w17_timerange" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT event_id, user_id, ts_us,
+        | count(*) OVER w AS n_10m,
+        | max(value) OVER w AS max_10m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        | RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "w1_lag" ->
       s"""SELECT event_id, user_id, value,
          | lag(value, 1) $over) AS lag1,

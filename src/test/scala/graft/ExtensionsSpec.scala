@@ -26,6 +26,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(approx(r.getDouble(2), 1.0 / 3.0)) // {abcd,bcde} vs {bcde,cdef}
   }
 
+  test("array_intersect_count available in SQL") {
+    val r = spark.sql(
+      "SELECT array_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS c")
+      .head()
+    assert(r.getLong(0) == 2L)
+  }
+
   test("ewm_avg usable as a SQL window function") {
     spark.sql("""SELECT * FROM VALUES ('a', 1, 10.0), ('a', 2, 20.0), ('a', 3, 30.0)
       AS t(k, ts, v)""").createOrReplaceTempView("ewm_in")
