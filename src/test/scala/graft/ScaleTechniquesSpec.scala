@@ -151,4 +151,49 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(j.count() == 10000)
   }
+
+  test("randomProjection is a pure map stage: zero exchanges, codegen'd") {
+    // a real file scan — local rows constant-fold to a LocalTableScan
+    // and prove nothing
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = graft.operators.Similarity
+      .randomProjection(df, "embedding", inDims = 64, outDims = 8)
+    val shuffles = p.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"projection must not shuffle: $shuffles")
+    val codegen = p.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(codegen.nonEmpty, "unrolled sums must run inside codegen")
+  }
+
+  test("decontamination probe broadcasts the benchmark gram set") {
+    val train = (1L to 200L).map(i => (i, s"alpha beta gamma delta e$i f g h"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val f = graft.operators.Contamination
+      .flagContaminated(train, bench, "doc_id", "text", n = 5)
+    assert(f.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "bench gram set must broadcast — shuffling 100 TB of train grams " +
+        "against a MB-sized benchmark would be the wrong plan")
+    assert(f.count() == 200)
+  }
+
+  test("segmentDedup keeper decision shuffles ids+hashes, never the text") {
+    // The keeper aggregate must shuffle md5 hashes with (id, pos) —
+    // assert no shuffle WRITES a segment-text attribute. (Text still
+    // legitimately rides the (id,pos)-keyed semi join + reassembly.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (1L to 50L).map(i => (i, Seq(s"seg$i", "common-boilerplate")))
+        .toDF("doc_id", "segs")
+      val d = graft.operators.Dedup.segmentDedup(docs, "doc_id", col("segs"))
+      val hashShuffles = d.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name == "__h") => e
+      }
+      assert(hashShuffles.nonEmpty, "expected the keeper hash shuffle")
+      assert(hashShuffles.forall(!_.child.output.map(_.name).contains("__seg")),
+        "keeper shuffle must carry only (hash, id, pos), not segment text")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
