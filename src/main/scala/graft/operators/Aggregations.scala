@@ -46,6 +46,35 @@ object Aggregations {
   /** A4: group-mean imputation — null values replaced by the group
     * mean of the non-null values (window avg ignores nulls), with an
     * optional global fallback for all-null groups. */
+  /** Robust per-group outlier flagging by median absolute deviation:
+    * flag rows with |x − median| > k·MAD. The standard data-cleaning
+    * robust alternative to z-scores (immune to the outliers it hunts).
+    *
+    * Two exact-percentile aggregations (median, then MAD over the
+    * deviations) — per-group stats are tiny and broadcast back, so the
+    * big table is scanned twice but never shuffled on a non-key
+    * column. The flag compares 6-dp-rounded quantities: exact
+    * percentile interpolation is engine-portable only to a few ulp,
+    * and a RAW boundary comparison would let that drift flip flags.
+    *
+    * Returns one row per input row: (groups..., idCols..., med, mad,
+    * outlier). */
+  def madOutliers(df: DataFrame, groups: Seq[String], idCols: Seq[String],
+                  valueCol: String, k: Double): DataFrame = {
+    val med = df.groupBy(groups.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val dev = df.join(broadcast(med), groups)
+      .withColumn("__adev", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(groups.map(col): _*)
+      .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad), groups)
+      .select((groups ++ idCols).map(col) ++ Seq(
+        round(col("__med"), 6).as("med"),
+        round(col("__mad"), 6).as("mad"),
+        (round(col("__adev"), 6) > lit(k) * round(col("__mad"), 6))
+          .as("outlier")): _*)
+  }
+
   def imputeGroupMean(df: DataFrame, keys: Seq[String], cols: Seq[String],
                       fallback: Option[Double] = None): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)

@@ -340,6 +340,14 @@ object AggQ {
           col("g_rf"), col("g_ls"), col("n"), col("qty"))
     }),
 
+    // A14/net-new: robust MAD outlier flags per user (see
+    // Aggregations.madOutliers for the rounded-boundary design).
+    "a14_mad" -> ((s, dir) =>
+      graft.operators.Aggregations.madOutliers(
+        events(s, dir).select("event_id", "user_id", "value"),
+        groups = Seq("user_id"), idCols = Seq("event_id"),
+        valueCol = "value", k = 3.0)),
+
     // A13/net-new: per-group OLS (closed form) in ONE hash-agg pass —
     // the distributed "fit a line per key" primitive. Engine-portable
     // by construction: x and y are integerized (quantity is
@@ -548,6 +556,19 @@ object AggQ {
         | GROUPING(l_linestatus)::BIGINT AS g_ls,
         | count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a14_mad" ->
+      """WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY user_id),
+        |dev AS (SELECT e.event_id, e.user_id, m.med,
+        |  abs(e.value - m.med) AS adev
+        | FROM events e JOIN med m USING (user_id)),
+        |mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad
+        | FROM dev GROUP BY user_id)
+        |SELECT d.user_id, d.event_id, round(d.med, 6) AS med,
+        | round(m.mad, 6) AS mad,
+        | (round(d.adev, 6) > 3.0 * round(m.mad, 6)) AS outlier
+        |FROM dev d JOIN mad m USING (user_id)""".stripMargin,
 
     "a13_grouplr" ->
       """WITH a AS (SELECT l_suppkey, count(*)::BIGINT AS n,

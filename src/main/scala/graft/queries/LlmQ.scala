@@ -304,6 +304,20 @@ object LlmQ {
       Similarity.ivfTopK(e, "vec_id", "embedding", cents, "cid", "cemb",
           queryVec(s, dir), k = 10, nprobe = 2)
         .select(col("vec_id"), r6(col("cos")).as("cos"))
+    }),
+
+    // IVF with LEARNED centroids (MLlib KMeans — the centroid-quality
+    // seam the fixed-centroid queries take as given). Rows-only: the
+    // fit's float reductions are not engine-mirrorable; quality is
+    // asserted in ScalaTest (learned centroids >= naive recall).
+    "s_kmeans_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = graft.ml.IvfCentroids.learn(e, "embedding", k = 8,
+        seed = 42L, maxIter = 5)
+      Similarity.ivfAssign(e, "vec_id", "embedding",
+          cents, "centroid_id", "centroid")
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_vecs"))
     }))
 
   /** The search query vector: embedding of vec_id=0 — a 1-row driver

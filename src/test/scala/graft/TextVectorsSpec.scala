@@ -83,6 +83,26 @@ class TextVectorsSpec extends SparkSpec {
     assert(df.select(Vectors.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
   }
 
+  test("kmeans-learned IVF centroids: full probe == brute force, partial probe useful") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val learned = graft.ml.IvfCentroids.learn(e, "embedding", k = 8,
+      seed = 42L, maxIter = 5)
+    def got(nprobe: Int): Set[Long] =
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        learned, "centroid_id", "centroid", q, k = 10, nprobe = nprobe)
+        .collect().map(_.getLong(0)).toSet
+    // probing every cluster degrades to exact search — recall 1.0
+    assert(got(8) == truth)
+    // 2-of-8 probe keeps a useful fraction (blocking recall bound)
+    val r2 = (got(2) & truth).size.toDouble / truth.size
+    assert(r2 >= 0.5, s"nprobe=2 recall $r2")
+  }
+
   test("randomProjection: deterministic signs, pinned association") {
     import graft.operators.Similarity
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
