@@ -140,6 +140,22 @@ object TemporalQ {
           col("roll_n").cast("long").as("roll_n"))
     }),
 
+    // Stream-static enrichment: the streaming event feed joined
+    // against a broadcast static dimension — the canonical "enrich a
+    // firehose with reference data" production shape. Stateless
+    // (append mode, no watermark needed); the static side is planned
+    // once and broadcast into every micro-batch, so the stream never
+    // shuffles.
+    "w18_stream_enrich" -> ((s, dir) => {
+      val dim = events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("user_total"))
+      val enriched = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"))
+        .join(broadcast(dim), Seq("user_id"))
+      runStream(s, "w18_stream_enrich_sink", enriched)
+        .select(col("event_id"), col("user_id"), col("user_total"))
+    }),
+
     "w6_topk" -> ((s, dir) => {
       Temporal.topKPerGroup(
         events(s, dir).select("event_id", "user_id", "value"),
@@ -370,6 +386,12 @@ object TemporalQ {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         | RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w18_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.user_total
+        |FROM events e JOIN
+        | (SELECT user_id, count(*)::BIGINT AS user_total
+        |  FROM events GROUP BY user_id) c USING (user_id)""".stripMargin,
 
     "w1_lag" ->
       s"""SELECT event_id, user_id, value,
