@@ -233,7 +233,12 @@ object Dedup {
       array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
           s => s.getField("__seg")), sep).as("text_dedup"))
-    base.select(col("__id"), size(col("__segs")).cast("long").as("n_segments"))
+    // explicit null guard: a null segments array means "no segments"
+    // (0) — and size(null) is -1 under legacy sizeOfNull, null under
+    // ANSI, so neither raw form is total
+    base.select(col("__id"),
+        when(col("__segs").isNull, lit(0))
+          .otherwise(size(col("__segs"))).cast("long").as("n_segments"))
       .join(reassembled, Seq("__id"), "left")
       .select(col("__id").as(idCol), col("n_segments"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -89,8 +89,13 @@ object Sampling {
       ((lit(budgetFrac) * col("__n_total")) *
         (sqrt(col("__n_g").cast("double")) / col("__z"))) / col("__n_g"))
     val rates = counts.crossJoin(broadcast(z))
-      .select(col(groupCol), floor(rate * lit(1000000.0)).cast("long").as("rate_ppm"))
-    df.join(broadcast(rates), Seq(groupCol))
+      .select(col(groupCol).as("__g"),
+        floor(rate * lit(1000000.0)).cast("long").as("rate_ppm"))
+    // null-SAFE key match: groupBy treats null as a real group, so the
+    // rates table has a null-group row — a plain equi-join would
+    // silently drop those input rows instead of sampling them.
+    df.join(broadcast(rates), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("kept", pmod(key, lit(1000000L)) < col("rate_ppm"))
   }
 

@@ -38,6 +38,18 @@ class ContaminationSpec extends SparkSpec {
       (3L, 0L, 0L, "")))
   }
 
+  test("segmentDedup: null segments array behaves as zero segments") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, Some(Seq("x", "y"))),
+      (2L, Option.empty[Seq[String]])
+    ).toDF("doc_id", "segs")
+    val got = Dedup.segmentDedup(docs, "doc_id", col("segs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set((1L, 2L, 2L, "x y"), (2L, 0L, 0L, "")))
+  }
+
   test("flagContaminated counts distinct benchmark-overlapping grams") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams

@@ -36,6 +36,15 @@ class SamplingSpec extends SparkSpec {
     assert(keptBig == (0L until 900L).count(k => k % 1000000L < rates("big")))
   }
 
+  test("temperatureMixture: null group is a real group, not dropped") {
+    val df = Seq((Some("a"), 1L), (Some("a"), 2L), (None, 3L), (None, 4L))
+      .toDF("grp", "k")
+    val r = Sampling.temperatureMixture(df, "grp", col("k"), budgetFrac = 1.0)
+    assert(r.count() == 4, "null-group rows must survive the rates join")
+    // equal shares, budget 1.0 -> everything kept at rate 1.0
+    assert(r.filter(!col("kept")).isEmpty)
+  }
+
   test("stratifiedSample keeps exactly ceil(n*num/den) rows per stratum") {
     val df = (1 to 103).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
     val kept = Sampling.stratifiedSample(df, Seq(col("g")), Seq(col("id")), 1, 5)
