@@ -152,6 +152,41 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(j.count() == 10000)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The non-partition-column counterpart of DPP: when the dim side
+    // carries a selective predicate and the join key is not a
+    // partition column, Spark can inject a bloom-filter runtime filter
+    // so fact rows are dropped at the scan, before the shuffle. At
+    // 100 TB this is the difference between shuffling the full fact
+    // table and shuffling the ~matching slice.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    (1 to 200000).map(i => (i % 1000, i.toLong, i * 1.1))
+      .toDF("k", "id", "v").write.mode("overwrite").parquet(s"$dir/fact")
+    (0 until 1000).map(i => (i, s"g${i % 5}"))
+      .toDF("k", "g").write.mode("overwrite").parquet(s"$dir/dim")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // production default only arms the filter when the probe side scans
+    // >10GB — scale the threshold down to the fixture instead of the
+    // fixture up to 10GB
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim").filter(col("g") === "g1"), "k")
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter") || opt.contains("BloomFilter"),
+        s"expected an injected bloom runtime filter, plan:\n${opt.take(2000)}")
+      assert(j.count() == 40000)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("randomProjection is a pure map stage: zero exchanges, codegen'd") {
     // a real file scan — local rows constant-fold to a LocalTableScan
     // and prove nothing
