@@ -43,9 +43,6 @@ object Aggregations {
     "min" -> (c => min(c)),
     "max" -> (c => max(c)))
 
-  /** A4: group-mean imputation — null values replaced by the group
-    * mean of the non-null values (window avg ignores nulls), with an
-    * optional global fallback for all-null groups. */
   /** Robust per-group outlier flagging by median absolute deviation:
     * flag rows with |x − median| > k·MAD. The standard data-cleaning
     * robust alternative to z-scores (immune to the outliers it hunts).
@@ -53,21 +50,31 @@ object Aggregations {
     * Two exact-percentile aggregations (median, then MAD over the
     * deviations) — per-group stats are tiny and broadcast back, so the
     * big table is scanned twice but never shuffled on a non-key
-    * column. The flag compares 6-dp-rounded quantities: exact
-    * percentile interpolation is engine-portable only to a few ulp,
-    * and a RAW boundary comparison would let that drift flip flags.
+    * column. Stats joins are null-SAFE: groupBy emits a real stats row
+    * for a null group key, and a plain equi-join would silently drop
+    * those input rows. The flag compares 6-dp-rounded quantities:
+    * exact percentile interpolation is engine-portable only to a few
+    * ulp, and a RAW boundary comparison would let that drift flip
+    * flags.
     *
     * Returns one row per input row: (groups..., idCols..., med, mad,
     * outlier). */
   def madOutliers(df: DataFrame, groups: Seq[String], idCols: Seq[String],
                   valueCol: String, k: Double): DataFrame = {
+    def joinStats(left: DataFrame, stats: DataFrame): DataFrame = {
+      val renamed = groups.foldLeft(stats)((d, g) =>
+        d.withColumnRenamed(g, s"__r_$g"))
+      val cond = groups.map(g => col(g) <=> col(s"__r_$g")).reduce(_ && _)
+      groups.foldLeft(left.join(broadcast(renamed), cond))(
+        (d, g) => d.drop(s"__r_$g"))
+    }
     val med = df.groupBy(groups.map(col): _*)
       .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
-    val dev = df.join(broadcast(med), groups)
+    val dev = joinStats(df, med)
       .withColumn("__adev", abs(col(valueCol) - col("__med")))
     val mad = dev.groupBy(groups.map(col): _*)
       .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
-    dev.join(broadcast(mad), groups)
+    joinStats(dev, mad)
       .select((groups ++ idCols).map(col) ++ Seq(
         round(col("__med"), 6).as("med"),
         round(col("__mad"), 6).as("mad"),
@@ -75,6 +82,9 @@ object Aggregations {
           .as("outlier")): _*)
   }
 
+  /** A4: group-mean imputation — null values replaced by the group
+    * mean of the non-null values (window avg ignores nulls), with an
+    * optional global fallback for all-null groups. */
   def imputeGroupMean(df: DataFrame, keys: Seq[String], cols: Seq[String],
                       fallback: Option[Double] = None): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)

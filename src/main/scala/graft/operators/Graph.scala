@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * contracts toward a star forest in O(log n) rounds.
   *
   * Scale notes:
-  *  - each round's state is ONE (src, dst) edge table, cached and
-  *    unpersisted as soon as the next round is materialized — peak
-  *    memory is two edge sets, not the closure;
+  *  - each round's state is ONE (src, dst) edge table; superseded
+  *    rounds are reclaimed by Spark's ContextCleaner once the driver
+  *    drops the reference (deferred, GC-paced — a production run on a
+  *    huge graph should configure a reliable checkpoint dir and use
+  *    checkpoint(), which also bounds executor storage directly);
   *  - the convergence check is an exact set comparison (two left-anti
   *    counts) on the cached tables — no driver-side data movement;
   *  - hot nodes (a component min with millions of members) appear only

@@ -62,7 +62,9 @@ object Sampling {
     * IEEE correctly-rounded (bitwise-identical in any engine), the
     * cross-group normalizer is folded in SORTED group order over a
     * collected (tiny: one row per group) list so summation order is
-    * fixed, and the per-row keep decision is an INTEGER comparison
+    * fixed (array_sort places a null group key FIRST — a mirroring
+    * engine must sort NULLS FIRST too), and the per-row keep decision
+    * is an INTEGER comparison
     * `pmod(key, 1e6) < floor(rate·1e6)`. The general-temperature
     * exponent is deliberately not offered: pow() is not
     * correctly-rounded and its cross-engine drift would land keep

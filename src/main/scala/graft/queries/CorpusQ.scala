@@ -142,9 +142,13 @@ object CorpusQ {
       val tf = d.select(col("doc_id"),
           explode(Text.tokens(Text.normalizeAz(col("text")))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // dfreq is one row per DISTINCT TERM — unbounded at corpus scale
+      // (noise vocabulary reaches 1e8+), so no broadcast hint: tf is
+      // already keyed by term and the shuffle join is the right shape.
+      // Only the 1-row global count broadcasts.
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = d.agg(count(lit(1)).as("__N"))
-      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           r6(col("tf") * log(col("__N").cast("double") / col("df"))).as("tfidf"))
     }),
@@ -249,7 +253,7 @@ object CorpusQ {
       s"""WITH counts AS (SELECT lang, count(*)::BIGINT AS n_g FROM documents GROUP BY lang),
          |z AS (SELECT sum(n_g)::BIGINT AS n_total,
          |  list_reduce(list_prepend(0.0,
-         |    list_transform(list(n_g ORDER BY lang), x -> sqrt(x::DOUBLE))),
+         |    list_transform(list(n_g ORDER BY lang NULLS FIRST), x -> sqrt(x::DOUBLE))),
          |    (a, b) -> a + b) AS z
          | FROM counts),
          |rates AS (SELECT lang,
@@ -259,7 +263,7 @@ object CorpusQ {
          |norm AS (SELECT doc_id, lang, $NormSql AS t FROM documents)
          |SELECT doc_id, norm.lang, rate_ppm,
          | (${foldSql("t")} % 1000000) < rate_ppm AS kept
-         |FROM norm JOIN rates ON norm.lang = rates.lang""".stripMargin,
+         |FROM norm JOIN rates ON norm.lang IS NOT DISTINCT FROM rates.lang""".stripMargin,
 
     "t_tfidf" ->
       s"""WITH $TokCte,

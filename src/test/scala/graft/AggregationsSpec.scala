@@ -59,4 +59,18 @@ class AggregationsSpec extends SparkSpec {
     assert(!out.isNullAt(0) && !out.isNullAt(1))
     assert(approx(out.getDouble(0) - 5.0, -(out.getDouble(1) - 5.0), 1e-9))
   }
+
+  test("madOutliers: one row per input row, null group included; flags correct") {
+    import graft.operators.Aggregations
+    val df = Seq(
+      (Some("g"), 1L, 10.0), (Some("g"), 2L, 11.0), (Some("g"), 3L, 10.5),
+      (Some("g"), 4L, 99.0),                      // far outlier
+      (Option.empty[String], 5L, 1.0), (Option.empty[String], 6L, 2.0)
+    ).toDF("grp", "id", "v")
+    val r = Aggregations.madOutliers(df, Seq("grp"), Seq("id"), "v", k = 3.0)
+    assert(r.count() == 6, "null-group rows must survive the stats joins")
+    val flags = r.collect().map(x => x.getLong(1) -> x.getBoolean(4)).toMap
+    assert(flags(4L), "the 99.0 point must flag")
+    assert(!flags(1L) && !flags(5L) && !flags(6L))
+  }
 }

@@ -22,18 +22,22 @@ class SamplingSpec extends SparkSpec {
     // 900 'big' rows vs 100 'small': shares flatten to 3:1, budget 0.5
     // of 1000 = 500 → big rate = 500*0.75/900 ≈ 0.4167, small =
     // 500*0.25/100 = 1.25 → capped to 1 (small keeps everything).
-    val df = ((0L until 900L).map(i => ("big", i)) ++
-      (900L until 1000L).map(i => ("small", i))).toDF("grp", "k")
+    // keys stride by 1543 so they SPAN the ppm space — consecutive
+    // 0..899 would all sit below the threshold and never exercise the
+    // keep boundary
+    val df = ((0L until 900L).map(i => ("big", i * 1543L)) ++
+      (900L until 1000L).map(i => ("small", i * 1543L))).toDF("grp", "k")
     val r = Sampling.temperatureMixture(df, "grp", col("k"), budgetFrac = 0.5)
     val rates = r.select("grp", "rate_ppm").distinct()
       .as[(String, Long)].collect().toMap
     assert(rates("small") == 1000000L)
     assert(math.abs(rates("big") - 416666L) <= 1)
     // every small-group row kept; big-group keep decision is the
-    // integer hash threshold
+    // integer hash threshold, and both sides of the boundary occur
     assert(r.filter(col("grp") === "small" && !col("kept")).isEmpty)
     val keptBig = r.filter(col("grp") === "big" && col("kept")).count()
-    assert(keptBig == (0L until 900L).count(k => k % 1000000L < rates("big")))
+    val expected = (0L until 900L).count(i => (i * 1543L) % 1000000L < rates("big"))
+    assert(keptBig == expected && keptBig > 0 && keptBig < 900)
   }
 
   test("temperatureMixture: null group is a real group, not dropped") {
