@@ -56,6 +56,26 @@ object IoQ {
           length(col("text")).cast("long").as("text_len"))
     }),
 
+    // S9/net-new: schema evolution across shards — an old-schema shard
+    // and a new-schema shard (added column) unify under mergeSchema,
+    // with the missing column null-filled. The production reality of
+    // any long-lived 100 TB dataset: writers upgrade, readers must
+    // keep consuming every vintage. The fill sentinel keeps the
+    // output hash-comparable.
+    "s9_mergeschema" -> ((s, dir) => {
+      val base = scratchDir("graft_evolve")
+      val d = documents(s, dir)
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      d.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_chars"), lit(-1L)).as("n_chars_filled"))
+    }),
+
     // S7: partitioned parquet layout + partition-pruned read-back.
     // partitionBy(lang) gives directory-level pruning: the lang filter
     // is satisfied by listing, not scanning — at 100 TB the difference
@@ -166,6 +186,12 @@ object IoQ {
 
     "s7_partitioned" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+
+    "s9_mergeschema" ->
+      """SELECT doc_id, lang,
+        | (CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars END)::BIGINT
+        |   AS n_chars_filled
+        |FROM documents""".stripMargin,
 
     "s8_orc" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -156,6 +156,36 @@ object TemporalQ {
         .select(col("event_id"), col("user_id"), col("user_total"))
     }),
 
+    // Spark 4 transformWithState (the arbitrary-state successor of
+    // [flat]mapGroupsWithState): running per-key count+max through a
+    // StatefulProcessor with RocksDB-backed ValueState — the modern
+    // state API a long-lived 100 TB streaming job should target (state
+    // off-heap in RocksDB, changelog checkpointing, TTL support). One
+    // output row per key for the AvailableNow batch; aggregates are
+    // order-free so the result is deterministic and oracled.
+    "w19_stateful_v2" -> ((s, dir) => {
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val out = obsStream(s, dir)
+          .groupByKey(_.key)
+          .transformWithState(new graft.streaming.KeyStatsProcessor,
+            TimeMode.None(), OutputMode.Append())
+        runStream(s, "w19_stateful_v2_sink", out)
+          .select(col("key").cast("long").as("user_id"),
+            col("n"), col("max_value"))
+      } finally prev match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     "w6_topk" -> ((s, dir) => {
       Temporal.topKPerGroup(
         events(s, dir).select("event_id", "user_id", "value"),
@@ -386,6 +416,10 @@ object TemporalQ {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         | RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w19_stateful_v2" ->
+      """SELECT user_id, count(*)::BIGINT AS n, max(value) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "w18_stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.user_total

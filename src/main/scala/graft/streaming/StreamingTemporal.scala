@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming variants of the temporal operators (net-new;
   * the reference is pure batch — SURVEY §2.10): the same EMA / rolling
@@ -23,6 +24,33 @@ case class RollOut(key: String, ts: Long, id: Long, value: Double,
                    roll_mean: Double, roll_n: Int)
 case class EmaState(ema: Double)
 case class RollState(recent: List[Double])
+case class KeyStats(key: String, n: Long, max_value: Double)
+
+/** Spark 4 arbitrary-state API ([[StatefulProcessor]]) — running
+  * per-key count + max, emitted once per key per micro-batch. The
+  * aggregates are ORDER-FREE (count, max), so the emitted values are
+  * deterministic regardless of intra-batch row order — the property
+  * the EMA/rolling processors have to buy with an explicit sort.
+  * Top-level class: processors are serialized to executors. */
+class KeyStatsProcessor extends StatefulProcessor[String, Obs, KeyStats] {
+  @transient private var nState: ValueState[Long] = _
+  @transient private var maxState: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    maxState = getHandle.getValueState[Double]("mx", Encoders.scalaDouble, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[Obs],
+                               timerValues: TimerValues): Iterator[KeyStats] = {
+    var n = if (nState.exists()) nState.get() else 0L
+    var mx = if (maxState.exists()) maxState.get() else Double.NegativeInfinity
+    rows.foreach { r => n += 1; mx = math.max(mx, r.value) }
+    nState.update(n)
+    maxState.update(mx)
+    Iterator.single(KeyStats(key, n, mx))
+  }
+}
 
 object StreamingTemporal {
 

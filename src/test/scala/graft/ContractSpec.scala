@@ -36,7 +36,7 @@ class ContractSpec extends SparkSpec {
   test("oracle coverage: only the MLlib-fit queries lack oracle SQL") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("m2_gbt", "e1_tree_ensemble", "m5_ridge",
-      "s5_artifacts", "m8_scorer"))
+      "s5_artifacts", "m8_scorer", "s_kmeans_ivf"))
   }
 
   test("flagship entry returns rows on the smoke scale factor") {

@@ -34,6 +34,31 @@ class StreamingSpec extends SparkSpec {
     assert(approx(r(3), 7.0))
   }
 
+  test("transformWithState: running count/max continues across micro-batches") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val feed = MemoryStream[Obs]
+      val out = feed.toDS().groupByKey(_.key)
+        .transformWithState(new graft.streaming.KeyStatsProcessor,
+          TimeMode.None(), OutputMode.Append())
+      runBatches(out, "tws_out", feed, Seq(
+        Seq(Obs("a", 1, 1, 10.0), Obs("a", 2, 2, 30.0)),
+        Seq(Obs("a", 3, 3, 20.0), Obs("b", 1, 4, 7.0))))
+      // append mode emits one row per key per batch; the LAST row per
+      // key carries the full running state (RocksDB ValueState)
+      val r = spark.table("tws_out").groupBy("key")
+        .agg(max("n").as("n"), max("max_value").as("mx"))
+        .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2)))
+        .toMap
+      assert(r("a") == (3L, 30.0), s"state must continue across batches: $r")
+      assert(r("b") == (1L, 7.0))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming rolling mean keeps only k values of state") {
     implicit val sq = spark.sqlContext
     val feed = MemoryStream[Obs]
