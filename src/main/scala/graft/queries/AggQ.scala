@@ -340,6 +340,25 @@ object AggQ {
           col("g_rf"), col("g_ls"), col("n"), col("qty"))
     }),
 
+    // A15/net-new: approximate-quantile ERROR-BOUND oracle. The sketch
+    // value itself is engine-specific (not mirrorable), but its
+    // accuracy contract is: with accuracy A, the result must sit
+    // within rank-error N/A of the exact quantile. We emit the exact
+    // p50 plus a boolean asserting the sketch landed within the
+    // rank-tolerance VALUE window — deterministically TRUE in both
+    // engines unless the sketch breaks its bound, which is exactly
+    // what makes an approximate algorithm hash-checkable.
+    "a15_approxq" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id").agg(
+        r6(percentile(col("value"), lit(0.5))).as("p50_exact"),
+        // accuracy 100 bounds rank error by ceil(n/100) ≈ 1 rank for
+        // these group sizes; the exact 0.4/0.6 quantiles are ~±6 ranks
+        // out, so a contract-keeping sketch ALWAYS lands inside
+        percentile_approx(col("value"), lit(0.5), lit(100))
+          .between(percentile(col("value"), lit(0.4)),
+            percentile(col("value"), lit(0.6))).as("within_bounds"),
+        count(lit(1)).as("n"))),
+
     // A14/net-new: robust MAD outlier flags per user (see
     // Aggregations.madOutliers for the rounded-boundary design).
     "a14_mad" -> ((s, dir) =>
@@ -556,6 +575,11 @@ object AggQ {
         | GROUPING(l_linestatus)::BIGINT AS g_ls,
         | count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a15_approxq" ->
+      """SELECT user_id, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        | TRUE AS within_bounds, count(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "a14_mad" ->
       """WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
