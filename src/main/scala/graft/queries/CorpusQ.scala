@@ -125,6 +125,19 @@ object CorpusQ {
         .orderBy(col("n_docs").desc, col("gram"))
         .limit(20)),
 
+    // Bottom-k priority sampling: the k docs with the smallest content
+    // -hash priorities — a deterministic uniform sample that is
+    // MERGEABLE (each partition keeps its local bottom-k, the reduce
+    // merges; Spark's orderBy+limit executes exactly that TakeOrdered
+    // plan). The scale-path way to sample 100 TB without a shuffle of
+    // everything: only k rows per partition move.
+    "t_bottomk" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          Text.polyHash(Text.normalizeAz(col("text"))).as("pri"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(50)),
+
     // Temperature mixture sampling: sqrt-flattened language shares,
     // keep decision = integer hash threshold (see
     // Sampling.temperatureMixture for the bitwise-portability design).
@@ -248,6 +261,11 @@ object CorpusQ {
          |e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
          |SELECT gram, count(*)::BIGINT AS n_docs FROM e
          |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+
+    "t_bottomk" ->
+      s"""WITH p AS (SELECT doc_id, ${foldSql("t")} AS pri
+         |  FROM (SELECT doc_id, $NormSql AS t FROM documents))
+         |SELECT doc_id, pri FROM p ORDER BY pri, doc_id LIMIT 50""".stripMargin,
 
     "t_mixture" ->
       s"""WITH counts AS (SELECT lang, count(*)::BIGINT AS n_g FROM documents GROUP BY lang),
