@@ -60,6 +60,31 @@ class GraphSpec extends SparkSpec {
     assert(got.size == n && got.values.forall(_ == 1L))
   }
 
+  test("scale smoke: dupClusters at 16x with planted duplicate structure") {
+    import org.apache.spark.sql.functions._
+    // 16 identical copies of each base doc (disjoint id ranges): every
+    // base text must resolve to ONE cluster of exactly 16 with the
+    // minimum id as representative.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 30)
+      .dropDuplicates("text")
+      .limit(40).cache()
+    val nBase = base.count()
+    val big = (0 until 16).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_))
+    val clusters = graft.operators.Graph
+      .dupClusters(big, "doc_id", "text", threshold = 0.9, bandRows = 6)
+    val sizes = clusters.groupBy("cluster_rep")
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.size == nBase, s"expected $nBase clusters, got ${sizes.size}")
+    assert(sizes.values.forall(_ == 16L), "every cluster must have all 16 copies")
+    assert(sizes.keys.forall(_ < 1000000L), "rep must be the copy-0 (minimum) id")
+    base.unpersist()
+  }
+
   test("dupClusters: transitive chain resolved, singletons kept") {
     // 1~2 and 2~3 are near-dups but 1~3 may not pair directly; all
     // three must share one cluster_rep = 1. Doc 4 is a singleton.
