@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Sessions
+import Q._
+
+/** Event-log analytics over the `events` table: batch sessionization,
+  * cohort retention, staged funnels (operators/Sessions.scala).
+  * Net-new vs the reference (SURVEY §2.11) — the batch reprocessing
+  * twins of the streaming session/window queries.
+  *
+  * Determinism: all timestamp math is integer epoch-micros (`ts DIV
+  * 1000` from the nanos parquet — trap #9 in the verify skill), value
+  * sums are exact cents (trap #1), orderings carry an `event_id`
+  * tiebreak. Nothing here emits an unrounded float.
+  */
+object EventsQ {
+
+  /** Raw events with integer epoch-micros ts — the shared scan. */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+  }
+
+  private val GapUs = 600L * 1000000L // 10 minutes
+
+  val queries: Map[String, Q.QueryFn] = Map(
+    "w20_sessionize" -> ((s, dir) => {
+      // Gap-based sessionization (gap > 10 min ⇒ new session) +
+      // per-session summary; one shuffle on user_id end-to-end.
+      val e = eventsUs(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      Sessions.sessionize(e, col("user_id"), col("ts_us"),
+          col("event_id"), GapUs)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          sum(col("cents")).as("value_cents"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+    }),
+
+    "a16_retention" -> ((s, dir) => {
+      // Weekly cohort retention: cohort = user's first epoch-week,
+      // n_active = distinct users per (cohort, week offset).
+      val weekUs = 7L * 86400L * 1000000L
+      val e = eventsUs(s, dir)
+        .withColumn("week", expr(s"ts_us DIV $weekUs"))
+      Sessions.retention(e, col("user_id"), col("week"))
+        .orderBy("cohort", "offset")
+    }),
+
+    "j12_funnel" -> ((s, dir) => {
+      // Strictly-ordered view → click → purchase funnel: stage i
+      // counts a user only if its first qualifying ts is at-or-after
+      // stage i-1's.
+      Sessions.funnel(eventsUs(s, dir), col("user_id"), col("ts_us"),
+        col("event_type"), Seq("view", "click", "purchase"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "w20_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+        |   (PARTITION BY user_id ORDER BY ts_us, event_id) > 600000000
+        |   OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |   IS NULL THEN 1 ELSE 0 END AS is_new FROM e),
+        |x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |   CURRENT ROW) AS BIGINT) AS session_idx FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us,
+        | CAST(sum(cents) AS BIGINT) AS value_cents,
+        | max(ts_us) - min(ts_us) AS duration_us
+        |FROM x GROUP BY user_id, session_idx""".stripMargin,
+
+    "a16_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |c AS (SELECT *, min(week) OVER (PARTITION BY user_id) AS cohort
+        |  FROM e)
+        |SELECT cohort, week - cohort AS "offset",
+        | count(DISTINCT user_id) AS n_active
+        |FROM c GROUP BY cohort, week - cohort
+        |ORDER BY cohort, "offset"""".stripMargin,
+
+    "j12_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type AS typ
+        |  FROM events),
+        |f0 AS (SELECT *, min(CASE WHEN typ = 'view' THEN ts END)
+        |  OVER (PARTITION BY user_id) AS first_0 FROM e),
+        |f1 AS (SELECT *, min(CASE WHEN typ = 'click' AND ts >= first_0
+        |  THEN ts END) OVER (PARTITION BY user_id) AS first_1 FROM f0),
+        |f2 AS (SELECT *, min(CASE WHEN typ = 'purchase' AND ts >= first_1
+        |  THEN ts END) OVER (PARTITION BY user_id) AS first_2 FROM f1),
+        |k AS (SELECT user_id, max(first_0) AS first_0,
+        |  max(first_1) AS first_1, max(first_2) AS first_2
+        |  FROM f2 GROUP BY user_id),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN first_0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+        |  CAST(sum(CASE WHEN first_1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+        |  CAST(sum(CASE WHEN first_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_2
+        |  FROM k)
+        |SELECT s.stage_idx, s.stage,
+        | CASE s.stage_idx WHEN 0 THEN n_0 WHEN 1 THEN n_1 ELSE n_2 END AS n_keys
+        |FROM a, (VALUES (CAST(0 AS BIGINT), 'view'), (1, 'click'),
+        |  (2, 'purchase')) AS s(stage_idx, stage)""".stripMargin)
+}
