@@ -94,4 +94,88 @@ object Aggregations {
       d.withColumn(c, imputed)
     }
   }
+
+  /** EXACT lower quantile cut points of `c` at probabilities
+    * `num_i/den`, as ONE row of columns `cut_0..cut_{k-1}` (cut_i =
+    * smallest value whose cumulative count reaches ceil(n·num_i/den)
+    * — type-7-discrete / `quantile_disc` semantics, an actual data
+    * value, so the result is bitwise engine-portable with no
+    * rounding).
+    *
+    * Scale shape: the table is first compressed to DISTINCT values
+    * with counts (one hash-agg shuffle), and only that compressed
+    * table rides the single-partition cumulative window — for feature
+    * columns with bounded cardinality (prices, scores) this is tiny
+    * regardless of row count. For genuinely continuous 100 TB columns
+    * fit on a sample, or use approx_percentile; this is the exact
+    * path a discretizer FIT wants.
+    */
+  def exactQuantileCuts(df: DataFrame, c: Column,
+                        probs: Seq[Int], den: Int): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= den))
+    val counted = df.select(c.as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val cum = counted.select(col("v"),
+      sum(col("cnt")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .as("cum"),
+      sum(col("cnt")).over(Window.partitionBy()).as("n"))
+    // cum >= ceil(n·p/den)  ⟺  cum·den >= n·p  (exact integers)
+    val cuts = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") * den >= col("n") * p, col("v")))
+        .as(s"cut_$i")
+    }
+    cum.agg(cuts.head, cuts.tail: _*)
+  }
+
+  /** Discretizer TRANSFORM: assigns `bin` = number of fitted cut
+    * points strictly below the value (0..k). The one-row `cuts` frame
+    * is a broadcast parameter join — no shuffle on `df`.
+    */
+  def binByCuts(df: DataFrame, c: Column, cuts: DataFrame,
+                k: Int): DataFrame = {
+    val bin = (0 until k).map(i =>
+      when(c > col(s"cut_$i"), 1L).otherwise(0L)).reduce(_ + _)
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin)
+      .drop((0 until k).map(i => s"cut_$i"): _*)
+  }
+
+  /** Pairwise Pearson correlation matrix per group from EXACT integer
+    * co-moments: every input must already be an integer-scaled column
+    * (cents, percent ticks …) so the grouped sums are exact BIGINTs
+    * and corr = (n·sxy − sx·sy) / (√(n·sxx−sx²)·√(n·syy−sy²)) is a
+    * fixed tree of correctly-rounded double ops — bitwise
+    * engine-portable, no rounding (verify-skill trap #10; same recipe
+    * as the per-group OLS). One hash-agg shuffle total for ALL pairs.
+    * Callers must keep n·Σx² below 2^63 (scale the integerization
+    * accordingly).
+    */
+  def integerCorrMatrix(df: DataFrame, keys: Seq[String],
+                        vars: Seq[(String, Column)]): DataFrame = {
+    require(vars.size >= 2)
+    val moments =
+      vars.map { case (n, c) => sum(c).as(s"s_$n") } ++
+        (for (i <- vars.indices; j <- i until vars.size) yield {
+          val (ni, ci) = vars(i); val (nj, cj) = vars(j)
+          sum(ci * cj).as(s"s_${ni}_$nj")
+        })
+    val a = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), moments: _*)
+    val corrs = for (i <- vars.indices; j <- (i + 1) until vars.size)
+      yield {
+        val (ni, _) = vars(i); val (nj, _) = vars(j)
+        val num = col("n") * col(s"s_${ni}_$nj") -
+          col(s"s_$ni") * col(s"s_$nj")
+        val vi = col("n") * col(s"s_${ni}_$ni") -
+          col(s"s_$ni") * col(s"s_$ni")
+        val vj = col("n") * col(s"s_${nj}_$nj") -
+          col(s"s_$nj") * col(s"s_$nj")
+        when(vi > 0 && vj > 0,
+          num.cast("double") /
+            (sqrt(vi.cast("double")) * sqrt(vj.cast("double"))))
+          .as(s"corr_${ni}_$nj")
+      }
+    a.select((keys.map(col) :+ col("n")) ++ corrs: _*)
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.metrics.Score
+import graft.operators.Aggregations
 import Q._
 
 /** Registered queries for the aggregation/join/set operators (SURVEY
@@ -389,6 +390,33 @@ object AggQ {
         when(den =!= 0,
           (col("sy").cast("double") - slope * col("sx").cast("double")) /
             col("n").cast("double")).as("intercept"))
+    }),
+
+    // A17/net-new: exact quantile-binning discretizer — FIT quartile
+    // cut points (distinct-value compression + cumulative counts, an
+    // actual data value per cut ⇒ bitwise portable), then TRANSFORM
+    // by broadcast-joining the one-row cuts frame. The exact twin of
+    // MLlib's approximate QuantileDiscretizer.
+    "a17_binning" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val cuts = Aggregations.exactQuantileCuts(
+        li, col("l_extendedprice"), Seq(1, 2, 3), 4)
+      Aggregations.binByCuts(
+          li.select(col("l_orderkey"), col("l_linenumber").cast("long"),
+            col("l_extendedprice").as("price")),
+          col("price"), cuts, 3)
+    }),
+
+    // A18/net-new: per-group Pearson correlation matrix from exact
+    // integer co-moments (quantity units, price dollars, discount
+    // ticks) — raw unrounded doubles hash-match because every output
+    // is a fixed tree of correctly-rounded ops over exact BIGINTs.
+    "a18_corrmat" -> ((s, dir) => {
+      Aggregations.integerCorrMatrix(
+        lineitem(s, dir), Seq("l_suppkey"), Seq(
+          "qty" -> col("l_quantity").cast("long"),
+          "price" -> floor(col("l_extendedprice")).cast("long"),
+          "disc" -> round(col("l_discount") * 100).cast("long")))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -607,5 +635,50 @@ object AggQ {
         | CASE WHEN (n*sxx - sx*sx) <> 0
         |  THEN (sy::DOUBLE - (((n*sxy - sx*sy)::DOUBLE) / ((n*sxx - sx*sx)::DOUBLE))
         |        * sx::DOUBLE) / n::DOUBLE END AS intercept
+        |FROM a""".stripMargin,
+
+    "a17_binning" ->
+      """WITH d AS (SELECT l_extendedprice AS v, count(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY v),
+        |cum AS (SELECT v,
+        |  sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)::BIGINT AS cum,
+        |  (SELECT count(l_extendedprice) FROM lineitem)::BIGINT AS n
+        | FROM d),
+        |cuts AS (SELECT
+        |  min(CASE WHEN cum*4 >= n*1 THEN v END) AS cut_0,
+        |  min(CASE WHEN cum*4 >= n*2 THEN v END) AS cut_1,
+        |  min(CASE WHEN cum*4 >= n*3 THEN v END) AS cut_2 FROM cum)
+        |SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        | l_extendedprice AS price,
+        | ((CASE WHEN l_extendedprice > cut_0 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN l_extendedprice > cut_1 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN l_extendedprice > cut_2 THEN 1 ELSE 0 END))::BIGINT AS bin
+        |FROM lineitem, cuts""".stripMargin,
+
+    "a18_corrmat" ->
+      """WITH t AS (SELECT l_suppkey,
+        |  l_quantity::BIGINT AS x,
+        |  floor(l_extendedprice)::BIGINT AS y,
+        |  round(l_discount * 100)::BIGINT AS z FROM lineitem),
+        |a AS (SELECT l_suppkey, count(*)::BIGINT AS n,
+        |  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(z)::BIGINT AS sz,
+        |  sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy,
+        |  sum(x*z)::BIGINT AS sxz, sum(y*y)::BIGINT AS syy,
+        |  sum(y*z)::BIGINT AS syz, sum(z*z)::BIGINT AS szz
+        | FROM t GROUP BY l_suppkey)
+        |SELECT l_suppkey, n,
+        | CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |  ((n*sxy - sx*sy)::DOUBLE) /
+        |  (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+        | END AS corr_qty_price,
+        | CASE WHEN (n*sxx - sx*sx) > 0 AND (n*szz - sz*sz) > 0 THEN
+        |  ((n*sxz - sx*sz)::DOUBLE) /
+        |  (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*szz - sz*sz)::DOUBLE))
+        | END AS corr_qty_disc,
+        | CASE WHEN (n*syy - sy*sy) > 0 AND (n*szz - sz*sz) > 0 THEN
+        |  ((n*syz - sy*sz)::DOUBLE) /
+        |  (sqrt((n*syy - sy*sy)::DOUBLE) * sqrt((n*szz - sz*sz)::DOUBLE))
+        | END AS corr_price_disc
         |FROM a""".stripMargin)
 }
