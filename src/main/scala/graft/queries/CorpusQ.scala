@@ -182,6 +182,43 @@ object CorpusQ {
             slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))), 1, 50),
             s => concat_ws(":", s.getField("doc_id"), s.getField("tf"))),
           " ").as("postings"))
+    }),
+
+    // Tokenizer-vocabulary build: top-V tokens by corpus frequency
+    // with dense ids, ties broken lexicographically so the id
+    // assignment is total-order deterministic. The global row_number
+    // runs on the AGGREGATED vocab (tiny), never the token stream.
+    "t_vocab" -> ((s, dir) => {
+      val counts = documents(s, dir)
+        .select(explode(Text.tokens(Text.normalizeAz(col("text"))))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      counts.select(col("token"), col("n"),
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("token")))
+            .cast("long").as("token_id"))
+        .filter(col("token_id") <= 200)
+    }),
+
+    // CCNet-style frequency scoring: per doc, the mean corpus
+    // frequency of its tokens (common-token docs score high, rare
+    // -token docs low — the cheap unigram-LM quality proxy). All
+    // counts are exact integers; the score is ONE division of exact
+    // BIGINTs → bitwise portable, emitted raw. Token streams are
+    // compressed to (doc, token, cnt) before any join.
+    "t_commonness" -> ((s, dir) => {
+      val dt = documents(s, dir)
+        .select(col("doc_id"),
+          explode(Text.tokens(Text.normalizeAz(col("text")))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val freq = dt.groupBy("token").agg(sum("cnt").as("freq"))
+      dt.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("freq")).as("sum_freq"))
+        .withColumn("commonness",
+          col("sum_freq").cast("double") / col("n_tokens").cast("double"))
     }))
 
   // Mirrors LlmQ's CTE builders over the pipeline's intermediate sets
@@ -302,6 +339,28 @@ object CorpusQ {
          |   list_slice(list({'d': doc_id, 'f': tf} ORDER BY doc_id), 1, 50),
          |   s -> s.d::VARCHAR || ':' || s.f::VARCHAR), ' ') AS postings
          |FROM tf GROUP BY term""".stripMargin,
+
+    "t_vocab" ->
+      s"""WITH $TokCte,
+         |e AS (SELECT unnest(toks) AS token FROM tok),
+         |c AS (SELECT token, count(*)::BIGINT AS n FROM e GROUP BY token),
+         |r AS (SELECT token, n,
+         |  row_number() OVER (ORDER BY n DESC, token)::BIGINT AS token_id
+         | FROM c)
+         |SELECT token, n, token_id FROM r WHERE token_id <= 200""".stripMargin,
+
+    "t_commonness" ->
+      s"""WITH $TokCte,
+         |e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+         |dt AS (SELECT doc_id, token, count(*)::BIGINT AS cnt
+         |  FROM e GROUP BY doc_id, token),
+         |f AS (SELECT token, sum(cnt)::BIGINT AS freq FROM dt GROUP BY token),
+         |a AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+         |  sum(cnt * freq)::BIGINT AS sum_freq
+         | FROM dt JOIN f USING (token) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, sum_freq,
+         | (sum_freq::DOUBLE) / (n_tokens::DOUBLE) AS commonness
+         |FROM a""".stripMargin,
 
     "d_components" ->
       s"""WITH RECURSIVE
