@@ -105,6 +105,31 @@ object IoQ {
           max(col("l_orderkey")).as("max_key"))
     }),
 
+    // S10/net-new: BUCKETED table sink + source — the 100 TB
+    // co-location tool: both join sides hash-bucketed and sorted on
+    // the join key at WRITE time, so the join needs no exchange and
+    // no sort at READ time, on every downstream run (amortized across
+    // the fleet of queries that join these tables). Plan-level proof
+    // that the join is exchange-free: ScaleTechniquesSpec. Unique
+    // table names per invocation keep reruns in one session safe.
+    "s10_bucketed" -> ((s, dir) => {
+      val base = scratchDir("graft_buck")
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val (ta, tb) = (s"graft_bli_$tag", s"graft_bord_$tag")
+      lineitem(s, dir).select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").option("path", s"$base/li")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(ta)
+      orders(s, dir).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").option("path", s"$base/ord")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(tb)
+      s.table(ta)
+        .join(s.table(tb), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("l_quantity"))).as("qty"),
+          max(col("o_custkey")).as("max_cust"))
+    }),
+
     // P12/net-new: JSON field extraction from a string column — the
     // semi-structured payload every event/log pipeline carries. Both
     // the path-string form (get_json_object) and the typed form
@@ -198,6 +223,13 @@ object IoQ {
         | round(sum(l_quantity), 2) AS qty,
         | max(l_orderkey) AS max_key
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "s10_bucketed" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty,
+        | max(o_custkey) AS max_cust
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
 
     "p12_json" ->
       """SELECT event_id, event_type,
