@@ -219,7 +219,20 @@ object CorpusQ {
           sum(col("cnt") * col("freq")).as("sum_freq"))
         .withColumn("commonness",
           col("sum_freq").cast("double") / col("n_tokens").cast("double"))
-    }))
+    }),
+
+    // Feature hashing (the "hashing trick"): tokens → fixed D-dim
+    // sparse count vectors via the engine-portable poly-hash mod D —
+    // no vocabulary pass, no fit, memory O(D) per doc. Output is the
+    // sparse COO form (doc, idx, cnt); map-side except the final
+    // (doc, idx) count shuffle.
+    "t_feathash" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          explode(Text.tokens(Text.normalizeAz(col("text")))).as("token"))
+        .select(col("doc_id"),
+          pmod(Text.polyHash(col("token")), lit(64L)).as("idx"))
+        .groupBy("doc_id", "idx").agg(count(lit(1)).as("cnt"))))
 
   // Mirrors LlmQ's CTE builders over the pipeline's intermediate sets
   // (those constants are hard-wired to `FROM documents`; the pipeline
@@ -348,6 +361,13 @@ object CorpusQ {
          |  row_number() OVER (ORDER BY n DESC, token)::BIGINT AS token_id
          | FROM c)
          |SELECT token, n, token_id FROM r WHERE token_id <= 200""".stripMargin,
+
+    "t_feathash" ->
+      s"""WITH $TokCte,
+         |e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+         |h AS (SELECT doc_id, (${foldSql("token")}) % 64 AS idx FROM e)
+         |SELECT doc_id, idx, count(*)::BIGINT AS cnt
+         |FROM h GROUP BY doc_id, idx""".stripMargin,
 
     "t_commonness" ->
       s"""WITH $TokCte,

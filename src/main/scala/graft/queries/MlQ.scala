@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ml.{Folds, Scaler}
+import graft.ml.{Folds, Scaler, TargetEncoder}
 import Q._
 
 /** Registered queries for the ML-support operators that are exactly
@@ -22,6 +22,21 @@ object MlQ {
           col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           r6(col("l_quantity_scaled")).as("q_scaled"),
           r6(col("l_extendedprice_scaled")).as("p_scaled"))
+    }),
+
+    // M10/net-new: leak-free out-of-fold target encoding — each row's
+    // category encoded by the target mean of the OTHER folds
+    // (ml/TargetEncoder.scala). Fold id is a deterministic key mod so
+    // the oracle reproduces it; the encoding itself is one division
+    // of exact BIGINT sums → raw doubles hash-match.
+    "m10_target_enc" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .withColumn("fold", pmod(col("l_orderkey"), lit(5L)))
+      TargetEncoder.oofEncode(li, "l_returnflag", "fold",
+          col("l_quantity").cast("long"))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("fold"), col("enc"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -32,6 +47,21 @@ object MlQ {
         | FROM keys)
         |SELECT c_custkey, CAST(fold AS BIGINT) AS fold
         |FROM customer JOIN f USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+    "m10_target_enc" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  l_quantity::BIGINT AS y, l_orderkey % 5 AS fold FROM lineitem),
+        |st AS (SELECT l_returnflag, fold, count(*)::BIGINT AS n_cf,
+        |  sum(y)::BIGINT AS s_cf FROM li GROUP BY l_returnflag, fold),
+        |e AS (SELECT l_returnflag, fold,
+        |  sum(n_cf) OVER (PARTITION BY l_returnflag)::BIGINT AS n_c,
+        |  sum(s_cf) OVER (PARTITION BY l_returnflag)::BIGINT AS s_c,
+        |  n_cf, s_cf FROM st)
+        |SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        | l_returnflag, fold,
+        | CASE WHEN n_c > n_cf THEN
+        |  ((s_c - s_cf)::DOUBLE) / ((n_c - n_cf)::DOUBLE) END AS enc
+        |FROM li JOIN e USING (l_returnflag, fold)""".stripMargin,
 
     "m6_scaler" ->
       """WITH stats AS (SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
