@@ -42,6 +42,16 @@ object Temporal {
   def rollingMax(c: Column, k: Int, w: WindowSpec): Column =
     max(c).over(rollingFrame(w, k))
 
+  /** Rolling exact median over the last `k` rows (the robust rolling
+    * center pandas exposes as `rolling(k).median()`). With ODD k on a
+    * full frame the result is an actual data value (no interpolation)
+    * — bitwise engine-portable; partial frames near the group head
+    * interpolate, so hash-compared outputs should filter to
+    * row_number >= k. Frame is k rows: recompute-per-row cost is
+    * O(k log k), fine for small k. */
+  def rollingMedian(c: Column, k: Int, w: WindowSpec): Column =
+    percentile(c, lit(0.5)).over(rollingFrame(w, k))
+
   /** W3: first difference. */
   def diff(c: Column, w: WindowSpec): Column = c - lag(c, 1).over(w)
 

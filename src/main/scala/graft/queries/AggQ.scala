@@ -407,6 +407,27 @@ object AggQ {
           col("price"), cuts, 3)
     }),
 
+    // A20/net-new: one-pass data profiling (the ANALYZE/data-quality
+    // sweep every ingest pipeline runs): per column — rows, nulls,
+    // exact NDV, min, max — emitted long-format. ONE scan for all
+    // columns; the exact countDistincts expand the scan k-ways, which
+    // is the exact-path trade (at 100 TB swap in
+    // approx_count_distinct and the expand disappears).
+    "a20_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+      val a = lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map(c => struct(lit(c).as("col_name"),
+        col("n").as("n"), col(s"nn_$c").as("n_null"),
+        col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("vmin"), col(s"max_$c").as("vmax")))
+      a.select(explode(array(rows: _*)).as("s")).select("s.*")
+    }),
+
     // A18/net-new: per-group Pearson correlation matrix from exact
     // integer co-moments (quantity units, price dollars, discount
     // ticks) — raw unrounded doubles hash-match because every output
@@ -636,6 +657,25 @@ object AggQ {
         |  THEN (sy::DOUBLE - (((n*sxy - sx*sy)::DOUBLE) / ((n*sxx - sx*sx)::DOUBLE))
         |        * sx::DOUBLE) / n::DOUBLE END AS intercept
         |FROM a""".stripMargin,
+
+    "a20_profile" ->
+      """WITH a AS (SELECT count(*)::BIGINT AS n,
+        | sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_q,
+        | count(DISTINCT l_quantity)::BIGINT AS ndv_q,
+        | min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        | sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_p,
+        | count(DISTINCT l_extendedprice)::BIGINT AS ndv_p,
+        | min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,
+        | sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_d,
+        | count(DISTINCT l_discount)::BIGINT AS ndv_d,
+        | min(l_discount) AS min_d, max(l_discount) AS max_d
+        | FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, n, nn_q AS n_null, ndv_q AS ndv,
+        | min_q AS vmin, max_q AS vmax FROM a
+        |UNION ALL
+        |SELECT 'l_extendedprice', n, nn_p, ndv_p, min_p, max_p FROM a
+        |UNION ALL
+        |SELECT 'l_discount', n, nn_d, ndv_d, min_d, max_d FROM a""".stripMargin,
 
     "a17_binning" ->
       """WITH d AS (SELECT l_extendedprice AS v, count(*) AS cnt

@@ -130,6 +130,21 @@ object IoQ {
           max(col("o_custkey")).as("max_cust"))
     }),
 
+    // O9/net-new: Z-order (Morton) clustering key
+    // (functions/ZOrder.scala) — sort by the interleaved key before
+    // writing and row-group min/max stats prune on EITHER dimension.
+    // Registered as the key computation (pure integer bit math,
+    // bitwise portable); the layout effect is the caller's
+    // sortWithinPartitions + write.
+    "o9_zorder" -> ((s, dir) => {
+      val px = pmod(col("l_partkey"), lit(1024L))
+      val py = pmod(col("l_suppkey"), lit(1024L))
+      lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        px.as("px"), py.as("py"),
+        graft.functions.ZOrder.zOrder2(px, py, 10).as("zval"))
+    }),
+
     // P12/net-new: JSON field extraction from a string column — the
     // semi-structured payload every event/log pipeline carries. Both
     // the path-string form (get_json_object) and the typed form
@@ -223,6 +238,16 @@ object IoQ {
         | round(sum(l_quantity), 2) AS qty,
         | max(l_orderkey) AS max_key
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "o9_zorder" -> {
+      val zterms = (0 until 10).map(i =>
+        s"((((px >> $i) & 1) << ${2 * i}) | (((py >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+         |  l_partkey % 1024 AS px, l_suppkey % 1024 AS py FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, px, py, ($zterms)::BIGINT AS zval
+         |FROM b""".stripMargin
+    },
 
     "s10_bucketed" ->
       """SELECT l_returnflag, count(*) AS n,

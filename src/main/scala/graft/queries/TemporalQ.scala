@@ -38,6 +38,20 @@ object TemporalQ {
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
     }),
 
+    // Rolling exact MEDIAN (robust center, `rolling(5).median()`).
+    // Only full frames are emitted: odd k on a full frame picks an
+    // actual data value — raw doubles, bitwise portable; partial
+    // frames would interpolate (engine-divergent association).
+    "w21_rollmedian" -> ((s, dir) => {
+      val ww = w(s)
+      events(s, dir).select(
+          col("event_id"),
+          row_number().over(ww).as("rn"),
+          Temporal.rollingMedian(col("value"), 5, ww).as("roll_med5"))
+        .filter(col("rn") >= 5)
+        .select("event_id", "roll_med5")
+    }),
+
     "w3_diff" -> ((s, dir) => {
       val ww = w(s)
       events(s, dir).select(
@@ -408,6 +422,14 @@ object TemporalQ {
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "w21_rollmedian" ->
+      s"""SELECT event_id, roll_med5 FROM (
+         |SELECT event_id,
+         | row_number() $over) AS rn,
+         | quantile_cont(value, 0.5) $over
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med5
+         |FROM events) WHERE rn >= 5""".stripMargin,
+
     "w17_timerange" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
         |SELECT event_id, user_id, ts_us,
