@@ -79,6 +79,44 @@ class SessionsSpec extends SparkSpec {
       (0L, "view", 3L), (1L, "click", 3L), (2L, "purchase", 1L)))
   }
 
+  test("plan proof: sessionize + summary ride ONE data exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = (1 to 400).map(i => ((i % 7).toLong, (i * 37L) % 1000, i.toLong))
+      .toDF("user_id", "ts_us", "event_id")
+    // plan inspected pre-execution with AQE off — query stages hide
+    // the exchange nodes otherwise (same recipe as ScaleTechniquesSpec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Sessions.sessionSummary(df, col("user_id"), col("ts_us"),
+        col("event_id"), 50L)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      // window partitionBy(user) + groupBy(user, session_idx): the
+      // group-by clustering is satisfied by the window's hash
+      // partitioning on the coarser key — no second exchange.
+      assert(shuffles.size == 1,
+        s"sessionSummary must reuse the window exchange, found ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("plan proof: 3-stage funnel rides ONE data exchange (+ 1-row final agg)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = (1 to 400).map(i => ((i % 7).toLong, (i * 37L) % 1000,
+      Seq("view", "click", "purchase")(i % 3))).toDF("user_id", "ts_us", "event_type")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Sessions.funnel(df, col("user_id"), col("ts_us"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      // all three stage windows + the per-key groupBy share the key
+      // partitioning (1 exchange); the global stage-count agg adds one
+      // single-partition exchange of ONE row per task.
+      assert(shuffles.size == 2,
+        s"funnel must not re-shuffle the data per stage, found ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("funnel: later qualifying click re-opens the purchase window") {
     // user's first click is before view (doesn't qualify); the second
     // click, after view, does — purchase after THAT click counts.
