@@ -283,6 +283,30 @@ object LlmQ {
         .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cos"))
     }),
 
+    // SEMANTIC dedup end-to-end: embedding near-dup pairs →
+    // connected-components cluster resolution → every vector labeled
+    // with its cluster representative + size. The d_components shape
+    // over the embedding modality — one IVF-blocked pair-gen, then
+    // the O(log n)-round contraction; the oracle closes the same
+    // graph with a recursive CTE.
+    "d_embclusters" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val pairs = Similarity.embeddingNearDup(e, "vec_id", "embedding",
+          cents, "cid", "cemb", threshold = 0.35)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      val comp = graft.operators.Graph.connectedComponents(pairs)
+      val labeled = e.select(col("vec_id").cast("long").as("node"))
+        .join(comp, Seq("node"), "left")
+        .select(col("node").as("vec_id"),
+          coalesce(col("component"), col("node")).as("cluster_rep"))
+      val sizes = labeled.groupBy("cluster_rep")
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster_rep")
+        .select(col("vec_id"), col("cluster_rep"), col("cluster_size"))
+    }),
+
     // Batch KNN join: every vector's top-3 neighbors within its IVF
     // cluster — the retrieval counterpart of the single-query s_ivf.
     "s_knn_join" -> ((s, dir) => {
@@ -432,6 +456,29 @@ object LlmQ {
          | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(cos, 6) AS cos
          |FROM pairs WHERE cos >= 0.35""".stripMargin,
+
+    "d_embclusters" ->
+      s"""WITH RECURSIVE cents AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |ver AS (
+         | SELECT a.vec_id AS a, b.vec_id AS b
+         | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         | WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+         |sym AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+         |r AS (SELECT a, b FROM sym
+         | UNION SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a AND s.b <> r.a),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS component FROM r GROUP BY a),
+         |lab AS (SELECT e.vec_id, coalesce(c.component, e.vec_id) AS cluster_rep
+         | FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node),
+         |sz AS (SELECT cluster_rep, count(*)::BIGINT AS cluster_size
+         | FROM lab GROUP BY cluster_rep)
+         |SELECT vec_id, cluster_rep, cluster_size
+         |FROM lab JOIN sz USING (cluster_rep)""".stripMargin,
 
     "t_bpe_tokens" ->
       """WITH p AS (SELECT doc_id,

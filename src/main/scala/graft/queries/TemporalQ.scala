@@ -52,6 +52,20 @@ object TemporalQ {
         .select("event_id", "roll_med5")
     }),
 
+    // Rolling DISTINCT count (unique event types over the trailing 10
+    // rows). Window distinct-aggregates don't exist in either engine;
+    // the portable form is collect-over-frame + distinct + size —
+    // bounded frame ⇒ bounded per-row state. Output is an exact
+    // integer.
+    "w22_rolldistinct" -> ((s, dir) => {
+      val ww = w(s)
+      events(s, dir).select(
+        col("event_id"),
+        size(array_distinct(collect_list(col("event_type"))
+          .over(Temporal.rollingFrame(ww, 10)))).cast("long")
+          .as("nd_types_10"))
+    }),
+
     "w3_diff" -> ((s, dir) => {
       val ww = w(s)
       events(s, dir).select(
@@ -429,6 +443,12 @@ object TemporalQ {
          | quantile_cont(value, 0.5) $over
          |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med5
          |FROM events) WHERE rn >= 5""".stripMargin,
+
+    "w22_rolldistinct" ->
+      s"""SELECT event_id,
+         | len(list_distinct(list(event_type) $over
+         |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)))::BIGINT AS nd_types_10
+         |FROM events""".stripMargin,
 
     "w17_timerange" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)

@@ -18,7 +18,8 @@ class ContractSpec extends SparkSpec {
     "PipelineQ" -> (PipelineQ.queries.keySet, PipelineQ.oracle.keySet),
     "IoQ" -> (IoQ.queries.keySet, IoQ.oracle.keySet),
     "FeatureStageQ" -> (FeatureStageQ.queries.keySet, FeatureStageQ.oracle.keySet),
-    "CorpusQ" -> (CorpusQ.queries.keySet, CorpusQ.oracle.keySet))
+    "CorpusQ" -> (CorpusQ.queries.keySet, CorpusQ.oracle.keySet),
+    "EventsQ" -> (EventsQ.queries.keySet, EventsQ.oracle.keySet))
 
   test("no query-name collisions across groups") {
     val counts = groups.flatMap(_._2._1.toSeq).groupBy(identity).view.mapValues(_.size)
