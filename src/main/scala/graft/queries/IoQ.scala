@@ -162,6 +162,32 @@ object IoQ {
         get_json_object(col("props"), "$.missing").as("missing"))
     }),
 
+    // P13/net-new: Spark 4 VARIANT — the open-type semi-structured
+    // column (parse once, shred lazily, typed extraction). The scale
+    // story vs per-path get_json_object: one parse per row feeding
+    // any number of typed reads.
+    "p13_variant" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'string')")
+          .as("missing"))),
+
+    // O10/net-new: Spark 4 SQL pipe syntax — the |>-chained relational
+    // surface (FROM … |> WHERE … |> AGGREGATE … |> SELECT). Same plan
+    // as the nested-SQL equivalent; registered to pin the dialect
+    // surface works end-to-end.
+    "o10_pipe_sql" -> ((s, dir) => {
+      val v = s"li_pipe_${java.lang.Long.toHexString(System.nanoTime())}"
+      lineitem(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""FROM $v
+           ||> WHERE l_quantity > 25
+           ||> AGGREGATE count(*) AS n, sum(l_extendedprice) AS sp
+           |   GROUP BY l_returnflag
+           ||> SELECT l_returnflag, n, round(sp, 2) AS price""".stripMargin)
+    }),
+
     // O4: union of per-"week" slices back into one table.
     "o4_union" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -254,6 +280,18 @@ object IoQ {
         | round(sum(l_quantity), 2) AS qty,
         | max(o_custkey) AS max_cust
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "p13_variant" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k')::BIGINT AS k,
+        | json_extract_string(props, '$.missing') AS missing
+        |FROM events""".stripMargin,
+
+    "o10_pipe_sql" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem WHERE l_quantity > 25
         |GROUP BY l_returnflag""".stripMargin,
 
     "p12_json" ->
