@@ -152,9 +152,12 @@ object CorpusQ {
     // libm drift).
     "t_tfidf" -> ((s, dir) => {
       val d = documents(s, dir)
+      // cached: tf feeds both the df aggregation and the join's left
+      // side; no subtree reuse across them otherwise (see t_commonness)
       val tf = d.select(col("doc_id"),
           explode(Text.tokens(Text.normalizeAz(col("text")))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .cache()
       // dfreq is one row per DISTINCT TERM — unbounded at corpus scale
       // (noise vocabulary reaches 1e8+), so no broadcast hint: tf is
       // already keyed by term and the shuffle join is the right shape.
@@ -208,10 +211,16 @@ object CorpusQ {
     // BIGINTs → bitwise portable, emitted raw. Token streams are
     // compressed to (doc, token, cnt) before any join.
     "t_commonness" -> ((s, dir) => {
+      // cached: dt feeds BOTH sides of the frequency join and the
+      // planner does not reuse the explode+agg subtree across them —
+      // without the cache the tokenize/explode (the expensive pass at
+      // corpus scale) would run twice (same reasoning as the shared
+      // gram table in Dedup.nearDuplicates).
       val dt = documents(s, dir)
         .select(col("doc_id"),
           explode(Text.tokens(Text.normalizeAz(col("text")))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .cache()
       val freq = dt.groupBy("token").agg(sum("cnt").as("freq"))
       dt.join(freq, "token")
         .groupBy("doc_id")
