@@ -117,6 +117,29 @@ class SessionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("batch sessionize == built-in session_window on real events (4h gap)") {
+    // session_window starts a new session at gap >= G (half-open
+    // [start, last+G)); the batch operator at gap > G-1us is the
+    // identical predicate on integer micros. Compare the per-session
+    // (first event, count) multisets per user.
+    val gapUs = 4L * 3600L * 1000000L
+    val e = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+    val viaWindow = e.groupBy(col("user_id"),
+        session_window(col("ts"), "4 hours"))
+      .agg(min(col("event_id")).as("first_id"), count(lit(1)).as("n"))
+      .select("user_id", "first_id", "n")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaBatch = Sessions.sessionize(e, col("user_id"), col("ts_us"),
+        col("event_id"), gapUs - 1)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("event_id")).as("first_id"), count(lit(1)).as("n"))
+      .select("user_id", "first_id", "n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaBatch.nonEmpty && viaBatch == viaWindow)
+  }
+
   test("funnel: later qualifying click re-opens the purchase window") {
     // user's first click is before view (doesn't qualify); the second
     // click, after view, does — purchase after THAT click counts.
