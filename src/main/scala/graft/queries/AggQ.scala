@@ -407,6 +407,40 @@ object AggQ {
           col("price"), cuts, 3)
     }),
 
+    // J13/net-new: MERGE-style upsert expressed relationally (no Delta
+    // in this environment; this is the plan a MERGE INTO compiles to):
+    // full-outer join base × changes on the key, changed columns
+    // coalesce change-side first. Matching keys update, unmatched
+    // changes insert, untouched base rows carry through — one shuffle
+    // each side (or broadcast when the change set is small, the
+    // common case).
+    "j13_upsert" -> ((s, dir) => {
+      val base = orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      // synthetic change set: every 3rd order re-priced; plus brand-new
+      // keys above the current max
+      val changes = orders(s, dir)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          col("o_custkey"),
+          r2(col("o_totalprice") + 1000.0).as("c_totalprice"),
+          lit("U").as("c_status"))
+        .unionByName(
+          orders(s, dir).filter(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              col("o_custkey"),
+              r2(col("o_totalprice")).as("c_totalprice"),
+              lit("N").as("c_status")))
+      base.join(changes.withColumnRenamed("o_custkey", "c_custkey"),
+          Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_totalprice"), r2(col("o_totalprice")))
+            .as("totalprice"),
+          coalesce(col("c_status"), col("o_orderstatus")).as("status"))
+    }),
+
     // A20/net-new: one-pass data profiling (the ANALYZE/data-quality
     // sweep every ingest pipeline runs): per column — rows, nulls,
     // exact NDV, min, max — emitted long-format. ONE scan for all
@@ -657,6 +691,22 @@ object AggQ {
         |  THEN (sy::DOUBLE - (((n*sxy - sx*sy)::DOUBLE) / ((n*sxx - sx*sx)::DOUBLE))
         |        * sx::DOUBLE) / n::DOUBLE END AS intercept
         |FROM a""".stripMargin,
+
+    "j13_upsert" ->
+      """WITH changes AS (
+        | SELECT o_orderkey, o_custkey AS c_custkey,
+        |  round(o_totalprice + 1000.0, 2) AS c_totalprice, 'U' AS c_status
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT o_orderkey + 100000000, o_custkey,
+        |  round(o_totalprice, 2), 'N'
+        | FROM orders WHERE o_orderkey % 1000 = 1)
+        |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        | coalesce(c.c_custkey, b.o_custkey) AS custkey,
+        | coalesce(c.c_totalprice, round(b.o_totalprice, 2)) AS totalprice,
+        | coalesce(c.c_status, b.o_orderstatus) AS status
+        |FROM orders b FULL OUTER JOIN changes c
+        | ON b.o_orderkey = c.o_orderkey""".stripMargin,
 
     "a20_profile" ->
       """WITH a AS (SELECT count(*)::BIGINT AS n,

@@ -19,6 +19,15 @@ object TemporalQ {
   private def w(s: org.apache.spark.sql.SparkSession) =
     Temporal.spec(Seq(col("user_id")), Seq(col("ts"), col("event_id")))
 
+  /** events with integer epoch-micros ts (trap #9: the nanos parquet
+    * must reach comparisons on the micros integer domain). */
+  private def eventsRawUs(s: org.apache.spark.sql.SparkSession,
+                          dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "w1_lag" -> ((s, dir) => {
       val ww = w(s)
@@ -36,6 +45,20 @@ object TemporalQ {
         r6(Temporal.rollingStd(col("value"), 5, ww)).as("roll_std5"),
         Temporal.rollingMin(col("value"), 3, ww).as("roll_min3"),
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
+    }),
+
+    // SCD-2 history build: each change row becomes a validity
+    // interval [valid_from, valid_to) via lead() over the entity's
+    // change log; the open (current) row gets a null valid_to. The
+    // dimension-history staple — one window shuffle on the entity key.
+    "w23_scd2" -> ((s, dir) => {
+      val e = eventsRawUs(s, dir)
+      val ww = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      e.select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us").as("valid_from"),
+          lead(col("ts_us"), 1).over(ww).as("valid_to"),
+          (lead(col("ts_us"), 1).over(ww).isNull).as("is_current"))
     }),
 
     // Rolling exact MEDIAN (robust center, `rolling(5).median()`).
@@ -443,6 +466,15 @@ object TemporalQ {
          | quantile_cont(value, 0.5) $over
          |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med5
          |FROM events) WHERE rn >= 5""".stripMargin,
+
+    "w23_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_id, event_type,
+        | ts_us AS valid_from,
+        | lead(ts_us) OVER w AS valid_to,
+        | (lead(ts_us) OVER w IS NULL) AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
 
     "w22_rolldistinct" ->
       s"""SELECT event_id,
