@@ -25,25 +25,39 @@ object Contamination {
     * fewer than n tokens get an empty array (guarded — Spark's
     * `sequence` would happily count DOWN for a negative span). */
   def tokenNgrams(textCol: org.apache.spark.sql.Column, n: Int)
-      : org.apache.spark.sql.Column = {
-    val toks = Text.tokens(Text.normalizeAz(textCol))
+      : org.apache.spark.sql.Column =
+    tokenNgramsOf(Text.tokens(Text.normalizeAz(textCol)), n)
+
+  /** [[tokenNgrams]] over an ALREADY-MATERIALIZED tokens column.
+    * Callers on a hot path must bind the tokenize expression to a
+    * column first: `toks` is referenced once per gram index inside
+    * the transform lambda, and a non-attribute subtree there
+    * re-evaluates normalize+split per index — O(len²) per doc (the
+    * interpreted-HOF trap, see the verify skill). */
+  def tokenNgramsOf(toks: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
         .otherwise(typedLit(Seq.empty[String])))
-  }
 
   /** One row per doc in `train`: (idCol, n_hits, contaminated), where
     * n_hits counts the doc's DISTINCT n-grams that appear anywhere in
     * `bench`. */
   def flagContaminated(train: DataFrame, bench: DataFrame,
                        idCol: String, textCol: String, n: Int): DataFrame = {
+    // tokens bound to a column BEFORE the gram transform — the lambda
+    // then references an attribute, not the tokenize tree (O(len),
+    // not O(len²); see tokenNgramsOf)
     val benchGrams = bench
-      .select(explode(tokenNgrams(col(textCol), n)).as("gram"))
+      .select(Text.tokens(Text.normalizeAz(col(textCol))).as("__toks"))
+      .select(explode(tokenNgramsOf(col("__toks"), n)).as("gram"))
       .distinct()
     val trainGrams = train
-      .select(col(idCol), explode(tokenNgrams(col(textCol), n)).as("gram"))
+      .select(col(idCol),
+        Text.tokens(Text.normalizeAz(col(textCol))).as("__toks"))
+      .select(col(idCol), explode(tokenNgramsOf(col("__toks"), n)).as("gram"))
     val hits = trainGrams
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(idCol)

@@ -120,7 +120,9 @@ object CorpusQ {
     // gram itself so the limit boundary is engine-portable.
     "t_topngrams" -> ((s, dir) =>
       documents(s, dir)
-        .select(explode(Contamination.tokenNgrams(col("text"), 2)).as("gram"))
+        .select(Text.tokens(Text.normalizeAz(col("text"))).as("__toks"))
+        .select(explode(Contamination.tokenNgramsOf(col("__toks"), 2))
+          .as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("gram"))
         .limit(20)),
