@@ -36,13 +36,18 @@ object Text {
     filter(split(c, ""), ch => length(ch) > lit(0))
 
   /** Character n-grams of a (normalized) string; empty array when the
-    * string is shorter than n. Built from the materialized char array
-    * (one evaluation of `c`), not per-index substr on `c`. */
+    * string is shorter than n. Built as a chain of zip_with over n
+    * shifted slices: every slice is an ARGUMENT (evaluated once per
+    * row), never a lambda-body subtree — an indexed
+    * transform(sequence, i => slice(cs, i, n)) re-evaluates the whole
+    * split tree per index (interpreted HOFs have no CSE), O(len²)
+    * per row. */
   def charNgrams(c: Column, n: Int): Column = {
     val cs = chars(c)
-    val grams = transform(
-      sequence(lit(1), size(cs) - lit(n - 1)),
-      i => concat_ws("", slice(cs, i, lit(n))))
+    val m = greatest(size(cs) - lit(n - 1), lit(0))
+    val grams = (2 to n).foldLeft(slice(cs, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(cs, lit(k), m), (a, b) => concat(a, b))
+    }
     when(size(cs) >= lit(n), grams).otherwise(array().cast("array<string>"))
   }
 

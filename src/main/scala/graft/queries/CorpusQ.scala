@@ -107,12 +107,17 @@ object CorpusQ {
     // synthetic docs carry no newlines). First corpus-wide occurrence
     // of a segment survives; docs are rebuilt in original order.
     "d_segdedup" -> ((s, dir) => {
-      val toks = Text.tokens(Text.normalizeAz(col("text")))
-      val segs = when(size(toks) > 0,
-        transform(sequence(lit(1), size(toks), lit(10)),
-          i => concat_ws(" ", slice(toks, i, lit(10)))))
+      // tokens bound to a column first: slice(toks, i, 10) inside the
+      // indexed lambda would re-evaluate the tokenize tree per segment
+      // index otherwise (interpreted-HOF trap)
+      val d = documents(s, dir).withColumn("__toks",
+        Text.tokens(Text.normalizeAz(col("text"))))
+      val t = col("__toks")
+      val segs = when(size(t) > 0,
+        transform(sequence(lit(1), size(t), lit(10)),
+          i => concat_ws(" ", slice(t, i, lit(10)))))
         .otherwise(typedLit(Seq.empty[String]))
-      Dedup.segmentDedup(documents(s, dir), "doc_id", segs)
+      Dedup.segmentDedup(d, "doc_id", segs)
     }),
 
     // Corpus-wide heavy hitters: top-20 token bigrams by DOCUMENT
