@@ -407,6 +407,20 @@ object AggQ {
           col("price"), cuts, 3)
     }),
 
+    // A21/net-new: fixed-width histogram (the other profiling shape
+    // next to a17's quantile cuts): bucket = floor(x / width) is one
+    // correctly-rounded division + exact floor — bitwise portable —
+    // and ONE hash-agg shuffle of (bucket, partial count).
+    "a21_histogram" -> ((s, dir) => {
+      val bucket = floor(col("l_extendedprice") / 5000.0).cast("long")
+      lineitem(s, dir)
+        .where(col("l_extendedprice").isNotNull)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+    }),
+
     // J13/net-new: MERGE-style upsert expressed relationally (no Delta
     // in this environment; this is the plan a MERGE INTO compiles to):
     // full-outer join base × changes on the key, changed columns
@@ -691,6 +705,13 @@ object AggQ {
         |  THEN (sy::DOUBLE - (((n*sxy - sx*sy)::DOUBLE) / ((n*sxx - sx*sx)::DOUBLE))
         |        * sx::DOUBLE) / n::DOUBLE END AS intercept
         |FROM a""".stripMargin,
+
+    "a21_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "j13_upsert" ->
       """WITH changes AS (

@@ -65,6 +65,23 @@ object LlmQ {
           (lit(0.5) + stop)).as("quality"))
     }),
 
+    // Edit-distance near-dup verification: Levenshtein over bounded
+    // prefixes of adjacent-id doc pairs — the high-precision (but
+    // O(len²) per pair) verifier a pipeline applies AFTER cheap
+    // blocking, never all-pairs; the prefix cap bounds per-pair cost.
+    // Integer output, portable (both engines implement classic
+    // Levenshtein).
+    "t_editdist" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"),
+        substring(Text.normalizeAz(col("text")), 1, 60).as("prefix"))
+      val a = d.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
+      val b = d.select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"), col("prefix").as("pb"))
+      a.join(b, "doc_a")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+    }),
+
     "t_fingerprint" -> ((s, dir) => {
       documents(s, dir).select(
         col("doc_id"),
@@ -524,6 +541,13 @@ object LlmQ {
     "t_fingerprint" ->
       s"""SELECT doc_id, ${foldSql("t")} AS fingerprint
          |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,
+
+    "t_editdist" ->
+      s"""WITH d AS (SELECT doc_id, substr($NormSql, 1, 60) AS prefix
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | levenshtein(a.prefix, b.prefix)::BIGINT AS edit_dist
+         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
     "t_pack_emit" ->
       s"""WITH tok AS (SELECT doc_id, lang,
