@@ -47,6 +47,16 @@ object TemporalQ {
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
     }),
 
+    // Typed mergeable top-k aggregate (functions/TopKAgg.scala): the
+    // map-side-combine alternative to the W6 window rank — the
+    // shuffle carries at most k rows per group per input partition.
+    "w24_topk_agg" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(topk(col("value"), col("event_id")).as("top3_ids"))
+    }),
+
     // SCD-2 history build: each change row becomes a validity
     // interval [valid_from, valid_to) via lead() over the entity's
     // change log; the open (current) row gets a null valid_to. The
@@ -466,6 +476,13 @@ object TemporalQ {
          | quantile_cont(value, 0.5) $over
          |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med5
          |FROM events) WHERE rn >= 5""".stripMargin,
+
+    "w24_topk_agg" ->
+      """SELECT user_id,
+        | array_to_string(list_transform(
+        |   list({'v': value, 'id': event_id} ORDER BY value DESC, event_id)[1:3],
+        |   s -> s.id::VARCHAR), ':') AS top3_ids
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "w23_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
