@@ -21,21 +21,30 @@ case class Scored(v: Double, id: Long)
   *
   * Determinism: ordering is (v DESC, id ASC) — a total order, so the
   * kept set and its order are unique regardless of partitioning or
-  * merge order. The buffer is kept sorted+trimmed at every step;
-  * merge is a bounded merge of two ≤k lists.
+  * merge order. The buffer invariant is sorted+trimmed after every
+  * step, so `reduce` is O(1) for any row that does not beat the
+  * current k-th (almost all rows once the buffer fills) and `finish`
+  * reads the buffer as-is.
+  *
+  * Inputs must be NON-NULL: `Scored` uses primitive fields (the
+  * cheap encoder); filter nulls out before aggregating (the w24
+  * query does) — unlike a window rank, which would sort nulls last.
   */
 class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], String] {
   require(k > 0)
+
+  private def beats(a: Scored, b: Scored): Boolean =
+    a.v > b.v || (a.v == b.v && a.id < b.id)
 
   private def trim(xs: Seq[Scored]): Seq[Scored] =
     xs.sortBy(e => (-e.v, e.id)).take(k)
 
   override def zero: Seq[Scored] = Seq.empty
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = trim(b :+ a)
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.size == k && !beats(a, b.last)) b else trim(b :+ a)
   override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
   /** ids joined ":" in rank order — integer-only, hash-portable. */
-  override def finish(b: Seq[Scored]): String =
-    trim(b).map(_.id).mkString(":")
+  override def finish(b: Seq[Scored]): String = b.map(_.id).mkString(":")
 
   override def bufferEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()

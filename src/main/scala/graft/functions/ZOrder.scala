@@ -18,7 +18,9 @@ object ZOrder {
 
   /** Interleaves the low `bits` bits of two non-negative ints:
     * bit i of x lands at position 2i, bit i of y at 2i+1. Inputs must
-    * already be bucketed to [0, 2^bits) — pass `pmod(k, 1 << bits)`.
+    * already be bucketed to [0, 2^bits) — pass `pmod(k,
+    * lit(1L << bits))` (the literal must be a LONG: `1 << 31`
+    * overflows Int).
     */
   def zOrder2(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must fit two lanes in a long")

@@ -18,6 +18,17 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events with ts kept as INTEGER epoch-micros (`ts DIV 1000` on
+    * the raw nanos — long division; a double route would corrupt
+    * low micros). For queries whose time math must stay on the
+    * integer domain (sessionization, retention, SCD-2). */
+  def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us",
+        org.apache.spark.sql.functions.expr("ts DIV 1000"))
+  }
+
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects. Read nanos as long (legacy conf) and truncate to
     * microsecond timestamps — exactly what DuckDB's reader does, so

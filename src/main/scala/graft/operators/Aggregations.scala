@@ -154,23 +154,25 @@ object Aggregations {
   def integerCorrMatrix(df: DataFrame, keys: Seq[String],
                         vars: Seq[(String, Column)]): DataFrame = {
     require(vars.size >= 2)
+    // internal moment aliases are INDEX-based (s_0, x_0_1): name-based
+    // aliases would collide for variable names containing underscores
+    // ("a","b","a_b" would make the (a,b) cross-moment shadow the
+    // plain sum of "a_b")
     val moments =
-      vars.map { case (n, c) => sum(c).as(s"s_$n") } ++
-        (for (i <- vars.indices; j <- i until vars.size) yield {
-          val (ni, ci) = vars(i); val (nj, cj) = vars(j)
-          sum(ci * cj).as(s"s_${ni}_$nj")
-        })
+      vars.indices.map(i => sum(vars(i)._2).as(s"s_$i")) ++
+        (for (i <- vars.indices; j <- i until vars.size)
+          yield sum(vars(i)._2 * vars(j)._2).as(s"x_${i}_$j"))
     val a = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), moments: _*)
     val corrs = for (i <- vars.indices; j <- (i + 1) until vars.size)
       yield {
         val (ni, _) = vars(i); val (nj, _) = vars(j)
-        val num = col("n") * col(s"s_${ni}_$nj") -
-          col(s"s_$ni") * col(s"s_$nj")
-        val vi = col("n") * col(s"s_${ni}_$ni") -
-          col(s"s_$ni") * col(s"s_$ni")
-        val vj = col("n") * col(s"s_${nj}_$nj") -
-          col(s"s_$nj") * col(s"s_$nj")
+        val num = col("n") * col(s"x_${i}_$j") -
+          col(s"s_$i") * col(s"s_$j")
+        val vi = col("n") * col(s"x_${i}_$i") -
+          col(s"s_$i") * col(s"s_$i")
+        val vj = col("n") * col(s"x_${j}_$j") -
+          col(s"s_$j") * col(s"s_$j")
         when(vi > 0 && vj > 0,
           num.cast("double") /
             (sqrt(vi.cast("double")) * sqrt(vj.cast("double"))))

@@ -17,12 +17,8 @@ import Q._
   */
 object EventsQ {
 
-  /** Raw events with integer epoch-micros ts — the shared scan. */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-  }
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.eventsUs(s, dir)
 
   private val GapUs = 600L * 1000000L // 10 minutes
 

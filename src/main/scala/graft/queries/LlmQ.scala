@@ -49,20 +49,24 @@ object LlmQ {
         Text.normalizeAz(col("text")).as("norm"))
       val withToks = base.select(col("doc_id"), col("text"), col("norm"),
         Text.tokens(col("norm")).as("toks"))
+      // the stop ratio is itself a lambda-bearing subtree used twice
+      // (stop_ratio + the quality composite) — materialize it too
+      val withStop = withToks.select(col("doc_id"), col("text"),
+        col("norm"), col("toks"),
+        Text.wordSetRatio(col("toks"), EnStop).as("stop"))
       val nToks = size(col("toks")).cast("double")
       val nonAz = (length(col("text")) - length(col("norm"))).cast("double") /
         length(col("text"))
-      val stop = Text.wordSetRatio(col("toks"), EnStop)
-      withToks.select(
+      withStop.select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nToks.cast("long").as("n_tokens"),
         r6(length(regexp_replace(col("norm"), " ", "")).cast("double") /
           nToks).as("avg_tok_len"),
         r6(nonAz).as("non_az_ratio"),
-        r6(stop).as("stop_ratio"),
+        r6(col("stop")).as("stop_ratio"),
         r6(least(lit(1.0), nToks / 50) * (lit(1.0) - nonAz) *
-          (lit(0.5) + stop)).as("quality"))
+          (lit(0.5) + col("stop"))).as("quality"))
     }),
 
     // Edit-distance near-dup verification: Levenshtein over bounded
@@ -72,8 +76,11 @@ object LlmQ {
     // Integer output, portable (both engines implement classic
     // Levenshtein).
     "t_editdist" -> ((s, dir) => {
+      // cached: d feeds both join sides; the normalize regexp would
+      // otherwise run twice over the corpus (no cross-side reuse)
       val d = documents(s, dir).select(col("doc_id"),
         substring(Text.normalizeAz(col("text")), 1, 60).as("prefix"))
+        .cache()
       val a = d.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
       val b = d.select((col("doc_id") - 1).as("doc_a"),
         col("doc_id").as("doc_b"), col("prefix").as("pb"))
@@ -314,10 +321,14 @@ object LlmQ {
           cents, "cid", "cemb", threshold = 0.35)
         .select(col("vec_a").as("a"), col("vec_b").as("b"))
       val comp = graft.operators.Graph.connectedComponents(pairs)
+      // cached: labeled feeds both the size aggregation and the final
+      // join — without it the embeddings scan + component join run
+      // twice (no cross-side subtree reuse)
       val labeled = e.select(col("vec_id").cast("long").as("node"))
         .join(comp, Seq("node"), "left")
         .select(col("node").as("vec_id"),
           coalesce(col("component"), col("node")).as("cluster_rep"))
+        .cache()
       val sizes = labeled.groupBy("cluster_rep")
         .agg(count(lit(1)).as("cluster_size"))
       labeled.join(sizes, "cluster_rep")

@@ -19,14 +19,8 @@ object TemporalQ {
   private def w(s: org.apache.spark.sql.SparkSession) =
     Temporal.spec(Seq(col("user_id")), Seq(col("ts"), col("event_id")))
 
-  /** events with integer epoch-micros ts (trap #9: the nanos parquet
-    * must reach comparisons on the micros integer domain). */
   private def eventsRawUs(s: org.apache.spark.sql.SparkSession,
-                          dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-  }
+                          dir: String) = graft.io.Tables.eventsUs(s, dir)
 
   val queries: Map[String, QueryFn] = Map(
     "w1_lag" -> ((s, dir) => {
@@ -53,6 +47,9 @@ object TemporalQ {
     "w24_topk_agg" -> ((s, dir) => {
       val topk = udaf(new graft.functions.TopKAgg(3))
       events(s, dir)
+        // TopKAgg takes primitive-encoded inputs — nulls must not
+        // reach it (none in events; the guard keeps the op total)
+        .where(col("value").isNotNull && col("event_id").isNotNull)
         .groupBy(col("user_id"))
         .agg(topk(col("value"), col("event_id")).as("top3_ids"))
     }),
