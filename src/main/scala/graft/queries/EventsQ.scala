@@ -48,12 +48,46 @@ object EventsQ {
         .orderBy("cohort", "offset")
     }),
 
+    // Time-weighted average per user (TWAP): each observation is
+    // weighted by its holding duration (micros until the next event).
+    // cents × micros products are exact BIGINTs, so the final single
+    // division is bitwise portable; one window + one agg on the same
+    // key — one shuffle.
+    "a22_twap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val e = eventsUs(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .where(col("dt_us").isNotNull) // last observation has no duration
+      e.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents") * col("dt_us")).as("wsum"),
+          sum(col("dt_us")).as("tsum"))
+        .select(col("user_id"), col("n"),
+          (col("wsum").cast("double") /
+            col("tsum").cast("double") / 100.0).as("twap"))
+    }),
+
     "j12_funnel" -> ((s, dir) => {
       // Strictly-ordered view → click → purchase funnel: stage i
       // counts a user only if its first qualifying ts is at-or-after
       // stage i-1's.
       Sessions.funnel(eventsUs(s, dir), col("user_id"), col("ts_us"),
         col("event_type"), Seq("view", "click", "purchase"))
+    }),
+
+    // Operators COMPOSE: the funnel counted within each session
+    // (key = (user, session_idx) struct) instead of per user —
+    // sessionize's window and funnel's windows share the user-prefixed
+    // partitioning, so the whole chain is still one data exchange.
+    "j14_session_funnel" -> ((s, dir) => {
+      val sess = Sessions.sessionize(eventsUs(s, dir), col("user_id"),
+        col("ts_us"), col("event_id"), GapUs)
+      Sessions.funnel(sess,
+        struct(col("user_id"), col("session_idx")),
+        col("ts_us"), col("event_type"),
+        Seq("view", "click", "purchase"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -82,6 +116,48 @@ object EventsQ {
         | count(DISTINCT user_id) AS n_active
         |FROM c GROUP BY cohort, week - cohort
         |ORDER BY cohort, "offset"""".stripMargin,
+
+    "a22_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, cents,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    - ts_us AS dt_us FROM e),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n,
+        |  sum(cents * dt_us)::BIGINT AS wsum, sum(dt_us)::BIGINT AS tsum
+        | FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n,
+        | ((wsum::DOUBLE) / (tsum::DOUBLE)) / 100.0 AS twap
+        |FROM a""".stripMargin,
+
+    "j14_session_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts,
+        |  event_type AS typ FROM events),
+        |g AS (SELECT *, CASE WHEN ts - lag(ts) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
+        |   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   IS NULL THEN 1 ELSE 0 END AS is_new FROM e),
+        |x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |   CURRENT ROW) AS BIGINT) AS sess FROM g),
+        |f0 AS (SELECT *, min(CASE WHEN typ = 'view' THEN ts END)
+        |  OVER (PARTITION BY user_id, sess) AS first_0 FROM x),
+        |f1 AS (SELECT *, min(CASE WHEN typ = 'click' AND ts >= first_0
+        |  THEN ts END) OVER (PARTITION BY user_id, sess) AS first_1 FROM f0),
+        |f2 AS (SELECT *, min(CASE WHEN typ = 'purchase' AND ts >= first_1
+        |  THEN ts END) OVER (PARTITION BY user_id, sess) AS first_2 FROM f1),
+        |k AS (SELECT user_id, sess, max(first_0) AS first_0,
+        |  max(first_1) AS first_1, max(first_2) AS first_2
+        |  FROM f2 GROUP BY user_id, sess),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN first_0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+        |  CAST(sum(CASE WHEN first_1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+        |  CAST(sum(CASE WHEN first_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_2
+        |  FROM k)
+        |SELECT s.stage_idx, s.stage,
+        | CASE s.stage_idx WHEN 0 THEN n_0 WHEN 1 THEN n_1 ELSE n_2 END AS n_keys
+        |FROM a, (VALUES (CAST(0 AS BIGINT), 'view'), (1, 'click'),
+        |  (2, 'purchase')) AS s(stage_idx, stage)""".stripMargin,
 
     "j12_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type AS typ
