@@ -41,6 +41,37 @@ object TemporalQ {
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
     }),
 
+    // Resample to a regular grid + forward-fill (pandas
+    // `resample('1h').ffill()`): per user, hourly ticks spanning the
+    // observed range, each tick carrying the latest at-or-before
+    // observation via the as-of union+window machinery (one exchange;
+    // the grid is generated, never shuffled separately). Guard:
+    // sequence(gs, ge) DESCENDS when gs > ge (sub-hour users) — such
+    // users get no ticks, filtered explicitly.
+    "w25_resample" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val e = eventsRawUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      val bounds = e.groupBy("user_id").agg(
+        min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      val grid = bounds
+        .select(col("user_id"),
+          expr(s"(mn + ${hourUs - 1}) DIV $hourUs").as("gs"),
+          expr(s"mx DIV $hourUs").as("ge"))
+        .where(col("gs") <= col("ge"))
+        .select(col("user_id"),
+          explode(sequence(col("gs"), col("ge"))).as("tick"))
+        .select(col("user_id"), (col("tick") * hourUs).as("tick_us"))
+      // deterministic right side: unique per (user, ts); value of the
+      // max event id at that instant
+      val r = e.groupBy("user_id", "ts_us").agg(
+        max(col("event_id")).as("ffill_event"),
+        expr("max_by(value, event_id)").as("ffill_value"))
+      Temporal.asofJoin(grid, r, Seq("user_id"), "tick_us", "ts_us",
+        Seq("ffill_value", "ffill_event"))
+        .select("user_id", "tick_us", "ffill_value", "ffill_event")
+    }),
+
     // Typed mergeable top-k aggregate (functions/TopKAgg.scala): the
     // map-side-combine alternative to the W6 window rank — the
     // shuffle carries at most k rows per group per input partition.
@@ -473,6 +504,23 @@ object TemporalQ {
          | quantile_cont(value, 0.5) $over
          |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med5
          |FROM events) WHERE rn >= 5""".stripMargin,
+
+    "w25_resample" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |b AS (SELECT user_id,
+        |  (min(ts_us) + 3599999999) // 3600000000 AS gs,
+        |  max(ts_us) // 3600000000 AS ge
+        | FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(gs, ge)) AS tick
+        | FROM b WHERE gs <= ge),
+        |gt AS (SELECT user_id, tick * 3600000000 AS tick_us FROM g),
+        |r AS (SELECT user_id, ts_us, max(event_id) AS ffill_event,
+        |  arg_max(value, event_id) AS ffill_value
+        | FROM e GROUP BY user_id, ts_us)
+        |SELECT gt.user_id, gt.tick_us, r.ffill_value, r.ffill_event
+        |FROM gt ASOF LEFT JOIN r
+        | ON gt.user_id = r.user_id AND r.ts_us <= gt.tick_us""".stripMargin,
 
     "w24_topk_agg" ->
       """SELECT user_id,
