@@ -153,4 +153,35 @@ object GraftProps extends Properties("graft") {
         }
       }
     }
+
+  property("TopKAgg: any partition split + merge == global sort take k") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.chooseNum(0.0, 50.0), Gen.chooseNum(0L, 1000L))),
+           Gen.chooseNum(1, 5)) { (xs, k) =>
+      val agg = new graft.functions.TopKAgg(k)
+      val scored = xs.map { case (v, id) => graft.functions.Scored(v, id) }
+      val expect = scored.sortBy(e => (-e.v, e.id)).take(k)
+        .map(_.id).mkString(":")
+      // every contiguous 2-way split, reduced independently then merged
+      (0 to scored.size).forall { cut =>
+        val (a, b) = scored.splitAt(cut)
+        val ba = a.foldLeft(agg.zero)(agg.reduce)
+        val bb = b.foldLeft(agg.zero)(agg.reduce)
+        agg.finish(agg.merge(ba, bb)) == expect &&
+          agg.finish(agg.merge(bb, ba)) == expect
+      }
+    }
+
+  property("sessionize: session count == 1 + number of over-gap steps") =
+    forAll(Gen.listOfN(25, Gen.chooseNum(0L, 300L)), Gen.chooseNum(10L, 120L)) {
+      (gaps, gapUs) =>
+        val ts = gaps.scanLeft(0L)(_ + _)
+        val rows = ts.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) }
+        val got = graft.operators.Sessions
+          .sessionize(rows.toDF("user_id", "ts_us", "event_id"),
+            col("user_id"), col("ts_us"), col("event_id"), gapUs)
+          .agg(max(col("session_idx"))).head().getLong(0)
+        // ts is nondecreasing, so consecutive sorted gaps == generated gaps
+        val expect = 1L + gaps.count(_ > gapUs)
+        got == expect
+    }
 }
