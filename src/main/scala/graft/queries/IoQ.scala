@@ -188,6 +188,34 @@ object IoQ {
            ||> SELECT l_returnflag, n, round(sp, 2) AS price""".stripMargin)
     }),
 
+    // O11/net-new: Spark 4 recursive CTE — iterative SQL without
+    // driver loops (the transitive-closure shape d_components builds
+    // manually in DataFrame rounds, here as one declarative query).
+    // Each customer's ancestor chain under parent = key DIV 10.
+    "o11_recursive" -> ((s, dir) => {
+      val v = s"cust_rec_${java.lang.Long.toHexString(System.nanoTime())}"
+      customer(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""WITH RECURSIVE a(node, anc) AS (
+           |  SELECT c_custkey, c_custkey DIV 10 FROM $v WHERE c_custkey >= 10
+           |  UNION ALL
+           |  SELECT node, anc DIV 10 FROM a WHERE anc >= 10)
+           |SELECT node, count(*) AS n_anc, min(anc) AS min_anc
+           |FROM a GROUP BY node""".stripMargin)
+    }),
+
+    // A23/net-new: sketch heavy hitters via approx_top_k (the
+    // mergeable bounded-memory path; with capacity >> NDV the counts
+    // are exact, so the re-sorted rendering is deterministic and
+    // oracle-able against the exact group counts).
+    "a23_approx_topk" -> ((s, dir) => {
+      lineitem(s, dir)
+        .agg(expr("approx_top_k(l_returnflag, 3, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+
     // O4: union of per-"week" slices back into one table.
     "o4_union" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -293,6 +321,19 @@ object IoQ {
         | round(sum(l_extendedprice), 2) AS price
         |FROM lineitem WHERE l_quantity > 25
         |GROUP BY l_returnflag""".stripMargin,
+
+    "o11_recursive" ->
+      """WITH RECURSIVE a(node, anc) AS (
+        |  SELECT c_custkey, c_custkey // 10 FROM customer WHERE c_custkey >= 10
+        |  UNION ALL
+        |  SELECT node, anc // 10 FROM a WHERE anc >= 10)
+        |SELECT node, count(*) AS n_anc, min(anc) AS min_anc
+        |FROM a GROUP BY node""".stripMargin,
+
+    "a23_approx_topk" ->
+      """SELECT l_returnflag AS item, count(*)::BIGINT AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY cnt DESC, item""".stripMargin,
 
     "p12_json" ->
       """SELECT event_id, event_type,
