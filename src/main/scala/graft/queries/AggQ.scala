@@ -407,6 +407,50 @@ object AggQ {
           col("price"), cuts, 3)
     }),
 
+    // O12/net-new: surrogate-key assignment — dense ids from the
+    // natural key's total order (dense_rank over a tiny DISTINCT key
+    // table, broadcast back). Engine-portable unlike hash/monotonic
+    // ids; the ranked table is keys-only so the global window is
+    // bounded by key cardinality, not row count.
+    "o12_surrogate" -> ((s, dir) => {
+      val keys = customer(s, dir)
+        .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+      val sk = keys.withColumn("segment_nation_sk",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_mktsegment"), col("c_nationkey"))).cast("long"))
+      customer(s, dir).join(broadcast(sk), Seq("c_mktsegment", "c_nationkey"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"), col("segment_nation_sk"))
+    }),
+
+    // J15/net-new: snapshot diff (CDC between two table versions):
+    // full-outer join on the key classifies every row as inserted /
+    // deleted / changed / unchanged. The "new" snapshot is synthesized
+    // from orders deterministically.
+    "j15_snapshot_diff" -> ((s, dir) => {
+      val base = orders(s, dir)
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("price"))
+      val next = orders(s, dir)
+        .where(col("o_orderkey") % 11 =!= 0) // deletions
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0,
+            r2(col("o_totalprice") + 5.0)) // changes
+            .otherwise(r2(col("o_totalprice"))).as("price"))
+        .unionByName(
+          orders(s, dir).where(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+              r2(col("o_totalprice")).as("price"))) // insertions
+      base.withColumnRenamed("price", "old_price")
+        .join(next.withColumnRenamed("price", "new_price"),
+          Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"), col("old_price"), col("new_price"),
+          when(col("old_price").isNull, "inserted")
+            .when(col("new_price").isNull, "deleted")
+            .when(col("old_price") =!= col("new_price"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .where(col("change_type") =!= "unchanged")
+    }),
+
     // A21/net-new: fixed-width histogram (the other profiling shape
     // next to a17's quantile cuts): bucket = floor(x / width) is one
     // correctly-rounded division + exact floor — bitwise portable —
@@ -705,6 +749,37 @@ object AggQ {
         |  THEN (sy::DOUBLE - (((n*sxy - sx*sy)::DOUBLE) / ((n*sxx - sx*sx)::DOUBLE))
         |        * sx::DOUBLE) / n::DOUBLE END AS intercept
         |FROM a""".stripMargin,
+
+    "o12_surrogate" ->
+      """WITH k AS (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer),
+        |sk AS (SELECT c_mktsegment, c_nationkey,
+        |  dense_rank() OVER (ORDER BY c_mktsegment, c_nationkey)::BIGINT
+        |    AS segment_nation_sk FROM k)
+        |SELECT c_custkey, c_mktsegment, c_nationkey, segment_nation_sk
+        |FROM customer JOIN sk USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    "j15_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS old_price
+        |  FROM orders),
+        |next AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 5.0, 2)
+        |   ELSE round(o_totalprice, 2) END AS new_price
+        | FROM orders WHERE o_orderkey % 11 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 900000000, round(o_totalprice, 2)
+        | FROM orders WHERE o_orderkey % 1000 = 1)
+        |SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        | b.old_price, n.new_price,
+        | CASE WHEN b.old_price IS NULL THEN 'inserted'
+        |  WHEN n.new_price IS NULL THEN 'deleted'
+        |  WHEN b.old_price <> n.new_price THEN 'changed'
+        |  ELSE 'unchanged' END AS change_type
+        |FROM base b FULL OUTER JOIN next n ON b.o_orderkey = n.o_orderkey
+        |WHERE (CASE WHEN b.old_price IS NULL THEN 'inserted'
+        |  WHEN n.new_price IS NULL THEN 'deleted'
+        |  WHEN b.old_price <> n.new_price THEN 'changed'
+        |  ELSE 'unchanged' END) <> 'unchanged'""".stripMargin,
 
     "a21_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
