@@ -67,18 +67,29 @@ object Sessions {
     * count — the standard conversion-funnel semantics. All stages
     * ride ONE window partition (one shuffle); the final count is a
     * tiny global agg.
+    *
+    * `keys` is a Seq of PLAIN columns (not a struct expression): the
+    * exchange-reuse check recognizes that hash partitioning on a key
+    * PREFIX satisfies clustering on (prefix, more) only for flat
+    * column lists — wrapping the key in a struct forces a second
+    * full-data shuffle when composing with an upstream window (e.g.
+    * sessionize), which is exactly what this signature avoids.
     */
-  def funnel(df: DataFrame, key: Column, tsUs: Column, typ: Column,
+  def funnel(df: DataFrame, keys: Seq[Column], tsUs: Column, typ: Column,
              stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val w = Window.partitionBy(col("key"))
+    require(keys.nonEmpty, "funnel needs at least one key column")
+    val keyNames = keys.indices.map(i => s"k_$i")
+    val keyCols = keyNames.map(col)
+    val w = Window.partitionBy(keyCols: _*)
     // first_i = min ts of stage i with ts >= first_{i-1}. Window
     // functions cannot nest, so each stage threshold is materialized
     // as a column before the next references it — every Window node
     // shares the same partition key, so Catalyst plans ONE exchange
     // for the whole chain. Null upstream first ⇒ `ts >= null` is
     // null ⇒ min sees nothing ⇒ downstream stages stay null too.
-    val base = df.select(key.as("key"), tsUs.as("ts"), typ.as("typ"))
+    val base = df.select(keys.zip(keyNames).map { case (k, n) => k.as(n) }
+      ++ Seq(tsUs.as("ts"), typ.as("typ")): _*)
     val withFirsts = stages.zipWithIndex.foldLeft(base) {
       case (cur, (stage, i)) =>
         val qualifies =
@@ -87,7 +98,7 @@ object Sessions {
         cur.withColumn(s"first_$i",
           min(when(qualifies, col("ts"))).over(w))
     }
-    val perKey = withFirsts.groupBy(col("key"))
+    val perKey = withFirsts.groupBy(keyCols: _*)
       .agg(max(col("first_0")).as("first_0"),
         (1 until stages.size).map(i =>
           max(col(s"first_$i")).as(s"first_$i")): _*)

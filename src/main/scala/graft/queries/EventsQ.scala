@@ -73,19 +73,22 @@ object EventsQ {
       // Strictly-ordered view → click → purchase funnel: stage i
       // counts a user only if its first qualifying ts is at-or-after
       // stage i-1's.
-      Sessions.funnel(eventsUs(s, dir), col("user_id"), col("ts_us"),
+      Sessions.funnel(eventsUs(s, dir), Seq(col("user_id")), col("ts_us"),
         col("event_type"), Seq("view", "click", "purchase"))
     }),
 
     // Operators COMPOSE: the funnel counted within each session
-    // (key = (user, session_idx) struct) instead of per user —
-    // sessionize's window and funnel's windows share the user-prefixed
-    // partitioning, so the whole chain is still one data exchange.
+    // (keys = user_id, session_idx) instead of per user. The keys are
+    // passed as PLAIN columns so funnel's windows and group-by are
+    // satisfied by sessionize's hash partitioning on the user_id
+    // prefix — one data exchange for the whole chain (plan-proven in
+    // SessionsSpec; a struct-wrapped key would force a second
+    // full-data shuffle).
     "j14_session_funnel" -> ((s, dir) => {
       val sess = Sessions.sessionize(eventsUs(s, dir), col("user_id"),
         col("ts_us"), col("event_id"), GapUs)
       Sessions.funnel(sess,
-        struct(col("user_id"), col("session_idx")),
+        Seq(col("user_id"), col("session_idx")),
         col("ts_us"), col("event_type"),
         Seq("view", "click", "purchase"))
     }))

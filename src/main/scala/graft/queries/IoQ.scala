@@ -178,7 +178,8 @@ object IoQ {
     // as the nested-SQL equivalent; registered to pin the dialect
     // surface works end-to-end.
     "o10_pipe_sql" -> ((s, dir) => {
-      val v = s"li_pipe_${java.lang.Long.toHexString(System.nanoTime())}"
+      // fixed name — idempotent replace, no per-invocation view leak
+      val v = "graft_li_pipe"
       lineitem(s, dir).createOrReplaceTempView(v)
       s.sql(
         s"""FROM $v
@@ -193,7 +194,9 @@ object IoQ {
     // manually in DataFrame rounds, here as one declarative query).
     // Each customer's ancestor chain under parent = key DIV 10.
     "o11_recursive" -> ((s, dir) => {
-      val v = s"cust_rec_${java.lang.Long.toHexString(System.nanoTime())}"
+      // fixed name: createOrReplaceTempView is idempotent, so repeated
+      // invocations in one session replace rather than leak views
+      val v = "graft_cust_rec"
       customer(s, dir).createOrReplaceTempView(v)
       s.sql(
         s"""WITH RECURSIVE a(node, anc) AS (

@@ -44,8 +44,11 @@ object TemporalQ {
     // Resample to a regular grid + forward-fill (pandas
     // `resample('1h').ffill()`): per user, hourly ticks spanning the
     // observed range, each tick carrying the latest at-or-before
-    // observation via the as-of union+window machinery (one exchange;
-    // the grid is generated, never shuffled separately). Guard:
+    // observation via the as-of union+window machinery. Three keyed
+    // exchanges by design: the per-user bounds aggregate (tiny), the
+    // (user, ts) dedup that makes the fill deterministic (~full event
+    // set — the unavoidable cost of a unique right side), and the
+    // user-keyed as-of window that carries grid+events. Guard:
     // sequence(gs, ge) DESCENDS when gs > ge (sub-hour users) — such
     // users get no ticks, filtered explicitly.
     "w25_resample" -> ((s, dir) => {

@@ -72,7 +72,7 @@ class SessionsSpec extends SparkSpec {
       // user 4: click at the same ts as view (>= boundary) counts
       (4L, 0L, "view"), (4L, 0L, "click")
     ).toDF("user_id", "ts_us", "event_type")
-    val got = Sessions.funnel(df, col("user_id"), col("ts_us"),
+    val got = Sessions.funnel(df, Seq(col("user_id")), col("ts_us"),
         col("event_type"), Seq("view", "click", "purchase"))
       .as[(Long, String, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq(
@@ -105,7 +105,7 @@ class SessionsSpec extends SparkSpec {
       Seq("view", "click", "purchase")(i % 3))).toDF("user_id", "ts_us", "event_type")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val out = Sessions.funnel(df, col("user_id"), col("ts_us"),
+      val out = Sessions.funnel(df, Seq(col("user_id")), col("ts_us"),
         col("event_type"), Seq("view", "click", "purchase"))
       val shuffles = out.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e }
@@ -114,6 +114,31 @@ class SessionsSpec extends SparkSpec {
       // single-partition exchange of ONE row per task.
       assert(shuffles.size == 2,
         s"funnel must not re-shuffle the data per stage, found ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("plan proof: sessionize ∘ funnel composition keeps ONE data exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = (1 to 400).map(i => ((i % 7).toLong, (i * 37L) % 1000, i.toLong,
+      Seq("view", "click", "purchase")(i % 3)))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sess = Sessions.sessionize(df, col("user_id"), col("ts_us"),
+        col("event_id"), 50L)
+      val out = Sessions.funnel(sess,
+        Seq(col("user_id"), col("session_idx")),
+        col("ts_us"), col("event_type"), Seq("view", "click", "purchase"))
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      // sessionize's hashpartitioning(user_id) satisfies every funnel
+      // window/group-by on (user_id, session_idx) because the keys
+      // are plain columns — 1 data exchange + the 1-row global agg.
+      // (A struct(user_id, session_idx) key defeats the subset check
+      // and costs a full second shuffle — the funnel signature takes
+      // Seq[Column] precisely to prevent that.)
+      assert(shuffles.size == 2,
+        s"composition must reuse sessionize's exchange, found ${shuffles.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -147,7 +172,7 @@ class SessionsSpec extends SparkSpec {
       (1L, 0L, "click"), (1L, 5L, "view"), (1L, 10L, "click"),
       (1L, 15L, "purchase")
     ).toDF("user_id", "ts_us", "event_type")
-    val got = Sessions.funnel(df, col("user_id"), col("ts_us"),
+    val got = Sessions.funnel(df, Seq(col("user_id")), col("ts_us"),
         col("event_type"), Seq("view", "click", "purchase"))
       .as[(Long, String, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq(
