@@ -189,6 +189,60 @@ object IoQ {
            ||> SELECT l_returnflag, n, round(sp, 2) AS price""".stripMargin)
     }),
 
+    // S11/net-new: raw TEXT source/sink — the lowest-common-
+    // denominator corpus format (one record per line). Lines are
+    // parsed back relationally; the tab-joined layout survives
+    // because the normalized payload has no tabs/newlines.
+    "s11_text" -> ((s, dir) => {
+      val base = scratchDir("graft_text")
+      documents(s, dir)
+        .select(concat_ws("\t", col("doc_id"),
+          regexp_replace(col("text"), "[\\t\\n\\r]", " ")).as("value"))
+        .write.mode("overwrite").text(base)
+      val parts = split(col("value"), "\t", 2)
+      s.read.text(base)
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          length(parts.getItem(1)).cast("long").as("n_chars_line"))
+    }),
+
+    // S12/net-new: XML source/sink (native in Spark 4) — the
+    // enterprise feed format; explicit schema on read (inference at
+    // 100 TB is a non-starter), row-per-element layout.
+    "s12_xml" -> ((s, dir) => {
+      val base = scratchDir("graft_xml")
+      documents(s, dir).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").format("xml")
+        .option("rootTag", "docs").option("rowTag", "doc").save(base)
+      s.read.format("xml").option("rowTag", "doc")
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .load(base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
+    // S13/net-new: binaryFile source — the multimodal ingestion
+    // format (one opaque blob per file + metadata). The 20 fixture
+    // files are written driver-side BY DESIGN (a per-file sink is not
+    // a Spark operator; at scale blobs arrive as files); the measured
+    // operator is the distributed binaryFile SCAN + content hashing.
+    "s13_binaryfile" -> ((s, dir) => {
+      val base = scratchDir("graft_bin")
+      val sample = documents(s, dir).where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect()
+      sample.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(base, f"doc_${r.getLong(0)}%05d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").load(base)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+          col("length"),
+          md5(col("content")).as("content_md5"))
+    }),
+
     // O11/net-new: Spark 4 recursive CTE — iterative SQL without
     // driver loops (the transitive-closure shape d_components builds
     // manually in DataFrame rounds, here as one declarative query).
@@ -324,6 +378,23 @@ object IoQ {
         | round(sum(l_extendedprice), 2) AS price
         |FROM lineitem WHERE l_quantity > 25
         |GROUP BY l_returnflag""".stripMargin,
+
+    "s11_text" ->
+      """SELECT doc_id,
+        | length(regexp_replace(text, '[\t\n\r]', ' ', 'g'))::BIGINT
+        |   AS n_chars_line
+        |FROM documents""".stripMargin,
+
+    "s12_xml" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars,
+        | max(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "s13_binaryfile" ->
+      """SELECT doc_id,
+        | octet_length(encode(text))::BIGINT AS length,
+        | md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 20""".stripMargin,
 
     "o11_recursive" ->
       """WITH RECURSIVE a(node, anc) AS (
