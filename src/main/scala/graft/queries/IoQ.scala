@@ -189,6 +189,32 @@ object IoQ {
            ||> SELECT l_returnflag, n, round(sp, 2) AS price""".stripMargin)
     }),
 
+    // S14/net-new: malformed-record handling on ingest — PERMISSIVE
+    // mode with a corrupt-record column, the dirty-data contract every
+    // 100 TB CSV feed needs (a malformed row must become a flaggable
+    // record, never kill the job or silently vanish). Every 7th line
+    // is corrupted deterministically before the read.
+    "s14_badrecords" -> ((s, dir) => {
+      val base = scratchDir("graft_bad")
+      documents(s, dir)
+        .select(concat_ws(",",
+          col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("NOT_A_NUMBER"))
+            .otherwise(col("n_chars")),
+          col("lang")).as("value"))
+        .write.mode("overwrite").text(base)
+      s.read
+        .schema("doc_id LONG, n_chars LONG, lang STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_bad"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_good"))
+    }),
+
     // S11/net-new: raw TEXT source/sink — the lowest-common-
     // denominator corpus format (one record per line). Lines are
     // parsed back relationally; the tab-joined layout survives
@@ -378,6 +404,14 @@ object IoQ {
         | round(sum(l_extendedprice), 2) AS price
         |FROM lineitem WHERE l_quantity > 25
         |GROUP BY l_returnflag""".stripMargin,
+
+    "s14_badrecords" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bad,
+        | CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END)
+        |   AS BIGINT) AS chars_good
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "s11_text" ->
       """SELECT doc_id,
