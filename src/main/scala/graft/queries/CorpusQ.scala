@@ -237,6 +237,27 @@ object CorpusQ {
           col("sum_freq").cast("double") / col("n_tokens").cast("double"))
     }),
 
+    // Token-distribution entropy per doc (diversity filter: repeated
+    // -token spam scores near 0, varied text near ln(n_distinct)).
+    // Decomposed as H = ln(n) − Σ cnt·ln(cnt) / n over EXACT integer
+    // counts: ln of integers is transcendental (never on a rounding
+    // tick) and the summed terms are same-signed (no cancellation
+    // amplification) — r6 absorbs cross-engine libm/order noise, the
+    // t_tfidf precedent.
+    "t_entropy" -> ((s, dir) => {
+      val dt = documents(s, dir)
+        .select(col("doc_id"),
+          explode(Text.tokens(Text.normalizeAz(col("text")))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      dt.groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+            .as("s"))
+        .select(col("doc_id"), col("n"),
+          r6(log(col("n").cast("double")) -
+            col("s") / col("n").cast("double")).as("entropy"))
+    }),
+
     // Feature hashing (the "hashing trick"): tokens → fixed D-dim
     // sparse count vectors via the engine-portable poly-hash mod D —
     // no vocabulary pass, no fit, memory O(D) per doc. Output is the
@@ -377,6 +398,17 @@ object CorpusQ {
          |  row_number() OVER (ORDER BY n DESC, token)::BIGINT AS token_id
          | FROM c)
          |SELECT token, n, token_id FROM r WHERE token_id <= 200""".stripMargin,
+
+    "t_entropy" ->
+      s"""WITH $TokCte,
+         |e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+         |dt AS (SELECT doc_id, token, count(*)::BIGINT AS cnt
+         |  FROM e GROUP BY doc_id, token),
+         |a AS (SELECT doc_id, sum(cnt)::BIGINT AS n,
+         |  sum(cnt::DOUBLE * ln(cnt::DOUBLE)) AS s
+         | FROM dt GROUP BY doc_id)
+         |SELECT doc_id, n, round(ln(n::DOUBLE) - s / n::DOUBLE, 6) AS entropy
+         |FROM a""".stripMargin,
 
     "t_feathash" ->
       s"""WITH $TokCte,
