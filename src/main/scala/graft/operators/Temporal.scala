@@ -42,6 +42,29 @@ object Temporal {
   def rollingMax(c: Column, k: Int, w: WindowSpec): Column =
     max(c).over(rollingFrame(w, k))
 
+  /** W2 engine-portable variants: rolling mean/std computed in an exact
+    * integer domain. `c` must be an exact-integer LONG column (e.g.
+    * `round(s * 1000).cast("long")` for a value on a 3-decimal lattice):
+    * the frame's sum(c), sum(c*c) and count are then exact integers in
+    * EVERY engine regardless of summation order — the segment-tree-vs-
+    * running-frame float drift that made rolled doubles tick differently
+    * across DuckDB versions cannot occur — and the single final division
+    * of exact operands is IEEE-deterministic. `scale` restores original
+    * units. Std is null over a single row (stddev_samp / pandas ddof=1).
+    * Overflow bound: |c| and k must keep k·max(c)² below 2^53. */
+  def rollingMeanExact(c: Column, k: Int, w: WindowSpec, scale: Long): Column = {
+    val f = rollingFrame(w, k)
+    (sum(c).over(f).cast("double") / count(c).over(f)) / scale.toDouble
+  }
+  def rollingStdExact(c: Column, k: Int, w: WindowSpec, scale: Long): Column = {
+    val f = rollingFrame(w, k)
+    val n = count(c).over(f)
+    val s1 = sum(c).over(f).cast("double")
+    val s2 = sum(c * c).over(f).cast("double")
+    when(n > lit(1),
+      sqrt((s2 - s1 * s1 / n) / (n - lit(1))) / scale.toDouble)
+  }
+
   /** Rolling exact median over the last `k` rows (the robust rolling
     * center pandas exposes as `rolling(k).median()`). With ODD k on a
     * full frame the result is an actual data value (no interpolation)

@@ -38,6 +38,24 @@ class TemporalSpec extends SparkSpec {
     assert(approx(r(3).getDouble(2), (12.0 + 11.0 + 15.0) / 3))
   }
 
+  test("W2 exact-integer rolling mean/std agree with the float versions") {
+    // v is on a 0.1 lattice -> c = round(v*10) is exact; the exact
+    // variants must match the float ones to float tolerance, including
+    // the ddof=1 null on single-row frames.
+    val c = round(col("v") * 10).cast("long")
+    val r = ts.select(col("k"), col("t"),
+      Temporal.rollingMean(col("v"), 3, w).as("fm"),
+      Temporal.rollingMeanExact(c, 3, w, 10).as("em"),
+      Temporal.rollingStd(col("v"), 3, w).as("fs"),
+      Temporal.rollingStdExact(c, 3, w, 10).as("es"))
+      .orderBy("k", "t").collect()
+    r.foreach { row =>
+      assert(approx(row.getDouble(2), row.getDouble(3)))
+      assert(row.isNullAt(4) == row.isNullAt(5))
+      if (!row.isNullAt(4)) assert(approx(row.getDouble(4), row.getDouble(5)))
+    }
+  }
+
   test("W3/W4 diff and delta2 match hand values") {
     val r = ts.select(col("k"), col("t"),
       Temporal.diff(col("v"), w).as("d1"),
