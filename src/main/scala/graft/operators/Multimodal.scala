@@ -8,14 +8,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, and a distributed decode/feature
   * stage.
   *
-  * The actual image/audio decode is STUBBED (no codec libraries in
-  * this environment): [[StubDecoder]] derives deterministic fake
-  * dimensions from the payload hash. The Spark-side plumbing — schema,
-  * partition-parallel batch decode via mapPartitions, metadata
-  * projection — is real and is what matters at 100 TB: payload bytes
-  * are never shuffled (decode runs map-side on the scan partitioning)
-  * and metadata-only queries prune the binary column at the parquet
-  * reader.
+  * IMAGE decode is REAL: [[decodeImageStats]] decodes PNG/BMP/GIF
+  * payloads with the JDK's `javax.imageio` (no external codec needed)
+  * and emits per-channel pixel statistics — the per-blob kernel a
+  * multimodal training pipeline runs at scale. Video/audio decode
+  * (frame counts, sample rates) is STUBBED ([[StubDecoder]] derives
+  * deterministic fake dimensions from the payload hash; ffmpeg-class
+  * codecs are not in this environment). Either way the Spark-side
+  * plumbing — schema, partition-parallel batch decode via
+  * mapPartitions, metadata projection — is what matters at 100 TB:
+  * payload bytes are never shuffled (decode runs map-side on the scan
+  * partitioning) and metadata-only queries prune the binary column at
+  * the parquet reader.
   */
 object Multimodal {
 
@@ -81,6 +85,86 @@ object Multimodal {
     val scale = least(lit(box.toDouble) / width, lit(box.toDouble) / height)
     val capped = least(scale, lit(1.0)) // never upscale
     (floor(width * capped).cast("long"), floor(height * capped).cast("long"))
+  }
+
+  /** Metadata produced by the REAL image decode stage. Channel sums
+    * are exact-integer longs (ORACLE_NOTES.md rule 1): bit-portable
+    * across engines, and the caller derives means by one exact
+    * division. */
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("img_w", IntegerType),
+    StructField("img_h", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** Deterministic synthetic PNG: pixel (x, y) has channels
+    * r = (seed + 7x + 13y) mod 256, g = (3·seed + 5x + 11y) mod 256,
+    * b = (5·seed + 3x + 17y) mod 256. PNG is lossless, so a real
+    * decoder must recover exactly these values — which an oracle can
+    * compute analytically without any image library. */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed + 7L * x + 13L * y) % 256).toInt
+        val g = ((3L * seed + 5L * x + 11L * y) % 256).toInt
+        val b = ((5L * seed + 3L * x + 17L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL distributed image decode (JDK `javax.imageio` — PNG/BMP/GIF
+    * need no external library): per-partition batch over the binary
+    * column, appending [[imageStatsSchema]] fields — dimensions plus
+    * exact per-channel pixel sums (for grayscale images r=g=b).
+    * Undecodable/null payloads yield null metadata (corrupt blobs
+    * must not kill a 100 TB scan). Map-side only: payload bytes are
+    * never shuffled. */
+  def decodeImageStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ imageStatsSchema.fields)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = Seq(null, null, null, null, null, null)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          if (r.isNullAt(idx)) null
+          else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](idx)))
+        if (img == null) Row.fromSeq(r.toSeq ++ nulls)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          // Seq[Any] stops Scala's numeric harmonization from widening
+          // the Int fields to Long (INVALID_EXTERNAL_TYPE otherwise).
+          Row.fromSeq(r.toSeq ++ Seq[Any](w, h,
+            img.getColorModel.getNumColorComponents, sr, sg, sb))
+        }
+      }
+    }(enc)
   }
 
   /** Distributed decode: per-partition batch over the binary column.

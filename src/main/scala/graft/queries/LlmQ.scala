@@ -254,14 +254,27 @@ object LlmQ {
     }),
 
     "mm_decode" -> ((s, dir) => {
-      val payload = documents(s, dir).select(
-        col("doc_id"),
-        Text.normalizeAz(col("text")).cast("binary").as("payload"))
-      Multimodal.decodeFeatures(payload, "payload")
-        .select(col("doc_id"), col("n_bytes"), col("sha"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames"))
+      // REAL image decode round-trip (javax.imageio, no stub): encode
+      // a deterministic PNG per doc — pixel channels are a known
+      // function of (doc_id, x, y) — then decode it back and emit
+      // exact per-channel pixel sums, which the oracle computes
+      // ANALYTICALLY (PNG is lossless, so only a genuine pixel decode
+      // reproduces them). Both encode and decode run map-side; payload
+      // bytes never shuffle.
+      import s.implicits._
+      val withPng = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticPng(id,
+            (8 + id % 16).toInt, (8 + (id * 3) % 16).toInt))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodeImageStats(withPng, "payload")
+        .select(col("doc_id"),
+          col("img_w").cast("long").as("img_w"),
+          col("img_h").cast("long").as("img_h"),
+          col("channels").cast("long").as("channels"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          (col("sum_r").cast("double") / (col("img_w") * col("img_h")))
+            .as("mean_r"))
     }),
 
     "v_vecmath" -> ((s, dir) => {
@@ -723,15 +736,22 @@ object LlmQ {
          |FROM d""".stripMargin,
 
     "mm_decode" ->
-      s"""WITH n AS (SELECT doc_id, $NormSql AS t FROM documents),
-         |h AS (SELECT doc_id, t, ${foldSql("t")} AS hv FROM n)
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+         |  8 + (doc_id * 3) % 16 AS h FROM documents),
+         |px AS (SELECT doc_id, w, h, x, y
+         |  FROM d, range(0, 24) AS rx(x), range(0, 24) AS ry(y)
+         |  WHERE x < w AND y < h),
+         |agg AS (SELECT doc_id, w, h,
+         |  CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((3 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((5 * doc_id + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b
+         | FROM px GROUP BY doc_id, w, h)
          |SELECT doc_id,
-         | CAST(length(t) AS BIGINT) AS n_bytes,
-         | sha256(t) AS sha,
-         | 64 + hv % 1920 AS width,
-         | 64 + (hv // 7) % 1080 AS height,
-         | 1 + hv % 240 AS n_frames
-         |FROM h""".stripMargin,
+         | CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+         | CAST(3 AS BIGINT) AS channels,
+         | sum_r, sum_g, sum_b,
+         | CAST(sum_r AS DOUBLE) / (w * h) AS mean_r
+         |FROM agg""".stripMargin,
 
     "v_vecmath" ->
       s"""WITH j AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
