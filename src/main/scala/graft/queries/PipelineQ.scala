@@ -75,6 +75,25 @@ object PipelineQ {
         "phys_x", "phys_y", "pred_x", "pred_y")
     }),
 
+    // E1 must-beat gate — the reference's only global success
+    // criterion (physics floor RMSE 4.237, `docs/raw_ensemble1.log:16`,
+    // `scoring.py:50-53`): the learned ensemble must land BELOW the
+    // physics baseline. Tree RMSEs are not hash-stable across runs,
+    // but this boolean is seed-stable — the synthetic truth carries a
+    // smooth learnable residual pattern, so any sane fit clears the
+    // floor by a wide margin — making "the model actually learns"
+    // a driver-visible green row, not just a ScalaTest assertion.
+    "e1_rmse_gate" -> ((s, dir) => {
+      import s.implicits._
+      val frames = cappedFrames(s, dir, cap = 20)
+      val r = TreeEnsemblePipeline.run(frames, syntheticTruth(frames),
+        TreeEnsemblePipeline.Config(k = 2,
+          gbt = GbtPair.Params(maxIter = 5, maxDepth = 3, fitPartitions = 8)))
+      Seq((if (r.rmseEnsemble < r.rmsePhysics) 1L else 0L,
+        if (r.rmsePhysics > 0.0) 1L else 0L))
+        .toDF("model_beats_physics", "physics_rmse_positive")
+    }),
+
     // M5: ridge-stacked variant.
     "m5_ridge" -> ((s, dir) => {
       val frames = cappedFrames(s, dir, cap = 20)
@@ -172,6 +191,12 @@ object PipelineQ {
     * its fold mirror m8_seqbuild's list_reduce form (same fold order
     * guarantees bitwise-identical sums). */
   val oracle: Map[String, String] = Map(
+    // The gate's CONTENT is the assertion itself: the oracle pins the
+    // one seed-stable outcome (model beats physics) as a constant row.
+    "e1_rmse_gate" ->
+      """SELECT CAST(1 AS BIGINT) AS model_beats_physics,
+        | CAST(1 AS BIGINT) AS physics_rmse_positive""".stripMargin,
+
     "m5_ridge_closed" ->
       """WITH base AS (SELECT l_orderkey,
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
