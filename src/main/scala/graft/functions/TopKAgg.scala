@@ -29,15 +29,21 @@ case class Scored(v: Double, id: Long)
   * Inputs must be NON-NULL: `Scored` uses primitive fields (the
   * cheap encoder); filter nulls out before aggregating (the w24
   * query does) — unlike a window rank, which would sort nulls last.
+  * NaN scores ARE ordered (largest-first, `java.lang.Double.compare`
+  * total order in BOTH the skip-check and the sort — primitive >/==
+  * would disagree with the sort on NaN and make the kept set depend
+  * on partition order), and -0.0 < 0.0 consistently.
   */
 class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], String] {
   require(k > 0)
 
-  private def beats(a: Scored, b: Scored): Boolean =
-    a.v > b.v || (a.v == b.v && a.id < b.id)
+  private def beats(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.v, b.v)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def trim(xs: Seq[Scored]): Seq[Scored] =
-    xs.sortBy(e => (-e.v, e.id)).take(k)
+    xs.sortWith(beats).take(k)
 
   override def zero: Seq[Scored] = Seq.empty
   override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =

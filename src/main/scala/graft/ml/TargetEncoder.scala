@@ -24,9 +24,15 @@ object TargetEncoder {
 
   /** Appends `enc` (OOF target mean, null when the row's category
     * exists only in its own fold). `target` must be an integral
-    * column; `fold` an integer fold id. */
+    * column; `fold` an integer fold id.
+    *
+    * `broadcastStats` (default true) force-broadcasts the cat×fold
+    * stats table — right for the common bounded-cardinality case. For
+    * a categorical whose cardinality × k could exceed the broadcast
+    * cap / driver memory, pass false and let the planner pick the
+    * join (AQE still broadcasts when the stats turn out small). */
   def oofEncode(df: DataFrame, cat: String, fold: String,
-                target: Column): DataFrame = {
+                target: Column, broadcastStats: Boolean = true): DataFrame = {
     val stats = df.groupBy(col(cat), col(fold))
       .agg(count(lit(1)).as("__n_cf"), sum(target).as("__s_cf"))
     val wc = Window.partitionBy(col(cat))
@@ -39,6 +45,6 @@ object TargetEncoder {
           (col("__s_c") - col("__s_cf")).cast("double") /
             (col("__n_c") - col("__n_cf")).cast("double"))
           .as("enc"))
-    df.join(broadcast(enc), Seq(cat, fold), "left")
+    df.join(if (broadcastStats) broadcast(enc) else enc, Seq(cat, fold), "left")
   }
 }

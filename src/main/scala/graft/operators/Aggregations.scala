@@ -129,13 +129,16 @@ object Aggregations {
   }
 
   /** Discretizer TRANSFORM: assigns `bin` = number of fitted cut
-    * points strictly below the value (0..k). The one-row `cuts` frame
-    * is a broadcast parameter join — no shuffle on `df`.
+    * points strictly below the value (0..k); a NULL value gets a NULL
+    * bin (the FIT side excludes nulls, so lumping them into bin 0
+    * would silently conflate "missing" with "lowest"). The one-row
+    * `cuts` frame is a broadcast parameter join — no shuffle on `df`.
     */
   def binByCuts(df: DataFrame, c: Column, cuts: DataFrame,
                 k: Int): DataFrame = {
-    val bin = (0 until k).map(i =>
-      when(c > col(s"cut_$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val bin = when(c.isNull, lit(null).cast("long")).otherwise(
+      (0 until k).map(i =>
+        when(c > col(s"cut_$i"), 1L).otherwise(0L)).reduce(_ + _))
     df.crossJoin(broadcast(cuts))
       .withColumn("bin", bin)
       .drop((0 until k).map(i => s"cut_$i"): _*)

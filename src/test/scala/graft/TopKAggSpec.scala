@@ -39,6 +39,20 @@ class TopKAggSpec extends SparkSpec {
     assert(agg.finish(agg.merge(a, b)) == "2:10")
   }
 
+  test("NaN scores order deterministically (largest-first), any arrival order") {
+    val agg = new TopKAgg(2)
+    val xs = Seq(Scored(Double.NaN, 9), Scored(7.0, 1), Scored(5.0, 2))
+    // reduce in every arrival order and merge in both directions:
+    // java.lang.Double.compare ranks NaN above every real value, and
+    // the skip-check agrees with the sort — so the kept set is stable.
+    val viaReduce = xs.permutations.map(p =>
+      agg.finish(p.foldLeft(agg.zero)(agg.reduce))).toSet
+    val (l, r) = (Seq(Scored(Double.NaN, 9)), Seq(Scored(7.0, 1), Scored(5.0, 2)))
+    assert(viaReduce == Set("9:1"))
+    assert(agg.finish(agg.merge(l, r)) == "9:1")
+    assert(agg.finish(agg.merge(r, l)) == "9:1")
+  }
+
   test("plan proof: partial top-k runs before the exchange") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
