@@ -213,6 +213,94 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(f.count() == 200)
   }
 
+  test("scale smoke: connected components O(log n) rounds hold at 100k-node chains") {
+    // Worst case for star-contraction round count is a long path (the
+    // 16x dupClusters smoke in GraphSpec has tiny diameter — clusters
+    // of 16). 8 disjoint chains of 12,500 nodes each (100k nodes,
+    // 12.5k diameter) must converge inside a 2·log2(diameter)+4 round
+    // budget — the maxIter guard THROWS past the budget, so completing
+    // at all is the round-count assertion, and it's the property that
+    // must survive data growth (rounds grow with log of the longest
+    // chain, not with row count).
+    val n = 12500L
+    val budget = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)) + 4
+    val edges = spark.range(8L * n)
+      .filter(col("id") % n =!= (n - 1))
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val cc = graft.operators.Graph.connectedComponents(edges, maxIter = budget)
+    // Every node's component is its chain's minimum (k * n).
+    val wrong = cc.filter(col("component") =!= (col("node") - (col("node") % n)))
+    assert(wrong.isEmpty, "component must be the chain minimum")
+    assert(cc.count() == 8L * n)
+  }
+
+  test("scale smoke: c_corpus at 16x collapses exact copies to the 1x output") {
+    // 16 disjoint-id copies of the sf0.001 corpus: every copy is an
+    // exact duplicate of copy 0, so the md5 keeper stage (min doc_id)
+    // must collapse the inflation and the composite's final output
+    // must EQUAL the 1x run bit-for-bit (quality/split key off
+    // content, not ids) — scale-INVARIANCE, not just completion.
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val big = (0 until 16).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_.unionByName(_))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus16x")
+    big.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val got = graft.queries.CorpusQ.queries("c_corpus")(spark, tmp.toString)
+      val want = graft.queries.CorpusQ.queries("c_corpus")(spark, dir)
+      assert(got.count() == want.count(), "16x must dedup down to the 1x corpus")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        "surviving rows (ids, quality, split) must match the 1x run exactly")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
+  test("scale smoke: sessionize→funnel at 16x — one data exchange, balanced, 16x counts") {
+    // The j14 composition claim re-proven on 16x-inflated events with
+    // disjoint users per copy: (a) the physical plan still carries ONE
+    // full-data exchange (+ the 1-row global agg), (b) hash
+    // partitioning on user_id stays balanced (peak partition within
+    // 3x of mean — skew would sink the window at 100 TB), and (c) the
+    // funnel counts are exactly 16x the base run's.
+    import graft.operators.Sessions
+    val gapUs = 600L * 1000000L
+    val stages = Seq("view", "click", "purchase")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val sess = Sessions.sessionize(df, col("user_id"), col("ts_us"),
+        col("event_id"), gapUs)
+      (sess, Sessions.funnel(sess, Seq(col("user_id"), col("session_idx")),
+        col("ts_us"), col("event_type"), stages))
+    }
+    val base = graft.io.Tables.eventsUs(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_us", "event_type")
+    val big = (0 until 16).map(i => base
+      .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+      .reduce(_.unionByName(_))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (sess, out) = run(big)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 2,
+        s"16x composition must keep 1 data + 1 final-agg exchange, got ${shuffles.size}")
+      val sizes = sess.groupBy(org.apache.spark.sql.functions.spark_partition_id())
+        .count().collect().map(_.getLong(1))
+      assert(sizes.max.toDouble <= 3.0 * sizes.sum / sizes.length,
+        s"peak partition ${sizes.max} vs sizes ${sizes.mkString(",")}")
+      val gotN = out.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      val baseN = run(base)._2.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      stages.foreach(st => assert(gotN(st) == 16L * baseN(st),
+        s"$st: ${gotN(st)} != 16 * ${baseN(st)}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("segmentDedup keeper decision shuffles ids+hashes, never the text") {
     // The keeper aggregate must shuffle md5 hashes with (id, pos) —
     // assert no shuffle WRITES a segment-text attribute. (Text still
