@@ -101,6 +101,36 @@ object Sampling {
       .withColumn("kept", pmod(key, lit(1000000L)) < col("rate_ppm"))
   }
 
+  /** Deterministic global training shuffle: the "randomize example
+    * order" step every pretraining run needs, expressed scalably. A
+    * true global sort-by-random is a single total order — one giant
+    * range exchange whose boundaries depend on sampling (run-to-run
+    * nondeterministic). Instead: shard = key mod nShards, position =
+    * rank of key within the shard — readers stream shard 0..n-1 in
+    * position order and observe a pseudo-random permutation that is a
+    * pure function of content (stable under reruns, re-sharding and
+    * engine ports; no rand(), no sampled boundaries).
+    *
+    * Scale: ONE hash exchange on the shard id + a per-shard local
+    * sort; shards are independent, so 100 TB shuffles as nShards
+    * embarrassingly-parallel sorted writes. Size nShards so a shard
+    * fits an executor's sort spill comfortably (tens of thousands at
+    * petabyte scale — the window cost is per shard, not global).
+    *
+    * @param key deterministic non-negative long (content fingerprint —
+    *   NOT a monotone id, which would preserve input order)
+    * @param tieBreak unique column; equal keys (hash collisions) must
+    *   order deterministically
+    */
+  def shardShuffle(df: DataFrame, key: Column, tieBreak: Column,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val shard = pmod(key, lit(nShards.toLong))
+    val w = Window.partitionBy(shard).orderBy(key, tieBreak)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
+
   /** Context-window packing, concat-then-chunk — the standard LLM
     * pretraining layout: within each shard, documents are laid
     * end-to-end in `order` and the token stream is cut every

@@ -75,6 +75,22 @@ object Temporal {
   def rollingMedian(c: Column, k: Int, w: WindowSpec): Column =
     percentile(c, lit(0.5)).over(rollingFrame(w, k))
 
+  /** Forward-fill (LOCF): latest non-null at-or-before the current
+    * row. The gap-imputation primitive every sensor/feature pipeline
+    * needs (pandas `ffill`): `last` with ignoreNulls over a running
+    * frame — one pass inside the key's existing window exchange, no
+    * join. Engine-portable whenever `c` is (it copies values, never
+    * recomputes them). */
+  def ffill(c: Column, w: WindowSpec): Column =
+    last(c, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Backward-fill: earliest non-null at-or-after the current row
+    * (pandas `bfill`). Same frame logic mirrored forward. */
+  def bfill(c: Column, w: WindowSpec): Column =
+    first(c, ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
   /** W3: first difference. */
   def diff(c: Column, w: WindowSpec): Column = c - lag(c, 1).over(w)
 

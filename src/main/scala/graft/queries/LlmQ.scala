@@ -165,6 +165,18 @@ object LlmQ {
         bucket.as("bucket"), split.as("split"))
     }),
 
+    // Deterministic global training shuffle: every doc gets a shard
+    // (fp mod 16) and a pseudo-random in-shard position — the
+    // "randomize example order" step of a pretraining run as ONE hash
+    // exchange + per-shard sort (Sampling.shardShuffle), stable under
+    // reruns/re-sharding because it's a pure function of content.
+    "t_shard" -> ((s, dir) => {
+      val fp = Text.polyHash(Text.normalizeAz(col("text")))
+      Sampling.shardShuffle(documents(s, dir).withColumn("fp", fp),
+          col("fp"), col("doc_id"), nShards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // Deterministic per-language sample: ceil(n/5) docs per lang,
     // ranked by fingerprint — integer-exact keep rule, no rand().
     "t_stratified" -> ((s, dir) => {
@@ -632,6 +644,13 @@ object LlmQ {
          | CASE WHEN fp % 100 < 80 THEN 'train'
          |      WHEN fp % 100 < 90 THEN 'val'
          |      ELSE 'test' END AS split
+         |FROM f""".stripMargin,
+
+    "t_shard" ->
+      s"""WITH f AS (SELECT doc_id, ${foldSql("t")} AS fp
+         | FROM (SELECT doc_id, $NormSql AS t FROM documents))
+         |SELECT doc_id, fp % 16 AS shard,
+         | row_number() OVER (PARTITION BY fp % 16 ORDER BY fp, doc_id) - 1 AS pos
          |FROM f""".stripMargin,
 
     "t_stratified" ->

@@ -31,6 +31,20 @@ object TemporalQ {
         Temporal.lagK(col("value"), 3, ww).as("lag3"))
     }),
 
+    // Gap imputation: forward/backward fill (pandas ffill/bfill) over
+    // planted gaps, in the exact-cents domain (filled values are
+    // COPIES of exact longs — nothing recomputed, bit-portable by
+    // construction). Both fills ride the key's one window exchange.
+    "w26_ffill" -> ((s, dir) => {
+      val ww = w(s)
+      val gap = when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(round(col("value") * 100).cast("long"))
+      events(s, dir).withColumn("cents_gap", gap).select(
+        col("event_id"), col("user_id"), col("cents_gap"),
+        Temporal.ffill(col("cents_gap"), ww).as("cents_ffill"),
+        Temporal.bfill(col("cents_gap"), ww).as("cents_bfill"))
+    }),
+
     "w2_rolling" -> ((s, dir) => {
       val ww = w(s)
       events(s, dir).select(
@@ -571,6 +585,18 @@ object TemporalQ {
          | lag(value, 1) $over) AS lag1,
          | lag(value, 3) $over) AS lag3
          |FROM events""".stripMargin,
+
+    "w26_ffill" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+         |  CASE WHEN event_id % 7 = 0 THEN NULL
+         |       ELSE CAST(round(value * 100) AS BIGINT) END AS cents_gap
+         | FROM events)
+         |SELECT event_id, user_id, cents_gap,
+         | last_value(cents_gap IGNORE NULLS) $over
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill,
+         | first_value(cents_gap IGNORE NULLS) $over
+         |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS cents_bfill
+         |FROM e""".stripMargin,
 
     "w2_rolling" ->
       s"""SELECT event_id,

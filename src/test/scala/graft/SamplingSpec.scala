@@ -119,4 +119,35 @@ class SamplingSpec extends SparkSpec {
     // shard b independent: starts at 0, spans chunks 0..3
     assert(packed(4) == ("b", 1L, 0L, 0L, 3L, 0L))
   }
+
+  test("shardShuffle: exact permutation, input-order-free, one exchange") {
+    // keys stride by a large odd constant so consecutive ids scatter
+    // across shards (a real fingerprint's behavior)
+    val df = (0L until 500L).map(i => (i, (i * 2654435761L) % 1000003L))
+      .toDF("id", "fp")
+    val r = Sampling.shardShuffle(df, col("fp"), col("id"), nShards = 16)
+      .select("id", "shard", "pos")
+    val rows = r.as[(Long, Long, Long)].collect()
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 16 })
+    // (shard, pos) is a bijection: per shard, positions are 0..n-1
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq, s"shard $s")
+    }
+    // permutation is a pure function of content: reversing input order
+    // changes nothing
+    val rev = Sampling.shardShuffle(df.orderBy(col("id").desc), col("fp"),
+        col("id"), nShards = 16)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(rev.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // scale shape: one hash exchange (the shard window), no range/sort
+    // exchange with sampled boundaries
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = Sampling.shardShuffle(df, col("fp"), col("id"), 16)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(shuffles.size == 1, s"want 1 exchange, got ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -257,4 +257,22 @@ class TemporalSpec extends SparkSpec {
     assert(joins.isEmpty, "asofJoin must not produce a join operator")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("ffill/bfill: LOCF per key, leading/trailing gaps stay null") {
+    val df = Seq(
+      (1L, 1L, Option(10L)), (1L, 2L, None), (1L, 3L, None),
+      (1L, 4L, Option(40L)), (1L, 5L, None),
+      (2L, 1L, None), (2L, 2L, Option(5L))).toDF("k", "t", "v")
+    val w = Temporal.spec(Seq(col("k")), Seq(col("t")))
+    val r = df.select(col("k"), col("t"),
+        Temporal.ffill(col("v"), w).as("f"),
+        Temporal.bfill(col("v"), w).as("b"))
+      .as[(Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      (1L, 1L, Some(10L), Some(10L)), (1L, 2L, Some(10L), Some(40L)),
+      (1L, 3L, Some(10L), Some(40L)), (1L, 4L, Some(40L), Some(40L)),
+      (1L, 5L, Some(40L), None),
+      (2L, 1L, None, Some(5L)), (2L, 2L, Some(5L), Some(5L))))
+  }
 }

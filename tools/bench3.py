@@ -21,7 +21,8 @@ for i in range(n):
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    line = next((l for l in out.stdout.splitlines() if l.startswith('{"metric"')), None)
+    line = next((l[l.index('{"metric"'):] for l in out.stdout.splitlines()
+                 if '{"metric"' in l), None)
     if line is None:
         sys.stderr.write(f"run {i}: no bench line\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}\n")
         sys.exit(1)
