@@ -25,7 +25,7 @@ object SparkEntry {
     TemporalQ.queries ++ ScalarQ.queries ++ AggQ.queries ++
       TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries ++
       PipelineQ.queries ++ IoQ.queries ++ FeatureStageQ.queries ++
-      CorpusQ.queries ++ EventsQ.queries
+      CorpusQ.queries ++ EventsQ.queries ++ GraphQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
     TemporalQ.oracle ++ ScalarQ.oracle ++ AggQ.oracle ++
       TrackingQ.oracle ++ LlmQ.oracle ++ MlQ.oracle ++
       PipelineQ.oracle ++ IoQ.oracle ++ FeatureStageQ.oracle ++
-      CorpusQ.oracle ++ EventsQ.oracle
+      CorpusQ.oracle ++ EventsQ.oracle ++ GraphQ.oracle
 }

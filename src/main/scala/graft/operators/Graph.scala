@@ -114,6 +114,59 @@ object Graph {
       .distinct()
   }
 
+  /** Distributed PageRank in exact-integer fixed-point — link analysis
+    * for source/domain authority scoring over a directed edge list
+    * (src, dst). Pregel-shape per iteration: ranks join edges on src
+    * (one keyed shuffle), shares aggregate on dst (second keyed
+    * shuffle), nothing ever visits the driver; `localCheckpoint` per
+    * round truncates the iterative plan exactly as in
+    * [[connectedComponents]]. Edges and degrees are computed once and
+    * cached.
+    *
+    * Determinism: the textbook float recursion would inherit shuffle
+    * summation order — instead ranks live on an integer lattice
+    * (`scale` = one unit of rank mass) and every step is exact:
+    * share = r DIV deg (exact long division), incoming = BIGINT sum
+    * (exact in any engine regardless of order), next
+    * r = 15·scale/100 + (85·incoming) DIV 100. Bit-identical results
+    * on every engine and every cluster size — the property float
+    * PageRank fundamentally lacks. Damping is the standard 0.85 as
+    * the exact rational 85/100; dangling-node mass is dropped (not
+    * redistributed), the common large-graph simplification.
+    *
+    * Overflow bound: 85 · (total rank mass) must stay below 2^63 —
+    * total mass ≤ n_nodes · scale, so scale=1e6 is safe to ~1e11
+    * nodes. A mirroring engine whose BIGINT sum widens (DuckDB →
+    * HUGEINT) must cast back before the multiply.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale >= 100)
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val base = lit(15L * scale / 100L)
+    var r = nodes.withColumn("r", lit(scale))
+    for (_ <- 1 to iters) {
+      val shares = r.join(deg, r("node") === deg("src"))
+        .select(col("src"), expr("r DIV __deg").as("__share"))
+      val inc = e.join(shares, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__share")).as("__in"))
+      r = nodes.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr("85 * coalesce(__in, 0L) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    e.unpersist(); deg.unpersist()
+    r
+  }
+
   /** Duplicate-cluster resolution over a document table: near-dup
     * pairs → connected components → one row per doc with its cluster
     * representative (component-minimum id) and cluster size. Docs with

@@ -498,16 +498,31 @@ object TemporalQ {
   }
 
   /** Run a streaming Dataset to completion (AvailableNow) into a
-    * memory sink and return the sink table. */
+    * memory sink and return the sink table.
+    *
+    * Stateful-stream partition sizing: a streaming job's state-store
+    * COUNT is `spark.sql.shuffle.partitions` at first-batch planning
+    * (then frozen into the checkpoint), and every store pays per-batch
+    * setup/commit/snapshot whether or not it holds state — measured
+    * here, 32 stores on sf0.1's tiny state spent ~3 min of sys time on
+    * store machinery vs 19 s at 8 (w14's 8 s bench cost was store
+    * count, not the join). So state partitions are sized to STATE
+    * VOLUME, not core count — the standard stateful-streaming tuning
+    * rule; a production job with GBs of state would raise it back. */
+  private val StreamStatePartitions = "8"
   private def runStream[T](s: org.apache.spark.sql.SparkSession,
                            sink: String,
                            ds: org.apache.spark.sql.Dataset[T],
                            mode: String = "append"): org.apache.spark.sql.DataFrame = {
-    val q = ds.writeStream.format("memory").queryName(sink)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try {
+      val q = ds.writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(sink)
   }
 

@@ -85,6 +85,28 @@ class GraphSpec extends SparkSpec {
     base.unpersist()
   }
 
+  test("pageRank: exact fixed-point iteration, hand-computed, partition-free") {
+    import org.apache.spark.sql.functions._
+    // Path 1-2-3 symmetric. Iter 1 from uniform r=1e6: node 2 has
+    // deg 2 (share 500000 each way), nodes 1,3 have deg 1 (share 1e6
+    // to node 2). r1(1)=r1(3)=150000+85*500000/100=575000;
+    // r1(2)=150000+85*2000000/100=1850000. Five iterations must be
+    // bit-identical regardless of input partitioning.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val one = graft.operators.Graph.pageRank(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    val five = graft.operators.Graph.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fiveShuffled = graft.operators.Graph
+      .pageRank(edges.repartition(7, col("dst")), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(five == fiveShuffled, "integer lattice must kill partition-order drift")
+    // symmetric path: ends stay equal, center dominates, mass bounded
+    assert(five(1L) == five(3L) && five(2L) > five(1L))
+    assert(five.values.forall(v => v >= 150000L && v <= 3000000L))
+  }
+
   test("dupClusters: transitive chain resolved, singletons kept") {
     // 1~2 and 2~3 are near-dups but 1~3 may not pair directly; all
     // three must share one cluster_rep = 1. Doc 4 is a singleton.
