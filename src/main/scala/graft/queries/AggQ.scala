@@ -520,6 +520,39 @@ object AggQ {
       a.select(explode(array(rows: _*)).as("s")).select("s.*")
     }),
 
+    // A24/net-new: declarative data-quality CONSTRAINT checks (the
+    // Deequ/Great-Expectations gate an ingest pipeline runs before
+    // publishing a table): completeness, key uniqueness, value
+    // bounds, domain membership in ONE scan-wide aggregate, plus
+    // referential integrity as a left-anti count against the parent
+    // table (broadcast-or-shuffle by the planner, scale-safe either
+    // way). Long-format output (check, n_violations, passed) — all
+    // exact integers.
+    "a24_constraints" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val scan = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+          .as("v_complete"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("v_unique"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("v_bounds"),
+        sum(when(!col("l_returnflag").isin("R", "A", "N"), 1L)
+          .otherwise(0L)).as("v_domain"))
+      val orphans = li.select("l_orderkey")
+        .join(orders(s, dir).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      val m = scan.crossJoin(orphans)
+      val checks = Seq("complete", "unique", "bounds", "domain", "fk")
+      val rows = checks.map(c => struct(lit(c).as("check"),
+        col(s"v_$c").cast("long").as("n_violations"),
+        when(col(s"v_$c") === 0, 1L).otherwise(0L).as("passed")))
+      m.select(explode(array(rows: _*)).as("s")).select("s.*")
+    }),
+
     // A18/net-new: per-group Pearson correlation matrix from exact
     // integer co-moments (quantity units, price dollars, discount
     // ticks) — raw unrounded doubles hash-match because every output
@@ -803,6 +836,33 @@ object AggQ {
         | coalesce(c.c_status, b.o_orderstatus) AS status
         |FROM orders b FULL OUTER JOIN changes c
         | ON b.o_orderkey = c.o_orderkey""".stripMargin,
+
+    "a24_constraints" ->
+      """WITH s AS (SELECT
+        | sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |   AS v_complete,
+        | (count(*) - (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))::BIGINT
+        |   AS v_unique,
+        | sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0
+        |   END)::BIGINT AS v_bounds,
+        | sum(CASE WHEN l_returnflag NOT IN ('R', 'A', 'N') THEN 1 ELSE 0
+        |   END)::BIGINT AS v_domain,
+        | (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL)::BIGINT AS v_fk
+        | FROM lineitem)
+        |SELECT 'complete' AS "check", v_complete AS n_violations,
+        | (CASE WHEN v_complete = 0 THEN 1 ELSE 0 END)::BIGINT AS passed
+        | FROM s
+        |UNION ALL SELECT 'unique', v_unique,
+        | (CASE WHEN v_unique = 0 THEN 1 ELSE 0 END)::BIGINT FROM s
+        |UNION ALL SELECT 'bounds', v_bounds,
+        | (CASE WHEN v_bounds = 0 THEN 1 ELSE 0 END)::BIGINT FROM s
+        |UNION ALL SELECT 'domain', v_domain,
+        | (CASE WHEN v_domain = 0 THEN 1 ELSE 0 END)::BIGINT FROM s
+        |UNION ALL SELECT 'fk', v_fk,
+        | (CASE WHEN v_fk = 0 THEN 1 ELSE 0 END)::BIGINT FROM s""".stripMargin,
 
     "a20_profile" ->
       """WITH a AS (SELECT count(*)::BIGINT AS n,

@@ -389,6 +389,29 @@ object LlmQ {
         .select(col("vec_id"), r6(col("cos")).as("cos"))
     }),
 
+    // ANN quality gate: recall@10 of the IVF probe against the
+    // brute-force ground truth for the same query — the number a real
+    // vector-search deployment watches when tuning nprobe/centroids.
+    // Pure integer output (hit count + recall in percent); the
+    // underlying top-10 SETS are the two already-green queries'
+    // (bitwise-portable pinned-association cosines), so the
+    // intersection count inherits their stability.
+    "s_ivf_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val q = queryVec(s, dir)
+      val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+        .select("vec_id")
+      val got = Similarity.ivfTopK(e, "vec_id", "embedding",
+          cents, "cid", "cemb", q, k = 10, nprobe = 2)
+        .select("vec_id")
+      truth.join(got, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          (col("n_hits") * 10L).as("recall_pct"))
+    }),
+
     // IVF with LEARNED centroids (MLlib KMeans — the centroid-quality
     // seam the fixed-centroid queries take as given). Rows-only: the
     // fit's float reductions are not engine-mirrorable; quality is
@@ -819,6 +842,29 @@ object LlmQ {
         |r AS (SELECT vec_id, CASE WHEN na * nq > 0 THEN dot / (na * nq) ELSE 0.0 END AS cos_raw FROM c)
         |SELECT vec_id, round(cos_raw, 6) AS cos
         |FROM r ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "s_ivf_recall" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cents AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 8),
+         |brute AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${cosSql("embedding", "qe")} AS c FROM embeddings, q)
+         | ORDER BY c DESC, vec_id LIMIT 10),
+         |asg AS (SELECT vec_id, embedding, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         | FROM (SELECT e.vec_id, e.embedding, c.cid,
+         |   ${cosSql("e.embedding", "c.cemb")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents c)),
+         |probe AS (SELECT cid FROM (
+         |  SELECT cid, ${cosSql("cemb", "qe")} AS qcos FROM cents, q)
+         | ORDER BY qcos DESC, cid LIMIT 2),
+         |ivf AS (SELECT vec_id FROM (
+         |  SELECT a.vec_id, ${cosSql("a.embedding", "qe")} AS c
+         |  FROM asg a JOIN probe USING (cid) CROSS JOIN q WHERE a.rn = 1)
+         | ORDER BY c DESC, vec_id LIMIT 10)
+         |SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hits,
+         | (count(*) * 10)::BIGINT AS recall_pct
+         |FROM brute JOIN ivf USING (vec_id)""".stripMargin,
 
     "s_ivf_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
