@@ -19,7 +19,8 @@ class ContractSpec extends SparkSpec {
     "IoQ" -> (IoQ.queries.keySet, IoQ.oracle.keySet),
     "FeatureStageQ" -> (FeatureStageQ.queries.keySet, FeatureStageQ.oracle.keySet),
     "CorpusQ" -> (CorpusQ.queries.keySet, CorpusQ.oracle.keySet),
-    "EventsQ" -> (EventsQ.queries.keySet, EventsQ.oracle.keySet))
+    "EventsQ" -> (EventsQ.queries.keySet, EventsQ.oracle.keySet),
+    "GraphQ" -> (GraphQ.queries.keySet, GraphQ.oracle.keySet))
 
   test("no query-name collisions across groups") {
     val counts = groups.flatMap(_._2._1.toSeq).groupBy(identity).view.mapValues(_.size)
