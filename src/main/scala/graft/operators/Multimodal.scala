@@ -138,25 +138,29 @@ object Multimodal {
     val nulls = Seq(null, null, null, null, null, null)
     df.mapPartitions { it =>
       it.map { r =>
+        // ImageIO.read signals "not an image" with null but THROWS on
+        // a recognized-but-corrupt body (truncated PNG etc.) — both
+        // must land on the null-metadata row, not abort the scan.
         val img =
           if (r.isNullAt(idx)) null
-          else javax.imageio.ImageIO.read(
+          else try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](idx)))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
         if (img == null) Row.fromSeq(r.toSeq ++ nulls)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
+          // one batched raster fetch + sRGB conversion, not w·h
+          // per-pixel getRGB calls — the per-blob kernel is the CPU
+          // budget of this stage at scale
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff
-              sg += (p >> 8) & 0xff
-              sb += p & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            i += 1
           }
           // Seq[Any] stops Scala's numeric harmonization from widening
           // the Int fields to Long (INVALID_EXTERNAL_TYPE otherwise).

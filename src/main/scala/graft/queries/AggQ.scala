@@ -531,11 +531,15 @@ object AggQ {
     "a24_constraints" -> ((s, dir) => {
       val li = lineitem(s, dir)
       val scan = li.agg(
-        count(lit(1)).as("n"),
         sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
           .as("v_complete"),
+        // distinct over a STRUCT of the key columns: a struct is
+        // never null, so NULL-bearing key tuples count as distinct
+        // groups (plain multi-col countDistinct silently DROPS them —
+        // exactly the dirty-data rows a uniqueness check exists for,
+        // and DuckDB's DISTINCT subquery keeps them)
         (count(lit(1)) -
-          countDistinct(col("l_orderkey"), col("l_linenumber")))
+          countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
           .as("v_unique"),
         sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
           .otherwise(0L)).as("v_bounds"),
@@ -897,9 +901,11 @@ object AggQ {
         |  min(CASE WHEN cum*4 >= n*3 THEN v END) AS cut_2 FROM cum)
         |SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
         | l_extendedprice AS price,
+        | CASE WHEN l_extendedprice IS NULL THEN NULL ELSE
         | ((CASE WHEN l_extendedprice > cut_0 THEN 1 ELSE 0 END) +
         |  (CASE WHEN l_extendedprice > cut_1 THEN 1 ELSE 0 END) +
-        |  (CASE WHEN l_extendedprice > cut_2 THEN 1 ELSE 0 END))::BIGINT AS bin
+        |  (CASE WHEN l_extendedprice > cut_2 THEN 1 ELSE 0 END)) END::BIGINT
+        |  AS bin
         |FROM lineitem, cuts""".stripMargin,
 
     "a18_corrmat" ->

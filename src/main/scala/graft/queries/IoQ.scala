@@ -25,7 +25,7 @@ object IoQ {
   private def scratchDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(); ()

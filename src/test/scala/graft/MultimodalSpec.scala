@@ -39,10 +39,15 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("undecodable and null payloads yield null metadata, not a failure") {
+    // id 5: a recognized-but-corrupt body — valid PNG magic, truncated
+    // stream. ImageIO.read THROWS here (vs returning null for id 1's
+    // missing magic); both must degrade to the null-metadata row.
+    val truncated = Multimodal.syntheticPng(5L, 8, 8).take(40)
     val df = Seq(
       (1L, "not an image at all".getBytes("UTF-8")),
       (2L, Array.empty[Byte]),
-      (3L, Multimodal.syntheticPng(3L, 8, 8)))
+      (3L, Multimodal.syntheticPng(3L, 8, 8)),
+      (5L, truncated))
       .toDF("id", "payload")
       // a genuinely null payload cell too
       .union(Seq((4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload"))
@@ -51,6 +56,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).isNullAt(1) && got(0).isNullAt(2))
     assert(got(1).isNullAt(1) && got(1).isNullAt(2))
     assert(!got(2).isNullAt(1) && got(2).getInt(1) == 8)
-    assert(got(3).isNullAt(1) && got(3).isNullAt(2))
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2), "null payload")
+    assert(got(4).isNullAt(1) && got(4).isNullAt(2), "truncated PNG")
   }
 }

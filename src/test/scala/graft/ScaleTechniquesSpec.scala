@@ -253,12 +253,7 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(got.count() == want.count(), "16x must dedup down to the 1x corpus")
       assert(got.except(want).isEmpty && want.except(got).isEmpty,
         "surviving rows (ids, quality, split) must match the 1x run exactly")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(tmp.toFile)
-    }
+    } finally graft.queries.IoQ.deleteRecursively(tmp.toFile)
   }
 
   test("scale smoke: sessionize→funnel at 16x — one data exchange, balanced, 16x counts") {
