@@ -75,6 +75,15 @@ object Text {
     aggregate(codes, lit(0L), (acc, x) => (acc * lit(mult) + x) % lit(P))
   }
 
+  /** 1-based chunk start positions for stride-`stride` windows over a
+    * token array: 1, 1+stride, … up to size(toks). GUARDED for empty
+    * arrays: Spark's sequence(1, 0, step) is an "illegal boundaries"
+    * runtime error (it does NOT return empty), so an unguarded
+    * sequence would kill a corpus scan on the first empty document. */
+  def chunkStarts(toks: Column, stride: Int): Column =
+    when(size(toks) >= 1, sequence(lit(1), size(toks), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+
   /** Ratio of tokens that appear in `words`. */
   def wordSetRatio(toks: Column, words: Seq[String]): Column = {
     val hits = size(filter(toks, w => w.isin(words.map(lit): _*)))

@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[decodeImageStats]] decodes PNG/BMP/GIF
   * payloads with the JDK's `javax.imageio` (no external codec needed)
   * and emits per-channel pixel statistics — the per-blob kernel a
-  * multimodal training pipeline runs at scale. Video/audio decode
-  * (frame counts, sample rates) is STUBBED ([[StubDecoder]] derives
-  * deterministic fake dimensions from the payload hash; ffmpeg-class
-  * codecs are not in this environment). Either way the Spark-side
+  * multimodal training pipeline runs at scale. AUDIO decode is REAL
+  * for raw s16le PCM ([[decodePcmStats]] — ByteBuffer is the only
+  * codec raw PCM needs). Compressed video/audio decode (frame counts,
+  * sample rates) is STUBBED ([[StubDecoder]] derives deterministic
+  * fake dimensions from the payload hash; ffmpeg-class codecs are not
+  * in this environment). Either way the Spark-side
   * plumbing — schema, partition-parallel batch decode via
   * mapPartitions, metadata projection — is what matters at 100 TB:
   * payload bytes are never shuffled (decode runs map-side on the scan
@@ -166,6 +168,68 @@ object Multimodal {
           // the Int fields to Long (INVALID_EXTERNAL_TYPE otherwise).
           Row.fromSeq(r.toSeq ++ Seq[Any](w, h,
             img.getColorModel.getNumColorComponents, sr, sg, sb))
+        }
+      }
+    }(enc)
+  }
+
+  /** Metadata produced by the REAL PCM audio decode stage. All
+    * exact-integer (ORACLE_NOTES.md rule 1): sample sums/peaks are
+    * longs an oracle reproduces analytically. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("n_samples", IntegerType),
+    StructField("sum_abs", LongType),
+    StructField("peak", IntegerType),
+    StructField("n_clipped", LongType)))
+
+  /** Deterministic synthetic PCM: sample i of blob `seed` is
+    *   v_i = ((seed·31 + i·37) mod 4001) − 2000
+    * encoded signed-16-bit little-endian — a raw audio payload whose
+    * per-sample values an oracle computes analytically without any
+    * audio library (raw PCM is lossless by definition). */
+  def syntheticPcm(seed: Long, n: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((seed * 31L + i * 37L) % 4001L) - 2000L).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL distributed audio decode over raw s16le PCM payloads (the
+    * JDK's ByteBuffer is the only "codec" raw PCM needs): per-blob
+    * sample count, exact sum of absolute amplitudes, peak, and a
+    * clipping count (|v| >= clipAt) — the loudness/clipping screen an
+    * audio training pipeline runs before feature extraction. Map-side
+    * only; payload bytes never shuffle. Null or odd-length (torn)
+    * payloads yield null metadata rather than killing the scan. */
+  def decodePcmStats(df: DataFrame, payloadCol: String,
+                     clipAt: Int = 1900): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ audioStatsSchema.fields)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = Seq(null, null, null, null)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        if (bytes == null || bytes.length % 2 != 0) Row.fromSeq(r.toSeq ++ nulls)
+        else {
+          val sb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val n = sb.limit()
+          var (sumAbs, clipped) = (0L, 0L)
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val a = math.abs(sb.get(i).toInt)
+            sumAbs += a
+            if (a > peak) peak = a
+            if (a >= clipAt) clipped += 1
+            i += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](n, sumAbs, peak, clipped))
         }
       }
     }(enc)

@@ -36,6 +36,73 @@ object AggQ {
           sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_big"))
     }),
 
+    // Per-group 3-sigma outlier flag with ZERO float ops: the z-test
+    // |x-mean| > 3*std is algebraically cleared of divisions/sqrt —
+    //   (n·c − S1)²·(n−1) > 9·n·(n·S2 − S1²)
+    // over exact integer cents, evaluated in decimal(38,0) (the n²·s2
+    // terms exceed int64 once groups grow past ~1e6 rows; DuckDB's
+    // sum(BIGINT)→HUGEINT matches). The boolean is bit-portable by
+    // construction — no rounding boundary exists to drift
+    // (ORACLE_NOTES.md rule 1). The event-value distribution is
+    // heavy-tailed (kurtosis ≈ 7 for clicks), so the flag actually
+    // fires — on a platykurtic column 3σ is unreachable (max |z| on
+    // uniform data is √3). Scale shape: one map-side-combined groupBy
+    // produces a per-type stats table broadcast back over the fact —
+    // no second shuffle.
+    "a25_outliers" -> ((s, dir) => {
+      val o = events(s, dir).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cd = col("cents").cast("decimal(38,0)")
+      val stats = o.groupBy("event_type").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(cd).as("s1"),
+        sum(cd * cd).as("s2"))
+      val n = col("n")
+      val dev = n * cd - col("s1")
+      val lhs = dev * dev * (n - lit(1).cast("decimal(38,0)"))
+      val rhs = lit(9).cast("decimal(38,0)") * n *
+        (n * col("s2") - col("s1") * col("s1"))
+      o.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("cents"),
+          dev.cast("long").as("dev_scaled"),
+          (lhs > rhs).as("is_outlier"))
+    }),
+
+    // Grouped skewness / excess kurtosis from exact integer power
+    // sums S1..S4 (decimal(38,0) ↔ DuckDB HUGEINT — S4 of cents
+    // overflows int64 beyond ~1e3 rows/group): the only float work
+    // is the FINAL closed-form
+    // moment formula, written token-for-token identically in the
+    // oracle so both engines execute the same IEEE op sequence on
+    // bit-identical inputs. Skew/kurtosis are scale-invariant, so
+    // the cents lattice cancels out of the results.
+    "a26_moments" -> ((s, dir) => {
+      val cd = round(col("value") * 100).cast("long")
+        .cast("decimal(38,0)")
+      val agg = events(s, dir)
+        .select(col("event_type"), cd.as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).as("sl1"),
+          sum(col("c") * col("c")).as("sl2"),
+          sum(col("c") * col("c") * col("c")).as("sl3"),
+          sum(col("c") * col("c") * col("c") * col("c")).as("sl4"))
+      val nd = col("n").cast("double")
+      val s1 = col("sl1").cast("double")
+      val s2 = col("sl2").cast("double")
+      val s3 = col("sl3").cast("double")
+      val s4 = col("sl4").cast("double")
+      val m2 = (s2 - s1 * s1 / nd) / nd
+      val m3 = (s3 - lit(3.0) * s1 * s2 / nd +
+        lit(2.0) * s1 * s1 * s1 / (nd * nd)) / nd
+      val m4 = (s4 - lit(4.0) * s1 * s3 / nd +
+        lit(6.0) * s1 * s1 * s2 / (nd * nd) -
+        lit(3.0) * s1 * s1 * s1 * s1 / (nd * nd * nd)) / nd
+      agg.select(col("event_type"), col("n"),
+        r6(m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+        r6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+    }),
+
     // A3: grouped transform — group stats broadcast back to rows via
     // an unbounded window (`main_cuda.py:253-257`). Stats are computed
     // over exact integer cents (values are 2-decimal): the group sums
@@ -581,6 +648,41 @@ object AggQ {
         | count(*) AS count_order,
         | CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a25_outliers" ->
+      """WITH o AS (SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |  sum(cents)::HUGEINT AS s1, sum(cents * cents)::HUGEINT AS s2
+        | FROM o GROUP BY event_type)
+        |SELECT event_id, event_type, cents,
+        | CAST(n * cents - s1 AS BIGINT) AS dev_scaled,
+        | ((n * cents - s1) * (n * cents - s1) * (n - 1))
+        |   > (9 * n * (n * s2 - s1 * s1)) AS is_outlier
+        |FROM o JOIN st USING (event_type)""".stripMargin,
+
+    "a26_moments" ->
+      """WITH o AS (SELECT event_type,
+        |  CAST(round(value * 100) AS HUGEINT) AS c FROM events),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(c) AS sl1, sum(c * c) AS sl2,
+        |  sum(c * c * c) AS sl3, sum(c * c * c * c) AS sl4
+        | FROM o GROUP BY event_type),
+        |d AS (SELECT event_type, n,
+        |  CAST(n AS DOUBLE) AS nd,
+        |  CAST(sl1 AS DOUBLE) AS s1, CAST(sl2 AS DOUBLE) AS s2,
+        |  CAST(sl3 AS DOUBLE) AS s3, CAST(sl4 AS DOUBLE) AS s4
+        | FROM st),
+        |m AS (SELECT event_type, n,
+        |  (s2 - s1 * s1 / nd) / nd AS m2,
+        |  (s3 - 3.0 * s1 * s2 / nd + 2.0 * s1 * s1 * s1 / (nd * nd)) / nd AS m3,
+        |  (s4 - 4.0 * s1 * s3 / nd + 6.0 * s1 * s1 * s2 / (nd * nd)
+        |    - 3.0 * s1 * s1 * s1 * s1 / (nd * nd * nd)) / nd AS m4
+        | FROM d)
+        |SELECT event_type, n,
+        | round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+        | round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+        |FROM m""".stripMargin,
 
     "a3_transform" ->
       """WITH t AS (SELECT event_id, user_id, value,

@@ -29,6 +29,64 @@ object LlmQ {
         length(norm).cast("long").as("n_chars_norm"))
     }),
 
+    // RAG-style chunking: overlapping token windows (32 tokens,
+    // stride 24) per document. Pure map-side work — tokenize +
+    // sequence + explode + slice never shuffle, so chunking a 100 TB
+    // corpus is embarrassingly parallel and the chunk table inherits
+    // the scan partitioning. Chunk starts use an EXPLICIT step:
+    // Spark's sequence(1, n) with n < 1 counts DOWN by default,
+    // which would fabricate chunks for empty documents.
+    "t_chunk" -> ((s, dir) => {
+      val W = 32
+      val S = 24
+      val toks = documents(s, dir).select(col("doc_id"),
+        Text.tokens(Text.normalizeAz(col("text"))).as("toks"))
+      toks
+        .select(col("doc_id"), col("toks"),
+          explode(Text.chunkStarts(col("toks"), S)).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / S).cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("start"), lit(W))).cast("long")
+            .as("n_tokens"),
+          array_join(slice(col("toks"), col("start"), lit(W)), " ")
+            .as("chunk_text"))
+    }),
+
+    // Bigram LM rarity scoring: build corpus bigram counts, then score
+    // each document by the fraction of its bigrams that are corpus-rare
+    // — the "statistical-outlier text" filter of a training-data
+    // quality pipeline. Rarity is RELATIVE to the corpus (count below
+    // 3/4 of the mean bigram count), decided by an exact cross-
+    // multiplied integer comparison — no float threshold, no magic
+    // constant that breaks when the corpus grows 1000×. At scale: one
+    // map-side-combined groupBy builds the LM, a 1-row (total,
+    // distinct) aggregate broadcasts, one hash join on the bigram key
+    // scores — no driver state.
+    "t_bigram_rare" -> ((s, dir) => {
+      val toks = Text.tokens(Text.normalizeAz(col("text")))
+      val m = greatest(size(col("toks")) - 1, lit(0))
+      val bigrams = zip_with(
+        slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
+        (a, b) => concat(a, lit("_"), b))
+      val docBigrams = documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(bigrams).as("bigram"))
+      val lm = docBigrams.groupBy("bigram")
+        .agg(count(lit(1)).as("corpus_count"))
+      val tot = lm.agg(sum("corpus_count").as("total"),
+        count(lit(1)).as("n_distinct"))
+      val isRare =
+        col("corpus_count") * col("n_distinct") * 4 < col("total") * 3
+      docBigrams.join(lm, "bigram").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(isRare, 1L).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          r6(col("n_rare").cast("double") / col("n_bigrams"))
+            .as("rare_ratio"))
+    }),
+
     "t_langid" -> ((s, dir) => {
       val toks = Text.tokens(Text.normalizeAz(col("text")))
       val en = Text.wordSetRatio(toks, EnStop)
@@ -287,6 +345,27 @@ object LlmQ {
           col("sum_r"), col("sum_g"), col("sum_b"),
           (col("sum_r").cast("double") / (col("img_w") * col("img_h")))
             .as("mean_r"))
+    }),
+
+    "mm_audio" -> ((s, dir) => {
+      // REAL audio decode round-trip: encode deterministic s16le PCM
+      // per doc — sample i is a known function of (doc_id, i) — then
+      // decode it back and emit exact amplitude statistics the oracle
+      // computes ANALYTICALLY (raw PCM is lossless, so only a genuine
+      // sample decode reproduces them). Encode and decode both run
+      // map-side; payload bytes never shuffle.
+      import s.implicits._
+      val withPcm = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticPcm(id, (500 + (id % 97) * 10).toInt))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodePcmStats(withPcm, "payload")
+        .select(col("doc_id"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("sum_abs"),
+          col("peak").cast("long").as("peak"),
+          col("n_clipped"),
+          (col("sum_abs").cast("double") / col("n_samples")).as("mean_abs"))
     }),
 
     "v_vecmath" -> ((s, dir) => {
@@ -569,6 +648,34 @@ object LlmQ {
       s"""SELECT doc_id, len($ToksSql) AS n_tokens, length(t) AS n_chars_norm
          |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,
 
+    "t_chunk" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks
+         |  FROM (SELECT doc_id, $NormSql AS t FROM documents)),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(range(1, len(toks) + 1, 24)) AS start FROM tok)
+         |SELECT doc_id,
+         | CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+         | CAST(len(toks[start : start + 31]) AS BIGINT) AS n_tokens,
+         | array_to_string(toks[start : start + 31], ' ') AS chunk_text
+         |FROM c""".stripMargin,
+
+    "t_bigram_rare" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks
+         |  FROM (SELECT doc_id, $NormSql AS t FROM documents)),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |  i -> toks[i] || '_' || toks[i + 1])) AS bigram FROM tok),
+         |lm AS (SELECT bigram, count(*)::BIGINT AS corpus_count
+         |  FROM bg GROUP BY bigram),
+         |tot AS (SELECT sum(corpus_count)::BIGINT AS total,
+         |  count(*)::BIGINT AS n_distinct FROM lm)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         | sum(CASE WHEN corpus_count * n_distinct * 4 < total * 3
+         |   THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+         | round(sum(CASE WHEN corpus_count * n_distinct * 4 < total * 3
+         |   THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rare_ratio
+         |FROM bg JOIN lm USING (bigram) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+
     "t_langid" ->
       s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks
          |  FROM (SELECT doc_id, $NormSql AS t FROM documents)),
@@ -793,6 +900,20 @@ object LlmQ {
          | CAST(3 AS BIGINT) AS channels,
          | sum_r, sum_g, sum_b,
          | CAST(sum_r AS DOUBLE) / (w * h) AS mean_r
+         |FROM agg""".stripMargin,
+
+    "mm_audio" ->
+      s"""WITH d AS (SELECT doc_id, 500 + (doc_id % 97) * 10 AS n FROM documents),
+         |s AS (SELECT doc_id, n,
+         |  abs(((doc_id * 31 + i * 37) % 4001) - 2000) AS a
+         | FROM d, range(0, 1460) AS t(i) WHERE i < n),
+         |agg AS (SELECT doc_id, n,
+         |  CAST(sum(a) AS BIGINT) AS sum_abs,
+         |  CAST(max(a) AS BIGINT) AS peak,
+         |  CAST(sum(CASE WHEN a >= 1900 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+         | FROM s GROUP BY doc_id, n)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, sum_abs, peak,
+         | n_clipped, CAST(sum_abs AS DOUBLE) / n AS mean_abs
          |FROM agg""".stripMargin,
 
     "v_vecmath" ->

@@ -45,6 +45,28 @@ object TemporalQ {
         Temporal.bfill(col("cents_gap"), ww).as("cents_bfill"))
     }),
 
+    // CUSUM change-point statistic (Page): s_t = max(0, s_{t-1} +
+    // (x_t - k)) per user series, via the native CusumLong window
+    // function — one ordered pass inside the window engine, sharing
+    // the canonical per-user exchange. Runs in the exact-cents
+    // domain (ORACLE_NOTES.md rule 1): every state is an exact
+    // BIGINT in both engines. Allowance k = 6000 cents sits between
+    // the series median (~3600) and its heavy upper tail, so the
+    // statistic resets on quiet stretches and climbs on hot ones;
+    // h = 30000 flags the top ~1% excursions (calibrated on the
+    // driver tables).
+    "w27_cusum" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      events(s, dir)
+        .withColumn("cents", cents)
+        .select(
+          col("event_id"), col("user_id"), col("cents"),
+          graft.functions.CusumLong.cusum(col("cents"), 6000L,
+            Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+            .as("cusum"))
+        .withColumn("drifted", (col("cusum") > 30000L).cast("boolean"))
+    }),
+
     "w2_rolling" -> ((s, dir) => {
       val ww = w(s)
       events(s, dir).select(
@@ -620,6 +642,20 @@ object TemporalQ {
          | min(value) $over ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_min3,
          | max(value) $over ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max3
          |FROM events""".stripMargin,
+
+    "w27_cusum" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         |SELECT event_id, user_id, cents,
+         | list_reduce(list_prepend(0::BIGINT,
+         |   list(cents - 6000) $over
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |   (acc, v) -> greatest(0::BIGINT, acc + v)) AS cusum,
+         | list_reduce(list_prepend(0::BIGINT,
+         |   list(cents - 6000) $over
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |   (acc, v) -> greatest(0::BIGINT, acc + v)) > 30000 AS drifted
+         |FROM e""".stripMargin,
 
     "w3_diff" ->
       s"SELECT event_id, value - lag(value, 1) $over) AS d1 FROM events",

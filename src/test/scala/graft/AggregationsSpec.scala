@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Aggregations
+import graft.queries.Q
 import graft.ml.SequenceScorer
 import graft.pipeline.SequenceFeaturePipeline
 
@@ -72,5 +73,44 @@ class AggregationsSpec extends SparkSpec {
     val flags = r.collect().map(x => x.getLong(1) -> x.getBoolean(4)).toMap
     assert(flags(4L), "the 99.0 point must flag")
     assert(!flags(1L) && !flags(5L) && !flags(6L))
+  }
+
+  test("a25 exact-integer 3-sigma flag == double z-score, off-boundary") {
+    val rows = SparkEntry.queries("a25_outliers")(spark, "/root/testdata/sf0.001")
+      .select("event_type", "cents", "is_outlier").collect()
+    assert(rows.nonEmpty && rows.exists(_.getBoolean(2)),
+      "some event values must flag at 3 sigma (heavy-tailed column)")
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      val xs = grp.map(_.getLong(1).toDouble)
+      val n = xs.length
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+      grp.foreach { r =>
+        val z = math.abs(r.getLong(1) - mean) / sd
+        if (math.abs(z - 3.0) > 1e-9)
+          assert(r.getBoolean(2) == (z > 3.0),
+            s"flag disagrees with double z=$z in ${r.getString(0)}")
+      }
+    }
+  }
+
+  test("a26 grouped skewness/kurtosis match a direct double computation") {
+    val got = SparkEntry.queries("a26_moments")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val cents = Q.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    cents.groupBy(_._1).foreach { case (grp, vs) =>
+      val xs = vs.map(_._2)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      def cm(p: Int) = xs.map(v => math.pow(v - mean, p)).sum / n
+      val (gn, skew, kurt) = got(grp)
+      assert(gn == xs.length)
+      assert(approx(skew, cm(3) / math.pow(cm(2), 1.5), 1e-5), s"skew $grp")
+      assert(approx(kurt, cm(4) / (cm(2) * cm(2)) - 3.0, 1e-5), s"kurt $grp")
+    }
   }
 }

@@ -59,4 +59,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3).isNullAt(1) && got(3).isNullAt(2), "null payload")
     assert(got(4).isNullAt(1) && got(4).isNullAt(2), "truncated PNG")
   }
+
+  test("PCM encode -> decode recovers exact analytic amplitude stats") {
+    val cases = Seq((0L, 500), (17L, 977), (499L, 1460))
+    val df = cases.map { case (seed, n) =>
+      (seed, Multimodal.syntheticPcm(seed, n))
+    }.toDF("seed", "payload")
+    val got = Multimodal.decodePcmStats(df, "payload")
+      .orderBy("seed")
+      .select("seed", "n_samples", "sum_abs", "peak", "n_clipped")
+      .collect()
+    cases.sortBy(_._1).zip(got).foreach { case ((seed, n), row) =>
+      val vals = (0 until n).map(i =>
+        math.abs(((seed * 31L + i * 37L) % 4001L - 2000L).toInt))
+      assert(row.getInt(1) == n)
+      assert(row.getLong(2) == vals.map(_.toLong).sum, s"sum_abs seed=$seed")
+      assert(row.getInt(3) == vals.max, s"peak seed=$seed")
+      assert(row.getLong(4) == vals.count(_ >= 1900).toLong, s"clip seed=$seed")
+    }
+  }
+
+  test("torn (odd-length) and null PCM payloads yield null metadata") {
+    val torn = Multimodal.syntheticPcm(7L, 100).dropRight(1)
+    val df = Seq((1L, torn), (2L, Multimodal.syntheticPcm(2L, 10)))
+      .toDF("id", "payload")
+      .union(Seq((3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload"))
+    val got = Multimodal.decodePcmStats(df, "payload")
+      .orderBy("id").select("id", "n_samples", "sum_abs").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2), "torn payload")
+    assert(!got(1).isNullAt(1) && got(1).getInt(1) == 10)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2), "null payload")
+  }
 }

@@ -275,4 +275,35 @@ class TemporalSpec extends SparkSpec {
       (1L, 5L, Some(40L), None),
       (2L, 1L, None, Some(5L)), (2L, 2L, Some(5L), Some(5L))))
   }
+
+  test("CusumLong == sequential max(0, s + x - k) fold, per key") {
+    val xs = Seq(
+      (1L, 1L, 30L), (1L, 2L, 5L), (1L, 3L, 40L), (1L, 4L, 2L),
+      (1L, 5L, 90L), (2L, 1L, 100L), (2L, 2L, 1L))
+    val k = 20L
+    val expected = xs.groupBy(_._1).flatMap { case (key, rows) =>
+      rows.sortBy(_._2).scanLeft((key, 0L, 0L)) { case ((_, _, s), (_, t, x)) =>
+        (key, t, math.max(0L, s + x - k))
+      }.tail
+    }.toSet
+    val got = xs.toDF("key", "t", "x")
+      .select(col("key"), col("t"),
+        graft.functions.CusumLong.cusum(col("x"), k,
+          Seq(col("key")), Seq(col("t"))).as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("CusumLong skips nulls carrying state (no reset, no poisoning)") {
+    val df = Seq(
+      (1L, Option(50L)), (2L, Option.empty[Long]), (3L, Option(10L)))
+      .toDF("t", "x")
+    val got = df.select(col("t"),
+        graft.functions.CusumLong.cusum(col("x"), 20L,
+          Seq(lit(1)), Seq(col("t"))).as("s"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // t=1: max(0, 0+50-20)=30; t=2: null input -> state stays 30;
+    // t=3: max(0, 30+10-20)=20.
+    assert(got == Seq((1L, 30L), (2L, 30L), (3L, 20L)))
+  }
 }

@@ -128,4 +128,36 @@ class TextVectorsSpec extends SparkSpec {
       (1L, 0L, 0L), (2L, 0L, 255L), (3L, 0L, 127L),  // dim 0: 0..10
       (1L, 1L, 0L), (2L, 1L, 0L), (3L, 1L, 0L)))     // dim 1 degenerate
   }
+
+  test("chunking: stride-S windows cover every token; overlap is W-S") {
+    // 80 distinct ALPHABETIC tokens (normalizeAz strips digits!),
+    // W=32, S=24 -> starts 1,25,49,73: 4 chunks, last short.
+    val text = (0 until 80).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    val W = 32
+    val S = 24
+    val toks = Text.tokens(Text.normalizeAz(lit(text)))
+    val chunks = spark.range(1)
+      .select(toks.as("toks"))
+      .select(col("toks"),
+        explode(Text.chunkStarts(col("toks"), S)).as("start"))
+      .select(((col("start") - 1) / S).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start"), lit(W)).as("piece"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(chunks.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.take(3).forall(_._2.size == W))
+    assert(chunks.last._2.size == 80 - 72 + 0) // tail chunk: tokens 73..80
+    // every token covered, in order, with W-S overlap between neighbors
+    assert(chunks.flatMap(_._2).distinct.size == 80)
+    assert(chunks(0)._2.takeRight(W - S) == chunks(1)._2.take(W - S))
+  }
+
+  test("empty document yields zero chunks (guarded chunkStarts)") {
+    val toks = Text.tokens(Text.normalizeAz(lit("")))
+    val n = spark.range(1)
+      .select(toks.as("toks"))
+      .select(explode(Text.chunkStarts(col("toks"), 24)).as("s"))
+      .count()
+    assert(n == 0L)
+  }
 }
