@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.{Text, Vectors}
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import Q._
@@ -85,6 +86,40 @@ object LlmQ {
         .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
           r6(col("n_rare").cast("double") / col("n_bigrams"))
             .as("rare_ratio"))
+    }),
+
+    // Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
+    // the MOSS algorithm): hash every char 5-gram, slide a window of
+    // w=4 consecutive hashes, record the window minimum (rightmost on
+    // ties) once. Guarantees any match of length >= w+4 shares a
+    // fingerprint while keeping ~1/w of the grams. The (min-hash,
+    // rightmost-pos) winner is packed into ONE integer key —
+    // h·2²⁰ + (2²⁰−1−pos), so min(key) IS the winnow rule — making
+    // the whole selection a single rolling-min pass + distinct: no
+    // self-join, no per-doc cross product. All exact integers
+    // (key ≤ ~1e15 < 2⁵³), bit-portable. Shape: one window exchange
+    // on doc_id, one distinct exchange.
+    "t_winnow" -> ((s, dir) => {
+      val w = 4
+      val M = 1L << 20 // position capacity per doc (1M grams)
+      val norm = documents(s, dir)
+        .select(col("doc_id"), Text.normalizeAz(col("text")).as("t"))
+        .filter(length(col("t")) >= 5)
+      val grams = norm
+        .select(col("doc_id"),
+          posexplode(Text.charNgrams(col("t"), 5)).as(Seq("pos0", "gram")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          Text.polyHashElem(col("gram")).as("h"))
+      val keyed = grams.select(col("doc_id"), col("pos"),
+        (col("h") * M + (lit(M - 1) - col("pos"))).as("key"))
+      val winnowed = keyed.withColumn("sel", min(col("key")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(-(w - 1), 0)))
+      winnowed
+        .select(col("doc_id"),
+          (lit(M - 1) - pmod(col("sel"), lit(M))).as("pos"),
+          expr(s"sel DIV $M").as("fingerprint"))
+        .distinct()
     }),
 
     "t_langid" -> ((s, dir) => {
@@ -658,6 +693,27 @@ object LlmQ {
          | CAST(len(toks[start : start + 31]) AS BIGINT) AS n_tokens,
          | array_to_string(toks[start : start + 31], ' ') AS chunk_text
          |FROM c""".stripMargin,
+
+    "t_winnow" ->
+      s"""WITH norm AS (SELECT doc_id, t
+         |  FROM (SELECT doc_id, $NormSql AS t FROM documents)
+         |  WHERE length(t) >= 5),
+         |g AS (SELECT doc_id, t,
+         |  unnest(range(1, length(t) - 3)) AS pos FROM norm),
+         |h AS (SELECT doc_id, pos::BIGINT AS pos,
+         |  list_reduce(list_transform(range(0, 5),
+         |    j -> ascii(substr(t, (pos + j)::INT, 1))::BIGINT),
+         |   (a, b) -> (a * 31 + b) % $P) AS h
+         | FROM g),
+         |k AS (SELECT doc_id, pos,
+         |  h * 1048576 + (1048575 - pos) AS key FROM h),
+         |s AS (SELECT doc_id, min(key) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+         | FROM k)
+         |SELECT DISTINCT doc_id,
+         | (1048575 - (sel % 1048576))::BIGINT AS pos,
+         | (sel // 1048576)::BIGINT AS fingerprint
+         |FROM s""".stripMargin,
 
     "t_bigram_rare" ->
       s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks

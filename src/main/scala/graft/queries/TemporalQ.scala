@@ -67,6 +67,21 @@ object TemporalQ {
         .withColumn("drifted", (col("cusum") > 30000L).cast("boolean"))
     }),
 
+    // Holt double exponential smoothing (level + trend) via the
+    // two-state native window function: one ordered pass per user
+    // emits BOTH states from a struct. Dyadic α=β=0.5 → bitwise-
+    // portable raw doubles (same contract as w5_ema); the oracle is a
+    // recursive CTE over per-step scalars.
+    "w28_holt" -> ((s, dir) => {
+      val h = graft.functions.HoltLinear.holt(col("value"), 0.5, 0.5,
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      events(s, dir)
+        .withColumn("h", h)
+        .select(col("event_id"), col("user_id"),
+          col("h.level").as("holt_level"),
+          col("h.trend").as("holt_trend"))
+    }),
+
     "w2_rolling" -> ((s, dir) => {
       val ww = w(s)
       events(s, dir).select(
@@ -656,6 +671,27 @@ object TemporalQ {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |   (acc, v) -> greatest(0::BIGINT, acc + v)) > 30000 AS drifted
          |FROM e""".stripMargin,
+
+    // Two-state Holt recursion as a RECURSIVE CTE (same op order as
+    // the Catalyst updateExpressions: stepped = 0.5*x + 0.5*(l+b),
+    // trend = 0.5*(stepped - l) + 0.5*b; dyadic coefficients keep raw
+    // doubles bitwise-portable, no rounding).
+    "w28_holt" ->
+      s"""WITH RECURSIVE p AS (SELECT event_id, user_id, value,
+         |  row_number() $over) AS k
+         | FROM events),
+         |rec AS (
+         | SELECT event_id, user_id, k,
+         |  CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+         | FROM p WHERE k = 1
+         | UNION ALL
+         | SELECT p.event_id, p.user_id, p.k,
+         |  0.5 * p.value + 0.5 * (rec.l + rec.b) AS l,
+         |  0.5 * ((0.5 * p.value + 0.5 * (rec.l + rec.b)) - rec.l)
+         |    + 0.5 * rec.b AS b
+         | FROM rec JOIN p ON p.user_id = rec.user_id AND p.k = rec.k + 1)
+         |SELECT event_id, user_id, l AS holt_level, b AS holt_trend
+         |FROM rec""".stripMargin,
 
     "w3_diff" ->
       s"SELECT event_id, value - lag(value, 1) $over) AS d1 FROM events",

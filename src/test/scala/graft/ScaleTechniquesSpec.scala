@@ -314,4 +314,36 @@ class ScaleTechniquesSpec extends SparkSpec {
         "keeper shuffle must carry only (hash, id, pos), not segment text")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("t_chunk is a pure map stage: chunking never shuffles") {
+    val p = SparkEntry.queries("t_chunk")(spark, "/root/testdata/sf0.001")
+    val shuffles = p.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"tokenize+explode+slice must stay on the scan partitioning: $shuffles")
+  }
+
+  test("a25_outliers: one stats shuffle, stats broadcast back (fact never reshuffled)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("a25_outliers")(spark, "/root/testdata/sf0.001")
+      val plan = p.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        "per-type stats must broadcast — reshuffling the 100 TB fact " +
+          "side on event_type (5 keys!) would be the wrong plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1,
+        s"only the tiny stats aggregate may shuffle, got: ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("w27_cusum shares the canonical per-user window exchange: exactly one") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("w27_cusum")(spark, "/root/testdata/sf0.001")
+      val shuffles = p.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1, s"got ${shuffles.size} exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

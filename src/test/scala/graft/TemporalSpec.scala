@@ -294,6 +294,30 @@ class TemporalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("HoltLinear == sequential two-state recursion, bitwise") {
+    val xs = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 12.5), (1L, 3L, 11.0), (1L, 4L, 20.0),
+      (2L, 1L, 5.0), (2L, 2L, 5.0), (2L, 3L, 7.25))
+    val expected = xs.groupBy(_._1).flatMap { case (key, rows) =>
+      var (l, b) = (Double.NaN, 0.0)
+      rows.sortBy(_._2).map { case (_, t, x) =>
+        if (l.isNaN) { l = x; b = 0.0 }
+        else {
+          val stepped = 0.5 * x + 0.5 * (l + b)
+          b = 0.5 * (stepped - l) + 0.5 * b
+          l = stepped
+        }
+        (key, t, l, b)
+      }
+    }.toSet
+    val got = xs.toDF("key", "t", "x")
+      .withColumn("h", graft.functions.HoltLinear.holt(col("x"), 0.5, 0.5,
+        Seq(col("key")), Seq(col("t"))))
+      .select(col("key"), col("t"), col("h.level"), col("h.trend"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expected) // exact ==: dyadic recursion is bitwise
+  }
+
   test("CusumLong skips nulls carrying state (no reset, no poisoning)") {
     val df = Seq(
       (1L, Option(50L)), (2L, Option.empty[Long]), (3L, Option(10L)))
