@@ -103,6 +103,56 @@ object AggQ {
         r6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
     }),
 
+    // Population Stability Index (PSI) — THE industry drift metric
+    // between two cohorts of the same feature (here the deterministic
+    // event_id-parity split). Counts are exact integers via integer
+    // binning (cents DIV 2500, capped); each bin's PSI term
+    // (pa−pb)·ln(pa/pb) divides exact longs and takes ONE ln —
+    // the proven single-libm class (t_tfidf). Bins empty on either
+    // side yield null (no epsilon fudge). Scale: one groupBy on a
+    // ~20-row bin table; totals broadcast back.
+    "a27_psi" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      val b = events(s, dir)
+        .withColumn("cents", cents)
+        .select(least(expr("cents DIV 2500"), lit(19L)).as("bin"),
+          (col("event_id") % 2 === 0).as("is_a"))
+      val agg = b.groupBy("bin").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val tot = agg.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      val pa = col("na").cast("double") / col("ta")
+      val pb = col("nb").cast("double") / col("tb")
+      agg.crossJoin(broadcast(tot)).select(
+        col("bin"), col("na"), col("nb"),
+        r6(when(col("na") > 0 && col("nb") > 0,
+          (pa - pb) * log(pa / pb)).otherwise(lit(null).cast("double")))
+          .as("psi_term"))
+    }),
+
+    // Pointwise mutual information over the (event_type × value-bin)
+    // contingency table — the feature-association screen of a feature
+    // store. All margins are exact integer sums over the TINY cell
+    // table (the only shuffle is the cell groupBy; margin windows run
+    // on ~100 rows); pmi = ln((n_cell·N)/(n_row·n_col)) divides exact
+    // longs and takes one ln.
+    "m11_pmi" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      val cells = events(s, dir)
+        .withColumn("cents", cents)
+        .select(col("event_type"),
+          least(expr("cents DIV 2500"), lit(19L)).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n_cell"))
+      val wType = Window.partitionBy("event_type")
+      val wBin = Window.partitionBy("bin")
+      val wAll = Window.partitionBy()
+      cells.select(col("event_type"), col("bin"), col("n_cell"),
+        r6(log((col("n_cell") * sum("n_cell").over(wAll)).cast("double") /
+          (sum("n_cell").over(wType) * sum("n_cell").over(wBin))))
+          .as("pmi"))
+    }),
+
     // A3: grouped transform — group stats broadcast back to rows via
     // an unbounded window (`main_cuda.py:253-257`). Stats are computed
     // over exact integer cents (values are 2-decimal): the group sums
@@ -683,6 +733,34 @@ object AggQ {
         | round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
         | round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
         |FROM m""".stripMargin,
+
+    "a27_psi" ->
+      """WITH b AS (SELECT
+        |  least(CAST(round(value * 100) AS BIGINT) // 2500, 19) AS bin,
+        |  event_id % 2 = 0 AS is_a FROM events),
+        |agg AS (SELECT bin,
+        |  sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+        |  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS nb
+        | FROM b GROUP BY bin),
+        |tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM agg)
+        |SELECT bin, na, nb,
+        | round(CASE WHEN na > 0 AND nb > 0
+        |  THEN (na::DOUBLE / ta - nb::DOUBLE / tb)
+        |    * ln((na::DOUBLE / ta) / (nb::DOUBLE / tb))
+        |  ELSE NULL END, 6) AS psi_term
+        |FROM agg CROSS JOIN tot""".stripMargin,
+
+    "m11_pmi" ->
+      """WITH c AS (SELECT event_type,
+        |  least(CAST(round(value * 100) AS BIGINT) // 2500, 19) AS bin
+        | FROM events),
+        |cells AS (SELECT event_type, bin, count(*)::BIGINT AS n_cell
+        | FROM c GROUP BY event_type, bin)
+        |SELECT event_type, bin, n_cell,
+        | round(ln((n_cell * sum(n_cell) OVER ())::DOUBLE /
+        |   (sum(n_cell) OVER (PARTITION BY event_type)
+        |    * sum(n_cell) OVER (PARTITION BY bin))), 6) AS pmi
+        |FROM cells""".stripMargin,
 
     "a3_transform" ->
       """WITH t AS (SELECT event_id, user_id, value,

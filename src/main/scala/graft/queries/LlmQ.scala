@@ -72,8 +72,13 @@ object LlmQ {
       val docBigrams = documents(s, dir)
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), explode(bigrams).as("bigram"))
+        // feeds BOTH the LM build and the scoring join — without this
+        // the tokenize+explode runs twice (t_tfidf precedent: Catalyst
+        // does not dedupe aggregation subtrees across join sides)
+        .cache()
       val lm = docBigrams.groupBy("bigram")
         .agg(count(lit(1)).as("corpus_count"))
+        .cache() // feeds the 1-row total AND the scoring join
       val tot = lm.agg(sum("corpus_count").as("total"),
         count(lit(1)).as("n_distinct"))
       val isRare =
