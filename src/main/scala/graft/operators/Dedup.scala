@@ -26,6 +26,65 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
+    * the MOSS algorithm): hash every char 5-gram, slide a window of
+    * `w` consecutive hashes, record each window's minimum (rightmost
+    * on ties) once → (id, pos, fingerprint). Guarantees any match of
+    * length >= w+4 shares a fingerprint while keeping ~1/w of grams.
+    *
+    * The (min-hash, rightmost-pos) winner is packed into ONE integer
+    * key — h·2²⁰ + (2²⁰−1−pos) — so a plain rolling `min` implements
+    * the winnow rule exactly: no self-join, no per-doc cross product,
+    * and the packed key stays an exact BIGINT (≤ ~1e15), bit-portable
+    * (ORACLE_NOTES.md "argmin-with-tiebreak"). One window exchange on
+    * the id, one distinct exchange. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 4): DataFrame = {
+    val M = 1L << 20 // position capacity per doc (1M grams)
+    val norm = df
+      .select(col(idCol), Text.normalizeAz(col(textCol)).as("t"))
+      .filter(length(col("t")) >= 5)
+    val grams = norm
+      .select(col(idCol),
+        posexplode(Text.charNgrams(col("t"), 5)).as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        Text.polyHashElem(col("gram")).as("h"))
+    val keyed = grams.select(col(idCol), col("pos"),
+      (col("h") * M + (lit(M - 1) - col("pos"))).as("key"))
+    keyed
+      .withColumn("sel", min(col("key")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy("pos").rowsBetween(-(w - 1), 0)))
+      .select(col(idCol),
+        (lit(M - 1) - pmod(col("sel"), lit(M))).as("pos"),
+        expr(s"sel DIV $M").as("fingerprint"))
+      .distinct()
+  }
+
+  /** Winnow-fingerprint near-dup candidates: pairs of docs sharing at
+    * least `minShared` fingerprints. Same scale discipline as LSH
+    * banding: the pair join runs per fingerprint BUCKET with a size
+    * cap (a boilerplate fingerprint shared by millions of docs would
+    * otherwise be an O(bucket²) blow-up in one task; over-cap buckets
+    * carry no discriminating signal and are dropped). */
+  def winnowCandidates(fp: DataFrame, idCol: String,
+                       maxBucket: Int = 100,
+                       minShared: Int = 2): DataFrame = {
+    val docFp = fp.select(col(idCol), col("fingerprint")).distinct()
+    val small = docFp.groupBy("fingerprint")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("fingerprint")
+    val kept = docFp.join(small, Seq("fingerprint"))
+    val l = kept.select(col("fingerprint"), col(idCol).as("doc_a"))
+    val r = kept.select(col("fingerprint"), col(idCol).as("doc_b"))
+    l.join(r, Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash parameters shared with the oracle-SQL generator. The
     * band shape is a per-call parameter: fewer, wider bands (e.g. 2x6)
     * for high-threshold dedup on near-identical corpora; more, narrower

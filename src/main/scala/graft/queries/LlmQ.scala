@@ -93,39 +93,18 @@ object LlmQ {
             .as("rare_ratio"))
     }),
 
-    // Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
-    // the MOSS algorithm): hash every char 5-gram, slide a window of
-    // w=4 consecutive hashes, record the window minimum (rightmost on
-    // ties) once. Guarantees any match of length >= w+4 shares a
-    // fingerprint while keeping ~1/w of the grams. The (min-hash,
-    // rightmost-pos) winner is packed into ONE integer key —
-    // h·2²⁰ + (2²⁰−1−pos), so min(key) IS the winnow rule — making
-    // the whole selection a single rolling-min pass + distinct: no
-    // self-join, no per-doc cross product. All exact integers
-    // (key ≤ ~1e15 < 2⁵³), bit-portable. Shape: one window exchange
-    // on doc_id, one distinct exchange.
-    "t_winnow" -> ((s, dir) => {
-      val w = 4
-      val M = 1L << 20 // position capacity per doc (1M grams)
-      val norm = documents(s, dir)
-        .select(col("doc_id"), Text.normalizeAz(col("text")).as("t"))
-        .filter(length(col("t")) >= 5)
-      val grams = norm
-        .select(col("doc_id"),
-          posexplode(Text.charNgrams(col("t"), 5)).as(Seq("pos0", "gram")))
-        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-          Text.polyHashElem(col("gram")).as("h"))
-      val keyed = grams.select(col("doc_id"), col("pos"),
-        (col("h") * M + (lit(M - 1) - col("pos"))).as("key"))
-      val winnowed = keyed.withColumn("sel", min(col("key")).over(
-        Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(-(w - 1), 0)))
-      winnowed
-        .select(col("doc_id"),
-          (lit(M - 1) - pmod(col("sel"), lit(M))).as("pos"),
-          expr(s"sel DIV $M").as("fingerprint"))
-        .distinct()
-    }),
+    // Winnowing fingerprint selection — see Dedup.winnowFingerprints.
+    "t_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(documents(s, dir), "doc_id", "text")),
+
+    // Winnow-based near-dup candidate pairs (winnowing's actual
+    // purpose in MOSS): docs sharing >= 2 selected fingerprints, with
+    // the LSH-style bucket-size cap guarding the per-fingerprint pair
+    // join. Chains t_winnow into the dedup family.
+    "d_winnow" -> ((s, dir) =>
+      Dedup.winnowCandidates(
+        Dedup.winnowFingerprints(documents(s, dir), "doc_id", "text"),
+        "doc_id")),
 
     "t_langid" -> ((s, dir) => {
       val toks = Text.tokens(Text.normalizeAz(col("text")))
@@ -567,6 +546,30 @@ object LlmQ {
        |   j -> ascii(substr($e, j::INT, 1))::BIGINT)),
        | (a, b) -> (a * $m + b) % $P) ELSE 0 END""".stripMargin
   /** Distinct char-3-gram poly-hashes of normalized text `t`. */
+  /** Winnow fingerprint table as DuckDB CTEs (mirrors
+    * Dedup.winnowFingerprints: packed-key rolling min, w=4, char
+    * 5-grams); terminal CTE `fp` = (doc_id, pos, fingerprint). */
+  private val WinnowCtes =
+    s"""norm AS (SELECT doc_id, t
+       |  FROM (SELECT doc_id, $NormSql AS t FROM documents)
+       |  WHERE length(t) >= 5),
+       |wg AS (SELECT doc_id, t,
+       |  unnest(range(1, length(t) - 3)) AS pos FROM norm),
+       |wh AS (SELECT doc_id, pos::BIGINT AS pos,
+       |  list_reduce(list_transform(range(0, 5),
+       |    j -> ascii(substr(t, (pos + j)::INT, 1))::BIGINT),
+       |   (a, b) -> (a * 31 + b) % $P) AS h
+       | FROM wg),
+       |wk AS (SELECT doc_id, pos,
+       |  h * 1048576 + (1048575 - pos) AS key FROM wh),
+       |ws AS (SELECT doc_id, min(key) OVER (PARTITION BY doc_id
+       |  ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+       | FROM wk),
+       |fp AS (SELECT DISTINCT doc_id,
+       | (1048575 - (sel % 1048576))::BIGINT AS pos,
+       | (sel // 1048576)::BIGINT AS fingerprint
+       |FROM ws)""".stripMargin
+
   private val GramsSql =
     s"""list_distinct(list_transform(
        | CASE WHEN length(t) >= 3
@@ -700,25 +703,22 @@ object LlmQ {
          |FROM c""".stripMargin,
 
     "t_winnow" ->
-      s"""WITH norm AS (SELECT doc_id, t
-         |  FROM (SELECT doc_id, $NormSql AS t FROM documents)
-         |  WHERE length(t) >= 5),
-         |g AS (SELECT doc_id, t,
-         |  unnest(range(1, length(t) - 3)) AS pos FROM norm),
-         |h AS (SELECT doc_id, pos::BIGINT AS pos,
-         |  list_reduce(list_transform(range(0, 5),
-         |    j -> ascii(substr(t, (pos + j)::INT, 1))::BIGINT),
-         |   (a, b) -> (a * 31 + b) % $P) AS h
-         | FROM g),
-         |k AS (SELECT doc_id, pos,
-         |  h * 1048576 + (1048575 - pos) AS key FROM h),
-         |s AS (SELECT doc_id, min(key) OVER (PARTITION BY doc_id
-         |  ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
-         | FROM k)
-         |SELECT DISTINCT doc_id,
-         | (1048575 - (sel % 1048576))::BIGINT AS pos,
-         | (sel // 1048576)::BIGINT AS fingerprint
-         |FROM s""".stripMargin,
+      s"""WITH $WinnowCtes
+         |SELECT doc_id, pos, fingerprint FROM fp""".stripMargin,
+
+    "d_winnow" ->
+      s"""WITH $WinnowCtes,
+         |docfp AS (SELECT DISTINCT doc_id, fingerprint FROM fp),
+         |small AS (SELECT fingerprint FROM
+         |  (SELECT fingerprint, count(*) AS n FROM docfp GROUP BY fingerprint)
+         | WHERE n <= 100),
+         |kept AS (SELECT doc_id, fingerprint FROM docfp JOIN small USING (fingerprint))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | count(*)::BIGINT AS n_shared
+         |FROM kept a JOIN kept b
+         |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*) >= 2""".stripMargin,
 
     "t_bigram_rare" ->
       s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks

@@ -272,6 +272,16 @@ object TemporalQ {
         .select(col("id").as("event_id"), col("ema"))
     }),
 
+    // W27/streaming: the CUSUM drift monitor through the same harness
+    // — O(1) exact-integer state per key, continued across batches.
+    // The oracle is the batch w27 recursion: hash-equality IS the
+    // batch-parity proof.
+    "w29_stream_cusum" -> ((s, dir) => {
+      runStream(s, "w29_stream_cusum_sink",
+        graft.streaming.StreamingTemporal.cusumStream(obsStream(s, dir), 6000L))
+        .select(col("id").as("event_id"), col("cents"), col("cusum"))
+    }),
+
     // W2/streaming: the trailing rolling mean through the same
     // streaming harness. The state is bounded to k values per key; the
     // in-state sum folds oldest-first so it is bitwise identical to
@@ -692,6 +702,16 @@ object TemporalQ {
          | FROM rec JOIN p ON p.user_id = rec.user_id AND p.k = rec.k + 1)
          |SELECT event_id, user_id, l AS holt_level, b AS holt_trend
          |FROM rec""".stripMargin,
+
+    "w29_stream_cusum" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         |SELECT event_id, cents,
+         | list_reduce(list_prepend(0::BIGINT,
+         |   list(cents - 6000) $over
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |   (acc, v) -> greatest(0::BIGINT, acc + v)) AS cusum
+         |FROM e""".stripMargin,
 
     "w3_diff" ->
       s"SELECT event_id, value - lag(value, 1) $over) AS d1 FROM events",

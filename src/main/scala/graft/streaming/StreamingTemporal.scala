@@ -24,6 +24,8 @@ case class RollOut(key: String, ts: Long, id: Long, value: Double,
                    roll_mean: Double, roll_n: Int)
 case class EmaState(ema: Double)
 case class RollState(recent: List[Double])
+case class CusumOut(key: String, ts: Long, id: Long, cents: Long, cusum: Long)
+case class CusumState(s: Long)
 case class KeyStats(key: String, n: Long, max_value: Double)
 
 /** Spark 4 arbitrary-state API ([[StatefulProcessor]]) — running
@@ -73,6 +75,33 @@ object StreamingTemporal {
             EmaOut(key, r.ts, r.id, r.value, ema.get)
           }
           ema.foreach(e => state.update(EmaState(e)))
+          out.iterator
+      }
+  }
+
+  /** Streaming CUSUM (the batch w27 recursion, continued across
+    * micro-batches): s_t = max(0, s_{t-1} + (round(x·100) − k)) per
+    * key, O(1) long of state — the always-on drift monitor a
+    * data-quality pipeline runs beside the batch detector. Exact
+    * integer arithmetic end-to-end, so stream output ≡ batch output
+    * row-for-row (the oracle IS the batch SQL: hash-equality is the
+    * batch-parity proof). */
+  def cusumStream(ds: Dataset[Obs], allowance: Long): Dataset[CusumOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.id))
+          var s = state.getOption.fold(0L)(_.s)
+          val out = sorted.map { r =>
+            // floor(x+0.5) == BigDecimal HALF_UP for the positive cents
+            // lattice the events values live on (matches batch round())
+            val c = math.round(r.value * 100)
+            s = math.max(0L, s + (c - allowance))
+            CusumOut(key, r.ts, r.id, c, s)
+          }
+          state.update(CusumState(s))
           out.iterator
       }
   }

@@ -34,6 +34,21 @@ class StreamingSpec extends SparkSpec {
     assert(approx(r(3), 7.0))
   }
 
+  test("streaming CUSUM continues the integer recursion across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val feed = MemoryStream[Obs]
+    val out = StreamingTemporal.cusumStream(feed.toDS(), allowance = 1000L)
+    runBatches(out, "cusum_out", feed, Seq(
+      Seq(Obs("a", 1, 1, 30.0), Obs("a", 2, 2, 5.0)),   // cents 3000, 500
+      Seq(Obs("a", 3, 3, 40.0), Obs("b", 1, 4, 2.0))))  // cents 4000, 200
+    val r = spark.table("cusum_out").orderBy("key", "ts")
+      .select("cusum").as[Long].collect()
+    // a: max(0,0+2000)=2000; max(0,2000-500)=1500; max(0,1500+3000)=4500
+    // b: max(0,0-800)=0
+    assert(r.toSeq == Seq(2000L, 1500L, 4500L, 0L),
+      s"state must continue across batches: ${r.toSeq}")
+  }
+
   test("transformWithState: running count/max continues across micro-batches") {
     implicit val sq = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
