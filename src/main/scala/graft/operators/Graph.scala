@@ -167,6 +167,58 @@ object Graph {
     r
   }
 
+  /** Exact triangle enumeration of an undirected graph — the classic
+    * degree-ordered (rank-ordered) algorithm: orient every edge from
+    * the lower-(degree, id) endpoint to the higher, generate wedges
+    * only from each node's OUT-edges, and close each wedge against the
+    * oriented edge set. Each triangle {x,y,z} (ranks x<y<z) is emitted
+    * exactly once, from apex x.
+    *
+    * Scale: orientation bounds every node's out-degree by O(√m)
+    * (a node of degree d > √2m has all its out-neighbors of degree
+    * ≥ d, and there are < √2m such nodes), so wedge generation is
+    * O(m^1.5) total work — the well-known bound that makes exact
+    * triangle counting feasible on skewed graphs where the naive
+    * three-way join explodes on hub nodes. Three keyed shuffles
+    * (degree agg, wedge self-join on src, closing semi-join); nothing
+    * visits the driver. Input columns `a`, `b`; self-loops dropped.
+    * Returns one row (n1, n2, n3) per triangle, endpoints sorted by id.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    // Oriented edges carry both endpoint degrees so the wedge join can
+    // rank-order its two legs without re-joining degrees.
+    val oriented = sym
+      .join(deg.select(col("n").as("a"), col("d").as("ds")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("dd")), "b")
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("a") < col("b")))
+      .select(col("a").as("src"), col("b").as("dst"), col("dd"))
+      .cache()
+    val left = oriented.select(col("src"), col("dst").as("w_b"), col("dd").as("db"))
+    val right = oriented.select(col("src"), col("dst").as("w_c"), col("dd").as("dc"))
+    val wedges = left.join(right, "src")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("w_b") < col("w_c")))
+      .select(col("src").as("apex"), col("w_b"), col("w_c"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("w_b"), col("dst").as("w_c")),
+      Seq("w_b", "w_c"), "left_semi")
+    val res = tris.select(
+      least(col("apex"), col("w_b"), col("w_c")).as("n1"),
+      (col("apex") + col("w_b") + col("w_c")
+        - least(col("apex"), col("w_b"), col("w_c"))
+        - greatest(col("apex"), col("w_b"), col("w_c"))).as("n2"),
+      greatest(col("apex"), col("w_b"), col("w_c")).as("n3"))
+    res
+  }
+
   /** Duplicate-cluster resolution over a document table: near-dup
     * pairs → connected components → one row per doc with its cluster
     * representative (component-minimum id) and cluster size. Docs with

@@ -323,6 +323,28 @@ object AggQ {
       semi.unionByName(anti)
     }),
 
+    // J16/net-new: bloom-filter semi-join reduction. The small side's
+    // join keys are aggregated into a bloom filter whose codegen'd
+    // `might_contain` probe pre-filters the big side BEFORE the join
+    // shuffle — at 100 TB the true negatives (most of the scan) never
+    // leave the scan stage. False positives only let a few extra rows
+    // into the exact join, so the result is exact and oracle-able as
+    // the plain join. (functions/BloomKeyFilter.scala)
+    "j16_bloom" -> ((s, dir) => {
+      val urgent = orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val bytes = graft.functions.BloomKeyFilter.build(
+        urgent, "o_orderkey", expectedItems = 1000000L)
+      lineitem(s, dir)
+        .filter(graft.functions.BloomKeyFilter.mightContain(col("l_orderkey"), bytes))
+        .select(col("l_orderkey"),
+          round(col("l_quantity") * 100).cast("long").as("qc"))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("qc")).as("qty_cents"))
+    }),
+
     // O7/net-new: unpivot (wide metric columns -> long rows), the
     // inverse of the O3 pivot.
     "o7_unpivot" -> ((s, dir) => {
@@ -865,6 +887,16 @@ object AggQ {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'anti' AS tag FROM li
         | WHERE NOT EXISTS (SELECT 1 FROM f WHERE o_orderkey = l_orderkey)""".stripMargin,
+
+    // The bloom pre-filter is transparent to semantics: the oracle is
+    // the plain exact join.
+    "j16_bloom" ->
+      """WITH u AS (SELECT o_orderkey, o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, count(*)::BIGINT AS n_lines,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem JOIN u ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey""".stripMargin,
 
     "o7_unpivot" ->
       """WITH b AS (SELECT l_orderkey,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.Sessions
 import Q._
 
@@ -91,6 +92,32 @@ object EventsQ {
         Seq(col("user_id"), col("session_idx")),
         col("ts_us"), col("event_type"),
         Seq("view", "click", "purchase"))
+    }),
+
+    // J17/net-new: merge overlapping per-key intervals — the classic
+    // gaps-and-islands reduction (calendar/availability merging,
+    // coverage dedup). Island boundary = start strictly after the
+    // running max end of all earlier intervals; one window + one
+    // group-by share a single exchange on user_id. All arithmetic is
+    // integer micros (portability rule 1); the synthetic interval
+    // length is |cents| % 120 + 30 seconds so sf growth densifies
+    // overlaps instead of widening them.
+    "j17_intervals" -> ((s, dir) => {
+      val len = (abs(round(col("value") * 100).cast("long")) % 120 + 30) *
+        lit(1000000L)
+      val e = eventsUs(s, dir).select(col("user_id"), col("event_id"),
+        col("ts_us").as("start_us"), (col("ts_us") + len).as("end_us"))
+      val w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+      val prevMax = max(col("end_us"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      e.withColumn("is_new",
+          when(prevMax.isNull || col("start_us") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("start_us")).as("merged_start_us"),
+          max(col("end_us")).as("merged_end_us"),
+          count(lit(1)).as("n_intervals"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -182,5 +209,22 @@ object EventsQ {
         |SELECT s.stage_idx, s.stage,
         | CASE s.stage_idx WHEN 0 THEN n_0 WHEN 1 THEN n_1 ELSE n_2 END AS n_keys
         |FROM a, (VALUES (CAST(0 AS BIGINT), 'view'), (1, 'click'),
-        |  (2, 'purchase')) AS s(stage_idx, stage)""".stripMargin)
+        |  (2, 'purchase')) AS s(stage_idx, stage)""".stripMargin,
+
+    "j17_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+        |  epoch_us(ts) + (abs(CAST(round(value * 100) AS BIGINT)) % 120 + 30)
+        |    * 1000000 AS end_us FROM events),
+        |g AS (SELECT *, max(end_us) OVER (PARTITION BY user_id
+        |   ORDER BY start_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        | FROM e),
+        |h AS (SELECT *, CASE WHEN prev_max IS NULL OR start_us > prev_max
+        |   THEN 1 ELSE 0 END AS is_new FROM g),
+        |x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |   ORDER BY start_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND CURRENT ROW) AS BIGINT) AS island FROM h)
+        |SELECT user_id, island, min(start_us) AS merged_start_us,
+        | max(end_us) AS merged_end_us, count(*) AS n_intervals
+        |FROM x GROUP BY user_id, island""".stripMargin)
 }

@@ -33,6 +33,27 @@ object GraphQ {
       val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
         .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
       Graph.pageRank(edges, iters = 5)
+    }),
+
+    // Triangle enumeration of the domestic co-supply graph: suppliers
+    // of the SAME nation are linked when they co-appear in an order.
+    // The nation restriction keeps the graph a union of 25 moderately
+    // dense subgraphs at every sf (sf growth adds nodes per nation,
+    // not global density), and the degree-ordered algorithm in
+    // operators/Graph.triangles bounds the wedge blow-up on whatever
+    // hubs emerge.
+    "g2_triangles" -> ((s, dir) => {
+      val sn = supplier(s, dir).select(
+        col("s_suppkey").cast("long").as("sk"), col("s_nationkey").as("nk"))
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sk"))
+        .join(sn, "sk")
+      val x = li.select(col("ok"), col("sk").as("a"), col("nk").as("na"))
+      val y = li.select(col("ok"), col("sk").as("b"), col("nk").as("nb"))
+      val edges = x.join(y, "ok")
+        .filter(col("a") < col("b") && col("na") === col("nb"))
+        .select(col("a"), col("b")).distinct()
+      Graph.triangles(edges)
     }))
 
   // Oracle: the identical exact-integer recursion, unrolled (standard
@@ -59,5 +80,30 @@ object GraphQ {
          |nodes AS (SELECT DISTINCT src AS node FROM e),
          |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
          |${(1 to 5).map(prIter).mkString(",\n")}
-         |SELECT node, r FROM r5""".stripMargin)
+         |SELECT node, r FROM r5""".stripMargin,
+
+    // Same rank-ordered enumeration; every triangle appears once with
+    // its apex at the lowest (degree, id) rank.
+    "g2_triangles" ->
+      """WITH sn AS (SELECT s_suppkey::BIGINT AS sk, s_nationkey AS nk
+        |            FROM supplier),
+        |li AS (SELECT l_orderkey AS ok, sk, nk
+        |       FROM lineitem JOIN sn ON l_suppkey = sk),
+        |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok
+        |      WHERE x.sk < y.sk AND x.nk = y.nk),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT a AS n, count(*)::BIGINT AS d FROM sym GROUP BY a),
+        |o AS (SELECT s.a AS src, s.b AS dst, db.d AS dd
+        |      FROM sym s JOIN deg da ON s.a = da.n JOIN deg db ON s.b = db.n
+        |      WHERE da.d < db.d OR (da.d = db.d AND s.a < s.b)),
+        |w AS (SELECT o1.src AS apex, o1.dst AS b, o2.dst AS c
+        |      FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |      WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+        |t AS (SELECT w.apex, w.b, w.c FROM w
+        |      WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.b AND o.dst = w.c))
+        |SELECT least(apex, b, c) AS n1,
+        |  apex + b + c - least(apex, b, c) - greatest(apex, b, c) AS n2,
+        |  greatest(apex, b, c) AS n3
+        |FROM t""".stripMargin)
 }

@@ -92,6 +92,41 @@ object TemporalQ {
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
     }),
 
+    // W30/net-new: rolling Pearson correlation between two co-observed
+    // series (feature-drift / co-movement monitoring), engine-portable
+    // by the exact-integer contract: all five rolling sums are BIGINTs
+    // over the cents lattices, the three normalized second moments
+    // (n·Sxy − Sx·Sy etc.) are exact BIGINTs < 2^53, and the only
+    // float ops are one multiply, one sqrt, one divide on identical
+    // exact operands — IEEE-deterministic on every engine. Everything
+    // rides ONE window exchange on l_suppkey.
+    "w30_rollcorr" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem — ordering also by the two measures makes any
+      // remaining tie value-identical, so every engine's frame holds
+      // the same multiset and the sums agree.
+      val wk = Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "xc", "yc").rowsBetween(-7, 0)
+      val b = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_suppkey"),
+        round(col("l_quantity") * 100).cast("long").as("xc"),
+        round(col("l_extendedprice") * 100).cast("long").as("yc"))
+      val n = count(col("xc")).over(wk)
+      val sx = sum(col("xc")).over(wk)
+      val sy = sum(col("yc")).over(wk)
+      val sxy = sum(col("xc") * col("yc")).over(wk)
+      val sxx = sum(col("xc") * col("xc")).over(wk)
+      val syy = sum(col("yc") * col("yc")).over(wk)
+      val varX = n * sxx - sx * sx
+      val varY = n * syy - sy * sy
+      b.select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        when(n > 1 && varX > 0 && varY > 0,
+          (n * sxy - sx * sy).cast("double") /
+            sqrt(varX.cast("double") * varY.cast("double")))
+          .as("roll_corr8"))
+    }),
+
     // Resample to a regular grid + forward-fill (pandas
     // `resample('1h').ffill()`): per user, hourly ticks spanning the
     // observed range, each tick carrying the latest at-or-before
@@ -576,6 +611,29 @@ object TemporalQ {
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "w30_rollcorr" ->
+      """WITH b AS (SELECT l_suppkey, l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS yc FROM lineitem),
+        |r AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+        |  count(*) OVER wk AS n,
+        |  CAST(sum(xc) OVER wk AS BIGINT) AS sx,
+        |  CAST(sum(yc) OVER wk AS BIGINT) AS sy,
+        |  CAST(sum(xc * yc) OVER wk AS BIGINT) AS sxy,
+        |  CAST(sum(xc * xc) OVER wk AS BIGINT) AS sxx,
+        |  CAST(sum(yc * yc) OVER wk AS BIGINT) AS syy
+        | FROM b WINDOW wk AS (PARTITION BY l_suppkey
+        |   ORDER BY l_orderkey, l_linenumber, xc, yc
+        |   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT l_orderkey, l_linenumber, l_suppkey,
+        | CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |   THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |            * CAST(n * syy - sy * sy AS DOUBLE))
+        | END AS roll_corr8
+        |FROM r""".stripMargin,
+
     "w21_rollmedian" ->
       s"""SELECT event_id, roll_med5 FROM (
          |SELECT event_id,

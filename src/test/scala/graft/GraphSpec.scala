@@ -120,4 +120,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L)))
   }
+
+  test("triangles: K4 plus a pendant edge, each triangle once") {
+    // Complete graph on {1,2,3,4} has C(4,3)=4 triangles; the pendant
+    // 4-5 edge adds none. Input is deliberately unnormalized (both
+    // orientations, a duplicate, a self-loop).
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 4L), (4L, 5L), (5L, 5L)
+    ).toDF("a", "b")
+    val got = Graph.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: triangle-free bipartite graph yields zero") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("a", "b")
+    assert(Graph.triangles(edges).isEmpty)
+  }
 }
