@@ -153,6 +153,43 @@ object AggQ {
           .as("pmi"))
     }),
 
+    // M12/net-new: chi-square association between two categoricals,
+    // per contingency cell (feature-selection screen). The classic
+    // statistic sums (O−E)²/E over cells — a float reduction whose
+    // summation order is engine-defined, so the CELL TERMS are the
+    // output (the caller sums; the driver hashes the deterministic
+    // parts). rt·ct is an exact BIGINT; expected and chi_term are a
+    // fixed pointwise IEEE expression tree on exact operands —
+    // bit-portable unrounded (ORACLE_NOTES rule 1 + pointwise chain).
+    "m12_chisq" -> ((s, dir) => {
+      val cells = orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("obs"))
+      val wS = Window.partitionBy("status")
+      val wP = Window.partitionBy("priority")
+      val wAll = Window.partitionBy()
+      val e = (sum("obs").over(wS) * sum("obs").over(wP)).cast("double") /
+        sum("obs").over(wAll).cast("double")
+      val dev = col("obs").cast("double") - e
+      cells.select(col("status"), col("priority"), col("obs"),
+        e.as("expected"), (dev * dev / e).as("chi_term"))
+    }),
+
+    // A28/net-new: Benford first-digit profile (fraud/quality screen
+    // for numeric columns). The leading digit is taken from the
+    // INTEGER cents' decimal string — never via log10, which is not
+    // correctly rounded and can misbucket exact powers of ten.
+    "a28_benford" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      lineitem(s, dir)
+        .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") /
+            sum("n").over(Window.partitionBy()).cast("double")).as("share"))
+    }),
+
     // A3: grouped transform — group stats broadcast back to rows via
     // an unbounded window (`main_cuda.py:253-257`). Stats are computed
     // over exact integer cents (values are 2-decimal): the group sums
@@ -783,6 +820,28 @@ object AggQ {
         |   (sum(n_cell) OVER (PARTITION BY event_type)
         |    * sum(n_cell) OVER (PARTITION BY bin))), 6) AS pmi
         |FROM cells""".stripMargin,
+
+    "m12_chisq" ->
+      """WITH cells AS (SELECT o_orderstatus AS status,
+        |  o_orderpriority AS priority, count(*)::BIGINT AS obs
+        | FROM orders GROUP BY 1, 2),
+        |t AS (SELECT status, priority, obs,
+        |  CAST((CAST(sum(obs) OVER (PARTITION BY status) AS BIGINT)
+        |        * CAST(sum(obs) OVER (PARTITION BY priority) AS BIGINT)) AS DOUBLE)
+        |    / CAST(CAST(sum(obs) OVER () AS BIGINT) AS DOUBLE) AS expected
+        | FROM cells)
+        |SELECT status, priority, obs, expected,
+        | (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+        |   / expected AS chi_term
+        |FROM t""".stripMargin,
+
+    "a28_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM lineitem),
+        |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        | CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE) AS share
+        |FROM c""".stripMargin,
 
     "a3_transform" ->
       """WITH t AS (SELECT event_id, user_id, value,

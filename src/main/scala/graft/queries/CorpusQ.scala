@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Text
 import graft.operators.{Contamination, Dedup, Graph, Sampling}
 import Q._
@@ -173,6 +174,30 @@ object CorpusQ {
       val n = d.agg(count(lit(1)).as("__N"))
       tf.join(dfreq, "term").crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          r6(col("tf") * log(col("__N").cast("double") / col("df"))).as("tfidf"))
+    }),
+
+    // Keyphrase extraction: top-3 terms per doc. The RANKING is the
+    // total integer order (tf DESC, df ASC, term) — "frequent here,
+    // rare in the corpus" — never the float tfidf, whose ulp-close
+    // ranks could flip across engines (portability trap #5 class);
+    // the tfidf score is emitted as a column (r6 single-ln, the
+    // audited t_tfidf class) but does not order anything.
+    "t_keyphrase" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val tf = d.select(col("doc_id"),
+          explode(Text.tokens(Text.normalizeAz(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .cache() // feeds df agg AND the join left side (t_tfidf precedent)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("__N"))
+      val wD = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df"), col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("keyword_rank", row_number().over(wD).cast("long"))
+        .filter(col("keyword_rank") <= 3)
+        .select(col("doc_id"), col("keyword_rank"), col("term"), col("tf"),
+          col("df"),
           r6(col("tf") * log(col("__N").cast("double") / col("df"))).as("tfidf"))
     }),
 
@@ -379,6 +404,20 @@ object CorpusQ {
          |SELECT doc_id, term, tf, df,
          | round(tf * ln(N::DOUBLE / df), 6) AS tfidf
          |FROM tf JOIN df USING (term), n""".stripMargin,
+
+    "t_keyphrase" ->
+      s"""WITH $TokCte,
+         |e AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*)::BIGINT AS N FROM documents),
+         |r AS (SELECT doc_id, term, tf, df, N,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tf DESC, df, term)::BIGINT AS keyword_rank
+         | FROM tf JOIN df USING (term), n)
+         |SELECT doc_id, keyword_rank, term, tf, df,
+         | round(tf * ln(N::DOUBLE / df), 6) AS tfidf
+         |FROM r WHERE keyword_rank <= 3""".stripMargin,
 
     "t_postings" ->
       s"""WITH $TokCte,

@@ -92,6 +92,27 @@ object TemporalQ {
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
     }),
 
+    // W31/net-new: rolling z-score anomaly flag — |x − mean₁₆| > 3·std₁₆
+    // — with the comparison done ENTIRELY in BIGINT so the flag is
+    // exact on every engine: squaring both sides of
+    // (c·n − s1)² / n² > 9 · (n·s2 − s1²) / (n·(n−1)) and clearing
+    // denominators gives (c·n − s1)²·(n−1) > 9·n·(n·s2 − s1²). No
+    // float ever exists, so no tick can flip. The anomaly-detection
+    // primitive for metric/sensor streams.
+    "w31_anomaly" -> ((s, dir) => {
+      val wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+      val b = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"), round(col("value") * 100).cast("long").as("c"))
+      val n = count(col("c")).over(wk)
+      val s1 = sum(col("c")).over(wk)
+      val s2 = sum(col("c") * col("c")).over(wk)
+      val dev = col("c") * n - s1
+      b.select(col("event_id"), col("user_id"), col("c").as("cents"),
+        (n > 1 && dev * dev * (n - 1) > lit(9L) * n * (n * s2 - s1 * s1))
+          .as("is_anomaly"))
+    }),
+
     // W30/net-new: rolling Pearson correlation between two co-observed
     // series (feature-drift / co-movement monitoring), engine-portable
     // by the exact-integer contract: all five rolling sums are BIGINTs
@@ -611,6 +632,20 @@ object TemporalQ {
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "w31_anomaly" ->
+      """WITH b AS (SELECT event_id, user_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT event_id, user_id, c,
+        |  count(c) OVER wk AS n,
+        |  CAST(sum(c) OVER wk AS BIGINT) AS s1,
+        |  CAST(sum(c * c) OVER wk AS BIGINT) AS s2
+        | FROM b WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, c AS cents,
+        | n > 1 AND (c * n - s1) * (c * n - s1) * (n - 1)
+        |   > 9 * n * (n * s2 - s1 * s1) AS is_anomaly
+        |FROM r""".stripMargin,
+
     "w30_rollcorr" ->
       """WITH b AS (SELECT l_suppkey, l_orderkey,
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -346,4 +346,32 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(shuffles.size == 1, s"got ${shuffles.size} exchanges")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("j16_bloom: the explicit bloom probe filters BELOW the join") {
+    // The whole point of the manual semi-join reduction is that the
+    // probe runs scan-side: in the optimized plan the
+    // bloom_might_contain Filter must sit strictly below the Join,
+    // so non-matching rows die before the exchange.
+    val p = SparkEntry.queries("j16_bloom")(spark, "/root/testdata/sf0.001")
+    val opt = p.queryExecution.optimizedPlan
+    val joinDepth = opt.collectWithSubqueries {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joinDepth.nonEmpty)
+    val joinHasProbeBelow = joinDepth.exists(_.left.toString
+      .contains("bloom_might_contain"))
+    assert(joinHasProbeBelow,
+      s"bloom probe not below the join:\n${opt.toString.take(1500)}")
+    assert(p.count() > 0)
+  }
+
+  test("triangles plan is all hash joins: no cartesian/nested-loop") {
+    val edges = (1L to 400L).flatMap(i =>
+      Seq((i, i % 97 + 1000), (i, (i * 7) % 89 + 2000))).toDF("a", "b")
+    val t = graft.operators.Graph.triangles(edges)
+    val phys = t.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join strategy:\n${phys.take(1500)}")
+  }
 }
