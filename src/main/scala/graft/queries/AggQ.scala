@@ -599,6 +599,23 @@ object AggQ {
           col("c_nationkey"), col("segment_nation_sk"))
     }),
 
+    // O13/net-new: small-file compaction planning — the lakehouse
+    // maintenance op behind OPTIMIZE/rewriteDataFiles: within each
+    // table partition (lang), files pack in deterministic id order
+    // into ~target-size output groups by running-sum division. One
+    // window exchange on the partition key; every value is an exact
+    // integer. At 100 TB the input here is the file LISTING (millions
+    // of rows), never the data, which is exactly why the plan step is
+    // its own operator.
+    "o13_compaction" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("bytes_before", coalesce(sum("n_chars").over(w), lit(0L)))
+        .withColumn("file_bin", expr("bytes_before DIV 16000"))
+    }),
+
     // J15/net-new: snapshot diff (CDC between two table versions):
     // full-outer join on the key classifies every row as inserted /
     // deleted / changed / unchanged. The "new" snapshot is synthesized
@@ -1065,6 +1082,15 @@ object AggQ {
         |    AS segment_nation_sk FROM k)
         |SELECT c_custkey, c_mktsegment, c_nationkey, segment_nation_sk
         |FROM customer JOIN sk USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    "o13_compaction" ->
+      """SELECT doc_id, lang, n_chars, bytes_before,
+        | bytes_before // 16000 AS file_bin
+        |FROM (SELECT doc_id, lang, n_chars,
+        |  COALESCE(CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS bytes_before
+        | FROM documents)""".stripMargin,
 
     "j15_snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS old_price

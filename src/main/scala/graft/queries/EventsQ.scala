@@ -118,6 +118,24 @@ object EventsQ {
         .agg(min(col("start_us")).as("merged_start_us"),
           max(col("end_us")).as("merged_end_us"),
           count(lit(1)).as("n_intervals"))
+    }),
+
+    // W32/net-new: first-order Markov transition matrix over each
+    // user's event sequence — the behavioral-modeling summary (what
+    // follows what, with conditional probability). One window exchange
+    // on user_id feeds the pair counts; the conditional p is a single
+    // division of exact BIGINTs.
+    "w32_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      eventsUs(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") /
+            sum("n").over(Window.partitionBy("from_type")).cast("double"))
+            .as("p"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -226,5 +244,18 @@ object EventsQ {
         |   AND CURRENT ROW) AS BIGINT) AS island FROM h)
         |SELECT user_id, island, min(start_us) AS merged_start_us,
         | max(end_us) AS merged_end_us, count(*) AS n_intervals
-        |FROM x GROUP BY user_id, island""".stripMargin)
+        |FROM x GROUP BY user_id, island""".stripMargin,
+
+    "w32_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events),
+        |x AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM x
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY from_type)
+        |   AS BIGINT) AS DOUBLE) AS p
+        |FROM c""".stripMargin)
 }
