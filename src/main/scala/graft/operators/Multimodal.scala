@@ -173,6 +173,73 @@ object Multimodal {
     }(enc)
   }
 
+  /** Difference-hash (dHash) of the decoded image: the standard
+    * perceptual fingerprint for image near-dup detection. The image is
+    * box-downsampled to a 9×8 grid of integer gray sums (gray =
+    * r+g+b, no luma floats), and bit (i,j) = [cell(i+1,j) mean >
+    * cell(i,j) mean], compared CROSS-MULTIPLIED in integers so no
+    * division exists and the hash is bit-portable. The 64 bits are
+    * packed as two BIGINTs (lo = bits 0–31, hi = 32–63) so neither
+    * value needs the sign bit — every engine agrees on the arithmetic,
+    * and Hamming distance is bit_count(xor(lo)) + bit_count(xor(hi)).
+    * Map-side only; payload bytes never shuffle. */
+  val imageDHashSchema: StructType = StructType(Seq(
+    StructField("dhash_hi", LongType),
+    StructField("dhash_lo", LongType)))
+
+  def decodeImageDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ imageDHashSchema.fields)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = Seq(null, null)
+    val (gCols, gRows) = (9, 8)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          if (r.isNullAt(idx)) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](idx)))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ nulls)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val s = Array.ofDim[Long](gRows, gCols)
+          val n = Array.ofDim[Long](gRows, gCols)
+          var y = 0
+          while (y < h) {
+            val rj = y * gRows / h
+            var x = 0
+            while (x < w) {
+              val ci = x * gCols / w
+              val p = px(y * w + x)
+              s(rj)(ci) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              n(rj)(ci) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var (hi, lo) = (0L, 0L)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              // mean(i+1,j) > mean(i,j), cross-multiplied (empty cells
+              // count 0 and can never win)
+              if (s(j)(i + 1) * n(j)(i) > s(j)(i) * n(j)(i + 1)) {
+                val k = j * 8 + i
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              i += 1
+            }
+            j += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](hi, lo))
+        }
+      }
+    }(enc)
+  }
+
   /** Metadata produced by the REAL PCM audio decode stage. All
     * exact-integer (ORACLE_NOTES.md rule 1): sample sums/peaks are
     * longs an oracle reproduces analytically. */

@@ -366,6 +366,61 @@ object LlmQ {
             .as("mean_r"))
     }),
 
+    // Perceptual image hash (dHash) over genuinely decoded pixels —
+    // the image-dedup fingerprint. Same analytic-oracle scheme as
+    // mm_decode: pixels are a known function of (doc_id, x, y), so the
+    // oracle reproduces the box-downsample + gradient-sign bits in
+    // pure SQL and only a real decode can match.
+    "mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      val withPng = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticPng(id,
+            (8 + id % 16).toInt, (8 + (id * 3) % 16).toInt))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodeImageDHash(withPng, "payload")
+        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
+    }),
+
+    // Image near-dup pairs from the perceptual hash: LSH-style 16-bit
+    // band buckets (capped — an over-popular band value is
+    // non-discriminating, the d_lsh/d_winnow rule) generate
+    // candidates; exact Hamming distance over the full 64 bits
+    // verifies. No all-pairs product anywhere.
+    "d_imgdup" -> ((s, dir) => {
+      import s.implicits._
+      val withPng = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticPng(id,
+            (8 + id % 16).toInt, (8 + (id * 3) % 16).toInt))
+        }).toDF("doc_id", "payload")
+      val ph = Multimodal.decodeImageDHash(withPng, "payload")
+        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo")).cache()
+      val bands = ph.select(col("doc_id"), explode(array(
+          col("dhash_lo").bitwiseAND(lit(65535L)),
+          lit(65536L) + shiftright(col("dhash_lo"), 16).bitwiseAND(lit(65535L)),
+          lit(131072L) + col("dhash_hi").bitwiseAND(lit(65535L)),
+          lit(196608L) + shiftright(col("dhash_hi"), 16).bitwiseAND(lit(65535L))))
+          .as("bk"))
+      val kept = bands.join(
+        bands.groupBy("bk").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= 50).select("bk"), "bk")
+      val cand = kept.select(col("bk"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("bk"), col("doc_id").as("doc_b")), "bk")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val a = ph.select(col("doc_id").as("doc_a"),
+        col("dhash_hi").as("ha"), col("dhash_lo").as("la"))
+      val b = ph.select(col("doc_id").as("doc_b"),
+        col("dhash_hi").as("hb"), col("dhash_lo").as("lb"))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long") +
+            bit_count(col("la").bitwiseXOR(col("lb"))).cast("long"))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
     "mm_audio" -> ((s, dir) => {
       // REAL audio decode round-trip: encode deterministic s16le PCM
       // per doc — sample i is a known function of (doc_id, i) — then
@@ -578,6 +633,36 @@ object LlmQ {
        | s -> list_reduce(list_transform(range(1, 4), j -> ascii(substr(s, j::INT, 1))::BIGINT),
        |   (a, b) -> (a * 31 + b) % $P)))""".stripMargin
   /** MinHash slot k from a `grams` list column. */
+  /** Analytic dHash oracle: reproduces decodeImageDHash's 9×8 box
+    * downsample and cross-multiplied gradient-sign bits straight from
+    * the synthetic pixel formula — only a genuine pixel decode can
+    * match it. */
+  private val PhashCtes =
+    """d AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id,
+      |  (doc_id + 7 * x + 13 * y) % 256 + (3 * doc_id + 5 * x + 11 * y) % 256
+      |    + (5 * doc_id + 3 * x + 17 * y) % 256 AS gray,
+      |  (x * 9) // w AS ci, (y * 8) // h AS rj
+      |  FROM d, range(0, 24) AS rx(x), range(0, 24) AS ry(y)
+      |  WHERE x < w AND y < h),
+      |cells AS (SELECT doc_id, ci, rj, CAST(sum(gray) AS BIGINT) AS s,
+      |  count(*)::BIGINT AS n FROM px GROUP BY doc_id, ci, rj),
+      |grid AS (SELECT d.doc_id, i.i, j.j
+      |  FROM d, range(0, 8) AS i(i), range(0, 8) AS j(j)),
+      |bits AS (SELECT g.doc_id, g.i, g.j,
+      |  CASE WHEN COALESCE(c2.s, 0) * COALESCE(c1.n, 0)
+      |         > COALESCE(c1.s, 0) * COALESCE(c2.n, 0) THEN 1 ELSE 0 END AS bit
+      |  FROM grid g
+      |  LEFT JOIN cells c1 ON c1.doc_id = g.doc_id AND c1.ci = g.i AND c1.rj = g.j
+      |  LEFT JOIN cells c2 ON c2.doc_id = g.doc_id AND c2.ci = g.i + 1 AND c2.rj = g.j),
+      |ph AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN j * 8 + i >= 32
+      |    THEN bit * (1::BIGINT << (j * 8 + i - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |  CAST(sum(CASE WHEN j * 8 + i < 32
+      |    THEN bit * (1::BIGINT << (j * 8 + i)) ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   private val seeds = Dedup.seeds
   private def slotSql(k: Int): String = {
     val (a, b) = seeds(k)
@@ -962,6 +1047,27 @@ object LlmQ {
          | sum_r, sum_g, sum_b,
          | CAST(sum_r AS DOUBLE) / (w * h) AS mean_r
          |FROM agg""".stripMargin,
+
+    "mm_phash" -> s"""WITH $PhashCtes
+         |SELECT doc_id, dhash_hi, dhash_lo FROM ph""".stripMargin,
+
+    "d_imgdup" ->
+      s"""WITH $PhashCtes,
+         |bands AS (SELECT doc_id, band * 65536 + CASE band
+         |    WHEN 0 THEN dhash_lo & 65535
+         |    WHEN 1 THEN (dhash_lo >> 16) & 65535
+         |    WHEN 2 THEN dhash_hi & 65535
+         |    ELSE (dhash_hi >> 16) & 65535 END AS bk
+         |  FROM ph, range(0, 4) AS t(band)),
+         |kept AS (SELECT doc_id, bk FROM bands
+         |  WHERE bk IN (SELECT bk FROM bands GROUP BY bk HAVING count(*) <= 50)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM kept x JOIN kept y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |v AS (SELECT doc_a, doc_b,
+         |  bit_count(xor(a.dhash_hi, b.dhash_hi))::BIGINT
+         |    + bit_count(xor(a.dhash_lo, b.dhash_lo))::BIGINT AS hamming
+         |  FROM cand JOIN ph a ON a.doc_id = doc_a JOIN ph b ON b.doc_id = doc_b)
+         |SELECT doc_a, doc_b, hamming FROM v WHERE hamming <= 6""".stripMargin,
 
     "mm_audio" ->
       s"""WITH d AS (SELECT doc_id, 500 + (doc_id % 97) * 10 AS n FROM documents),

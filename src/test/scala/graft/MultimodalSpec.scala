@@ -90,4 +90,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(1).isNullAt(1) && got(1).getInt(1) == 10)
     assert(got(2).isNullAt(1) && got(2).isNullAt(2), "null payload")
   }
+
+  test("dHash: flat image all-zero, gradient all-one, self-hamming 0") {
+    def flat(v: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def grad(w: Int, h: Int): Array[Byte] = {
+      // gray strictly increases with x -> every right cell mean beats
+      // its left neighbor -> all 64 bits set
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = x * 255 / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, flat(128, 18, 16)), (2L, grad(18, 16)),
+      (3L, flat(128, 18, 16)), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeImageDHash(df, "payload")
+      .orderBy("id").select("id", "dhash_hi", "dhash_lo").collect()
+    assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 0L, "flat")
+    assert(got(1).getLong(1) == 0xFFFFFFFFL && got(1).getLong(2) == 0xFFFFFFFFL,
+      "gradient must set all 64 bits")
+    assert(got(2).getLong(1) == got(0).getLong(1) &&
+      got(2).getLong(2) == got(0).getLong(2), "identical image, identical hash")
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2), "null payload")
+  }
 }
