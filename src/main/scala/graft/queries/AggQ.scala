@@ -599,6 +599,50 @@ object AggQ {
           col("c_nationkey"), col("segment_nation_sk"))
     }),
 
+    // A29/net-new: exact weighted median per group (sampling weights,
+    // importance-weighted quantiles). Values aggregate per (group,
+    // value) FIRST, so the cumulative rule never depends on row order
+    // within ties; the median is the smallest value whose cumulative
+    // weight reaches half the total — all BIGINT comparisons, no
+    // interpolation, bit-portable.
+    "a29_wmedian" -> ((s, dir) => {
+      val b = lineitem(s, dir).select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"),
+        round(col("l_quantity") * 100).cast("long").as("wc"))
+      val g = b.groupBy("flag", "pc").agg(sum("wc").as("w"))
+      val cum = Window.partitionBy("flag").orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.withColumn("cw", sum("w").over(cum))
+        .withColumn("tw", sum("w").over(Window.partitionBy("flag")))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("flag")
+        .agg(min("pc").as("wmedian_cents"), max("tw").as("total_weight"))
+    }),
+
+    // A30/net-new: re-aggregatable distinct-count sketches — the
+    // 100 TB rollup pattern: HLL-sketch once at the fine grain
+    // (nation), MERGE upward (region) without rescanning the fact
+    // data. The estimate is engine-specific, so the driver-graded
+    // output is the exact count plus a within-5% accuracy gate
+    // decided in integer arithmetic (the a15_approxq pattern).
+    "a30_hll_merge" -> ((s, dir) => {
+      val perNation = customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          count_distinct(col("c_custkey")).as("exact_n"))
+      val n2r = nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+      val rg = region(s, dir).select(col("r_regionkey"), col("r_name"))
+      perNation
+        .join(broadcast(n2r), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          sum("exact_n").as("exact")) // keys partition by nation: sum is exact
+        .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("exact"),
+          (abs(col("est") - col("exact")) * 20 <= col("exact"))
+            .as("within_5pct"))
+    }),
+
     // O13/net-new: small-file compaction planning — the lakehouse
     // maintenance op behind OPTIMIZE/rewriteDataFiles: within each
     // table partition (lang), files pack in deterministic id order
@@ -1082,6 +1126,29 @@ object AggQ {
         |    AS segment_nation_sk FROM k)
         |SELECT c_custkey, c_mktsegment, c_nationkey, segment_nation_sk
         |FROM customer JOIN sk USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    "a29_wmedian" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS wc FROM lineitem),
+        |g AS (SELECT flag, pc, CAST(sum(wc) AS BIGINT) AS w
+        |      FROM b GROUP BY flag, pc),
+        |c AS (SELECT flag, pc, w,
+        |  CAST(sum(w) OVER (PARTITION BY flag ORDER BY pc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |  CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        | FROM g)
+        |SELECT flag, min(pc) AS wmedian_cents, max(tw) AS total_weight
+        |FROM c WHERE cw * 2 >= tw GROUP BY flag""".stripMargin,
+
+    // The sketch estimate is engine-specific; the graded columns are
+    // the exact count and the integer-decided accuracy gate.
+    "a30_hll_merge" ->
+      """SELECT r_name, count(DISTINCT c_custkey)::BIGINT AS exact,
+        | TRUE AS within_5pct
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     "o13_compaction" ->
       """SELECT doc_id, lang, n_chars, bytes_before,
