@@ -228,7 +228,24 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightCols,
+      forward = false)
+
+  /** Forward as-of join: for every left row, the EARLIEST right row
+    * with rightTime >= leftTime within the key group (pandas
+    * merge_asof direction='forward') — "next reading at or after".
+    * Same union+window scan as [[asofJoin]], with the scan order
+    * reversed; identical one-shuffle cost. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightCols,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       rightCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.filterNot(keys.contains).toSeq
     val lTagged = left
       .withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
@@ -243,8 +260,12 @@ object Temporal {
         keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
           struct(rightCols.map(col): _*).as("__r"): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // Backward: ascending time. Forward: descending time. Either way
+    // right rows (__tag 0) sort before left rows at EQUAL times, so
+    // the match is inclusive.
+    val ord = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(ord, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))

@@ -619,6 +619,31 @@ object AggQ {
         .agg(min("pc").as("wmedian_cents"), max("tw").as("total_weight"))
     }),
 
+    // A31/net-new: Gini coefficient per group (distribution-inequality
+    // profiling of e.g. token/domain shares). Sorted-rank formula
+    // G = (2·Σi·x − (n+1)·Σx) / (n·Σx) with ranks from row_number over
+    // the value order — tied values are interchangeable so the rank
+    // products are permutation-invariant. Sums ride decimal(38,0)
+    // (DuckDB HUGEINT class; Σi·x of cents overflows int64 past ~1e6
+    // rows/group), and the ONLY float op is one division of two
+    // correctly-rounded decimal→double casts.
+    "a31_gini" -> ((s, dir) => {
+      val b = lineitem(s, dir).select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val i = row_number()
+        .over(Window.partitionBy("flag").orderBy("pc")).cast("long")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val r = b.withColumn("ix", dec(i) * dec(col("pc")))
+      val agg = r.groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("pc"))).as("sx"),
+        sum(col("ix")).as("six"))
+      agg.select(col("flag"), col("n"),
+        ((dec(lit(2)) * col("six") - dec(col("n") + 1) * col("sx"))
+          .cast("double") /
+          (dec(col("n")) * col("sx")).cast("double")).as("gini"))
+    }),
+
     // A30/net-new: re-aggregatable distinct-count sketches — the
     // 100 TB rollup pattern: HLL-sketch once at the fine grain
     // (nation), MERGE upward (region) without rescanning the fact
@@ -1126,6 +1151,24 @@ object AggQ {
         |    AS segment_nation_sk FROM k)
         |SELECT c_custkey, c_mktsegment, c_nationkey, segment_nation_sk
         |FROM customer JOIN sk USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    // HUGEINT is DuckDB's decimal(38,0)-class exact integer; the final
+    // division's two operands cast correctly-rounded to double on both
+    // engines (the a26_moments parity).
+    "a31_gini" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS pc FROM lineitem),
+        |r AS (SELECT flag, pc,
+        |  row_number() OVER (PARTITION BY flag ORDER BY pc)::BIGINT AS i
+        | FROM b),
+        |a AS (SELECT flag, count(*)::BIGINT AS n,
+        |  sum(CAST(pc AS HUGEINT)) AS sx,
+        |  sum(CAST(i AS HUGEINT) * CAST(pc AS HUGEINT)) AS six
+        | FROM r GROUP BY flag)
+        |SELECT flag, n,
+        | CAST(2::HUGEINT * six - CAST(n + 1 AS HUGEINT) * sx AS DOUBLE)
+        |  / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
 
     "a29_wmedian" ->
       """WITH b AS (SELECT l_returnflag AS flag,

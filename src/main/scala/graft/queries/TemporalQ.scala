@@ -521,6 +521,43 @@ object TemporalQ {
     // pre-aggregated unique per (user, t) so the match is
     // deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
     // independent algorithm validating the union+window formulation.
+    // J18/net-new: FORWARD as-of join (pandas merge_asof
+    // direction='forward') — "next purchase at or after this event";
+    // the reversed-scan twin of j7_asof, same one-shuffle cost.
+    "j18_asof_fwd" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val ref = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("ref_event_id"),
+          max_by(col("value"), col("event_id")).as("ref_value"))
+      Temporal.asofJoinForward(
+        e.select("event_id", "user_id", "ts"), ref, Seq("user_id"),
+        "ts", "ts", Seq("ref_event_id", "ref_value"))
+        .select("event_id", "ref_event_id", "ref_value")
+    }),
+
+    // W33/net-new: rolling OLS slope (trend detection) with x = the
+    // row's position in its user series — numerator and denominator
+    // are exact BIGINTs from four rolling sums, one final division.
+    "w33_rollslope" -> ((s, dir) => {
+      val pos = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val b = events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), round(col("value") * 100).cast("long").as("c"))
+        .withColumn("i", row_number().over(pos).cast("long"))
+      val wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+      val n = count(col("c")).over(wk)
+      val sx = sum(col("i")).over(wk)
+      val sy = sum(col("c")).over(wk)
+      val sxy = sum(col("i") * col("c")).over(wk)
+      val sxx = sum(col("i") * col("i")).over(wk)
+      b.select(col("event_id"), col("user_id"),
+        when(n > 1,
+          (n * sxy - sx * sy).cast("double") /
+            (n * sxx - sx * sx).cast("double")).as("slope8"))
+    }),
+
     "j7_asof" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -956,6 +993,34 @@ object TemporalQ {
         |SELECT l.event_id, r.ref_event_id, r.ref_value
         |FROM e l ASOF LEFT JOIN ref r
         | ON l.user_id = r.user_id AND r.tns <= l.tns""".stripMargin,
+
+    "j18_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ns(ts) AS tns FROM events),
+        |ref AS (SELECT user_id, tns,
+        |  max(event_id) AS ref_event_id,
+        |  arg_max(value, event_id) AS ref_value
+        | FROM e WHERE event_type = 'purchase' GROUP BY user_id, tns)
+        |SELECT l.event_id, r.ref_event_id, r.ref_value
+        |FROM e l ASOF LEFT JOIN ref r
+        | ON l.user_id = r.user_id AND r.tns >= l.tns""".stripMargin,
+
+    "w33_rollslope" ->
+      s"""WITH b AS (SELECT event_id, user_id, ts,
+         |  CAST(round(value * 100) AS BIGINT) AS c,
+         |  row_number() $over)::BIGINT AS i FROM events),
+         |r AS (SELECT event_id, user_id,
+         |  count(c) OVER wk AS n,
+         |  CAST(sum(i) OVER wk AS BIGINT) AS sx,
+         |  CAST(sum(c) OVER wk AS BIGINT) AS sy,
+         |  CAST(sum(i * c) OVER wk AS BIGINT) AS sxy,
+         |  CAST(sum(i * i) OVER wk AS BIGINT) AS sxx
+         | FROM b WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id,
+         | CASE WHEN n > 1 THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         |   / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope8
+         |FROM r""".stripMargin,
 
     "m8_seqbuild" ->
       s"""SELECT event_id,

@@ -225,6 +225,19 @@ class TemporalSpec extends SparkSpec {
     assert(r(3).isNullAt(1))                    // key b: right is later
   }
 
+  test("asofJoinForward: earliest right >= left time, inclusive ties") {
+    val left = Seq(("a", 5L, 100L), ("a", 10L, 101L), ("a", 12L, 102L),
+      ("b", 7L, 103L)).toDF("k", "t", "lid")
+    val right = Seq(("a", 9L, 2.0), ("a", 10L, 3.0), ("a", 11L, 4.0),
+      ("b", 2L, 9.0)).toDF("k", "t", "rv")
+    val r = Temporal.asofJoinForward(left, right, Seq("k"), "t", "t", Seq("rv"))
+      .orderBy("lid").select("lid", "rv").collect()
+    assert(r(0).getDouble(1) == 2.0)            // t=5 -> next right t=9
+    assert(r(1).getDouble(1) == 3.0)            // t=10 -> tie inclusive
+    assert(r(2).isNullAt(1))                    // t=12 -> no later right
+    assert(r(3).isNullAt(1))                    // key b: right is earlier
+  }
+
   test("asofJoin: null right fields survive; no cross-row stitching") {
     val left = Seq(("u", 3L, 1L)).toDF("k", "t", "lid")
     val right = Seq(("u", 1L, Some(5.0), Some(1.0)),
