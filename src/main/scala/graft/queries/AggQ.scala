@@ -619,6 +619,25 @@ object AggQ {
         .agg(min("pc").as("wmedian_cents"), max("tw").as("total_weight"))
     }),
 
+    // A32/net-new: Cohen's kappa — chance-corrected agreement between
+    // two labelers (annotation QA for training data). All four counts
+    // are exact; po/pe/kappa are ONE fixed pointwise IEEE expression
+    // tree on exact operands, mirrored token-for-token in the oracle.
+    "a32_kappa" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        col("event_type").isin("purchase", "signup").cast("long").as("a"),
+        (round(col("value") * 100).cast("long") >= 5000L).cast("long").as("b"))
+      val g = e.agg(count(lit(1)).as("n"),
+        sum(col("a")).as("na"), sum(col("b")).as("nb"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+      val n = col("n").cast("double")
+      val pa = col("na").cast("double") / n
+      val pb = col("nb").cast("double") / n
+      val po = col("agree").cast("double") / n
+      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      g.select(col("n"), col("agree"), ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    }),
+
     // A31/net-new: Gini coefficient per group (distribution-inequality
     // profiling of e.g. token/domain shares). Sorted-rank formula
     // G = (2·Σi·x − (n+1)·Σx) / (n·Σx) with ranks from row_number over
@@ -1151,6 +1170,27 @@ object AggQ {
         |    AS segment_nation_sk FROM k)
         |SELECT c_custkey, c_mktsegment, c_nationkey, segment_nation_sk
         |FROM customer JOIN sk USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    "a32_kappa" ->
+      """WITH e AS (SELECT
+        |  CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+        |    THEN 1 ELSE 0 END AS b FROM events),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |  CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+        |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        | FROM e)
+        |SELECT n, agree,
+        | (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |   - (CAST(na AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))))
+        | / (1.0 - (CAST(na AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)))) AS kappa
+        |FROM g""".stripMargin,
 
     // HUGEINT is DuckDB's decimal(38,0)-class exact integer; the final
     // division's two operands cast correctly-rounded to double on both

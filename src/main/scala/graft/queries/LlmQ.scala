@@ -242,6 +242,26 @@ object LlmQ {
         bucket.as("bucket"), split.as("split"))
     }),
 
+    // Temporal split with embargo: train on the first 70% of the time
+    // RANGE, embargo the next 5% (drop — the leakage buffer any
+    // forward-looking label needs), test on the rest. Boundaries are
+    // integer micros from one tiny min/max aggregate broadcast back —
+    // scale-safe where an exact global-quantile boundary would need a
+    // full sort. Complements the content-hash split (t_split) and
+    // stratified sample (t_stratified).
+    "t_time_split" -> ((s, dir) => {
+      val e = graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id"), col("ts_us"))
+      val b = e.agg(min("ts_us").as("tmin"), max("ts_us").as("tmax"))
+      e.crossJoin(broadcast(b))
+        .withColumn("t1", expr("tmin + (tmax - tmin) * 7 DIV 10"))
+        .withColumn("t2", expr("tmin + (tmax - tmin) * 3 DIV 4"))
+        .select(col("event_id"),
+          when(col("ts_us") <= col("t1"), "train")
+            .when(col("ts_us") <= col("t2"), "embargo")
+            .otherwise("test").as("split"))
+    }),
+
     // Deterministic global training shuffle: every doc gets a shard
     // (fp mod 16) and a pseudo-random in-shard position — the
     // "randomize example order" step of a pretraining run as ONE hash
@@ -921,6 +941,19 @@ object LlmQ {
          |      WHEN fp % 100 < 90 THEN 'val'
          |      ELSE 'test' END AS split
          |FROM f""".stripMargin,
+
+    "t_time_split" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM e),
+        |x AS (SELECT event_id, ts_us,
+        |  tmin + (tmax - tmin) * 7 // 10 AS t1,
+        |  tmin + (tmax - tmin) * 3 // 4 AS t2
+        | FROM e, b)
+        |SELECT event_id,
+        | CASE WHEN ts_us <= t1 THEN 'train'
+        |      WHEN ts_us <= t2 THEN 'embargo'
+        |      ELSE 'test' END AS split
+        |FROM x""".stripMargin,
 
     "t_shard" ->
       s"""WITH f AS (SELECT doc_id, ${foldSql("t")} AS fp
