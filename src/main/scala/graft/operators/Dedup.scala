@@ -70,7 +70,11 @@ object Dedup {
   def winnowCandidates(fp: DataFrame, idCol: String,
                        maxBucket: Int = 100,
                        minShared: Int = 2): DataFrame = {
-    val docFp = fp.select(col(idCol), col("fingerprint")).distinct()
+    // cached: feeds the bucket-count aggregate AND both sides of the
+    // pair join — Catalyst does not dedup a subtree across a join, so
+    // the upstream fingerprint pipeline (explode + window) would
+    // otherwise execute up to four times (t_tfidf precedent).
+    val docFp = fp.select(col(idCol), col("fingerprint")).distinct().cache()
     val small = docFp.groupBy("fingerprint")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
