@@ -687,6 +687,36 @@ object AggQ {
             .as("within_5pct"))
     }),
 
+    // J19/net-new: entity resolution — blocking + pairwise scoring +
+    // deterministic classification, the record-linkage pipeline shape.
+    // A synthetic "dirty" feed perturbs names deterministically (one
+    // appended char / a prepended tag / a replaced name). Blocking key
+    // = (nation, $100 balance band) so candidates form inside small
+    // blocks; over-cap blocks are dropped exactly like over-popular
+    // LSH buckets (no O(block²) blow-up on a hot band). Scoring is
+    // integer Levenshtein (cross-engine parity proven by t_editdist);
+    // thresholds classify match / possible / non_match.
+    "j19_entity_res" -> ((s, dir) => {
+      val c = customer(s, dir).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val dirty = c.select(col("c_custkey").as("rid"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("X")))
+          .when(col("c_custkey") % 3 === 1, concat(lit("ZZZ"), col("c_name")))
+          .otherwise(concat(lit("Unknown#"), col("c_custkey").cast("string")))
+          .as("d_name"),
+        (col("c_nationkey") * 1000000L + expr("bal_cents DIV 10000")).as("blk"))
+      val lb = c.select(col("c_custkey"), col("c_name"),
+        (col("c_nationkey") * 1000000L + expr("bal_cents DIV 10000")).as("blk"))
+      val keptBlk = dirty.groupBy("blk").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= 100).select("blk")
+      val lev = levenshtein(col("c_name"), col("d_name"))
+      lb.join(keptBlk, "blk").join(dirty, "blk")
+        .select(col("c_custkey"), col("rid"), lev.cast("long").as("lev"),
+          when(lev <= 1, "match").when(lev <= 4, "possible")
+            .otherwise("non_match").as("verdict"))
+    }),
+
     // O13/net-new: small-file compaction planning — the lakehouse
     // maintenance op behind OPTIMIZE/rewriteDataFiles: within each
     // table partition (lang), files pack in deterministic id order
@@ -1232,6 +1262,24 @@ object AggQ {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "j19_entity_res" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |dirty AS (SELECT c_custkey AS rid,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X'
+        |       WHEN c_custkey % 3 = 1 THEN 'ZZZ' || c_name
+        |       ELSE 'Unknown#' || c_custkey END AS d_name,
+        |  c_nationkey * 1000000 + bal_cents // 10000 AS blk FROM c),
+        |lb AS (SELECT c_custkey, c_name,
+        |  c_nationkey * 1000000 + bal_cents // 10000 AS blk FROM c),
+        |kept AS (SELECT blk FROM dirty GROUP BY blk HAVING count(*) <= 100)
+        |SELECT c_custkey, rid,
+        | levenshtein(c_name, d_name)::BIGINT AS lev,
+        | CASE WHEN levenshtein(c_name, d_name) <= 1 THEN 'match'
+        |      WHEN levenshtein(c_name, d_name) <= 4 THEN 'possible'
+        |      ELSE 'non_match' END AS verdict
+        |FROM lb JOIN kept USING (blk) JOIN dirty USING (blk)""".stripMargin,
 
     "o13_compaction" ->
       """SELECT doc_id, lang, n_chars, bytes_before,

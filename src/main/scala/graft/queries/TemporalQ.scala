@@ -92,6 +92,29 @@ object TemporalQ {
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
     }),
 
+    // A33/net-new: lag-k autocorrelation per series — seasonality /
+    // persistence screen. Formulated as the Pearson correlation of
+    // (x_t, x_{t−3}) pairs, so it reuses the w30 exact-BIGINT recipe:
+    // five exact sums over the lag-joined pairs, pointwise IEEE tail.
+    "a33_autocorr" -> ((s, dir) => {
+      val ww = w(s)
+      val b = events(s, dir)
+        .withColumn("a", round(col("value") * 100).cast("long"))
+        .withColumn("bl", Temporal.lagK(col("a"), 3, ww))
+        .filter(col("bl").isNotNull)
+      val g = b.groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("bl")).as("sb"),
+        sum(col("a") * col("bl")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("bl") * col("bl")).as("sbb"))
+      val va = col("n") * col("saa") - col("sa") * col("sa")
+      val vb = col("n") * col("sbb") - col("sb") * col("sb")
+      g.select(col("user_id"), col("n"),
+        when(col("n") > 1 && va > 0 && vb > 0,
+          (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+            sqrt(va.cast("double") * vb.cast("double"))).as("acf3"))
+    }),
+
     // W31/net-new: rolling z-score anomaly flag — |x − mean₁₆| > 3·std₁₆
     // — with the comparison done ENTIRELY in BIGINT so the flag is
     // exact on every engine: squaring both sides of
@@ -669,6 +692,25 @@ object TemporalQ {
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "a33_autocorr" ->
+      s"""WITH b AS (SELECT user_id,
+         |  CAST(round(value * 100) AS BIGINT) AS a,
+         |  lag(CAST(round(value * 100) AS BIGINT), 3) $over) AS bl
+         | FROM events),
+         |g AS (SELECT user_id, count(*)::BIGINT AS n,
+         |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(bl) AS BIGINT) AS sb,
+         |  CAST(sum(a * bl) AS BIGINT) AS sab,
+         |  CAST(sum(a * a) AS BIGINT) AS saa,
+         |  CAST(sum(bl * bl) AS BIGINT) AS sbb
+         | FROM b WHERE bl IS NOT NULL GROUP BY user_id)
+         |SELECT user_id, n,
+         | CASE WHEN n > 1 AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+         |   THEN CAST(n * sab - sa * sb AS DOUBLE)
+         |     / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+         |            * CAST(n * sbb - sb * sb AS DOUBLE))
+         | END AS acf3
+         |FROM g""".stripMargin,
+
     "w31_anomaly" ->
       """WITH b AS (SELECT event_id, user_id, ts,
         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
