@@ -113,7 +113,11 @@ object Similarity {
     * engine reproduces the projection bit-for-bit. */
   def projSign(j: Int, i: Int, inDims: Int): Int = {
     val h = (1103515245L * (j.toLong * inDims + i) + 12345L) % 2147483648L
-    if (h % 2 == 0) 1 else -1
+    // bit 16, not bit 0: an LCG's low bit has period 2, which made
+    // every projection row the SAME ±pattern (all output dims
+    // identical, all sign-LSH signatures 0x00/0xFF). Higher state
+    // bits are well mixed.
+    if (((h >> 16) & 1L) == 0L) 1 else -1
   }
 
   /** Johnson-Lindenstrauss random projection to `outDims` dimensions

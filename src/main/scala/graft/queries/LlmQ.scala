@@ -489,6 +489,40 @@ object LlmQ {
         embeddings(s, dir).select(col("vec_id"), col("embedding")),
         "embedding", inDims = 64, outDims = 8)),
 
+    // Sign-random-projection LSH for cosine ANN (Charikar hyperplane
+    // hashing): 16 deterministic ±1 projections → sign bits → one
+    // 16-bit signature; equal signatures are the candidate buckets
+    // (capped, like every banded family here), exact cosine annotates
+    // the pairs. Signs are comparisons of the bitwise-portable
+    // unrolled projections (v_randproj), so bucket membership is
+    // engine-exact. Complements the IVF path (s_ivf_topk) with the
+    // LSH path a cosine dedup runs at corpus scale.
+    "s_srp_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val proj = Similarity.randomProjection(e, "embedding", 64, 16)
+      val sig = (0 until 16)
+        .map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      // two 8-bit bands: a pair is a candidate when EITHER half of the
+      // signature matches (multi-band LSH trades precision for recall)
+      val sigs = proj.select(col("vec_id"), sig.as("sig"))
+      val bands = sigs.select(col("vec_id"), explode(array(
+          col("sig").bitwiseAND(lit(255L)),
+          lit(65536L) + shiftright(col("sig"), 8).bitwiseAND(lit(255L))))
+          .as("bk")).cache()
+      val kept = bands.join(bands.groupBy("bk").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= 100).select("bk"), "bk")
+      val pairs = kept.select(col("bk"), col("vec_id").as("vec_a"))
+        .join(kept.select(col("bk"), col("vec_id").as("vec_b")), "bk")
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      pairs.join(ea, "vec_a").join(eb, "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          r6(Vectors.cosine(col("ea"), col("eb"))).as("cos"))
+    }),
+
     // Per-dimension int8 quantization (long form: id, dim, code).
     "v_quantize" -> ((s, dir) =>
       Similarity.scalarQuantize(
@@ -1139,6 +1173,42 @@ object LlmQ {
         s"(($sum) / $scale) AS p$j"
       }.mkString(",\n ")
       s"SELECT vec_id,\n $projs\nFROM embeddings"
+    },
+
+    "s_srp_lsh" -> {
+      val scale = math.sqrt(16.0)
+      val projs = (0 until 16).map { j =>
+        val sum = (0 until 64).map { i =>
+          s"(${Similarity.projSign(j, i, 64)}) * (embedding[${i + 1}]::DOUBLE)"
+        }.mkString(" + ")
+        s"(($sum) / $scale) AS p$j"
+      }.mkString(",\n ")
+      val sig = (0 until 16)
+        .map(j => s"CASE WHEN p$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT vec_id,
+         | $projs
+         |FROM embeddings),
+         |sg AS (SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM p),
+         |bands AS (SELECT vec_id, CASE half
+         |    WHEN 0 THEN sig & 255
+         |    ELSE 65536 + ((sig >> 8) & 255) END AS bk
+         |  FROM sg, range(0, 2) AS t(half)),
+         |kept AS (SELECT vec_id, bk FROM bands WHERE bk IN
+         |  (SELECT bk FROM bands GROUP BY bk HAVING count(*) <= 100)),
+         |pr AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+         |j AS (SELECT vec_a, vec_b, ea.embedding AS ea, eb.embedding AS eb
+         |  FROM pr JOIN embeddings ea ON ea.vec_id = vec_a
+         |          JOIN embeddings eb ON eb.vec_id = vec_b),
+         |m AS (SELECT vec_a, vec_b,
+         |  list_reduce(list_prepend(0.0, list_transform(ea, (x, i) -> x::DOUBLE * eb[i]::DOUBLE)), (a, b) -> a + b) AS dot,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(ea, (x, i) -> x::DOUBLE * ea[i]::DOUBLE)), (a, b) -> a + b)) AS na,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(eb, (x, i) -> x::DOUBLE * eb[i]::DOUBLE)), (a, b) -> a + b)) AS nb
+         | FROM j)
+         |SELECT vec_a, vec_b,
+         | round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+         |FROM m""".stripMargin
     },
 
     "v_quantize" ->

@@ -115,6 +115,19 @@ class TextVectorsSpec extends SparkSpec {
     assert(r.getDouble(1) == expected(0) && r.getDouble(2) == expected(1))
   }
 
+  test("projSign family is not degenerate: rows differ, columns balanced") {
+    import graft.operators.Similarity
+    // Regression: an LCG low-bit sign made every projection row the
+    // SAME ±pattern (JL dims all identical, sign-LSH sigs 0x00/0xFF).
+    val rows = (0 until 16).map(j =>
+      (0 until 64).map(i => Similarity.projSign(j, i, 64)).toList)
+    assert(rows.distinct.size == 16, "projection rows must be distinct")
+    rows.foreach { r =>
+      val pos = r.count(_ == 1)
+      assert(pos >= 16 && pos <= 48, s"row sign balance off: $pos/64 positive")
+    }
+  }
+
   test("scalarQuantize: endpoints hit 0/255, degenerate dim codes 0") {
     import graft.operators.Similarity
     val df = Seq(
