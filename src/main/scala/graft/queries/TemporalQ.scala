@@ -92,6 +92,20 @@ object TemporalQ {
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
     }),
 
+    // W34/net-new: EWM variance (volatility tracking), adjust=False,
+    // dyadic alpha — TWO exact dyadic recursions (EWM of x and of x²)
+    // whose states stay exact binary, then a pointwise m2 − m·m tail:
+    // bitwise-portable unrounded, the w5_ema/w28_holt class. Both
+    // recursions ride the same per-user window exchange.
+    "w34_ewmvar" -> ((s, dir) => {
+      val entity = Seq(col("user_id"))
+      val ord = Seq(col("ts"), col("event_id"))
+      val e = events(s, dir).withColumn("v2", col("value") * col("value"))
+      val m = graft.functions.EwmAvg.ewmAvg(col("value"), 0.5, entity, ord)
+      val m2 = graft.functions.EwmAvg.ewmAvg(col("v2"), 0.5, entity, ord)
+      e.select(col("event_id"), m.as("ewm_mean"), (m2 - m * m).as("ewm_var"))
+    }),
+
     // A33/net-new: lag-k autocorrelation per series — seasonality /
     // persistence screen. Formulated as the Pearson correlation of
     // (x_t, x_{t−3}) pairs, so it reuses the w30 exact-BIGINT recipe:
@@ -692,6 +706,16 @@ object TemporalQ {
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "w34_ewmvar" ->
+      s"""WITH f AS (SELECT event_id,
+         | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.5 * x + 0.5 * acc) AS m,
+         | list_reduce(list(value * value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.5 * x + 0.5 * acc) AS m2
+         | FROM events)
+         |SELECT event_id, m AS ewm_mean, m2 - m * m AS ewm_var
+         |FROM f""".stripMargin,
+
     "a33_autocorr" ->
       s"""WITH b AS (SELECT user_id,
          |  CAST(round(value * 100) AS BIGINT) AS a,
