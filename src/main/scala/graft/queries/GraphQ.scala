@@ -54,6 +54,33 @@ object GraphQ {
         .filter(col("a") < col("b") && col("na") === col("nb"))
         .select(col("a"), col("b")).distinct()
       Graph.triangles(edges)
+    }),
+
+    // Bounded-hop multi-source BFS: minimum co-supply distance from
+    // nation-0's suppliers, 3 hops. Each hop is one keyed shuffle of
+    // the FRONTIER (not the full graph); the final min-agg resolves
+    // multiple discovery paths. The fixed hop bound is what makes the
+    // oracle expressible (unrolled CTEs) and is itself the standard
+    // production guard on traversal explosion.
+    "g3_bfs" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sk"))
+      val x = li.select(col("ok"), col("sk").as("a"))
+      val y = li.select(col("ok"), col("sk").as("b"))
+      val e0 = x.join(y, "ok").filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = supplier(s, dir).filter(col("s_nationkey") === 0)
+        .select(col("s_suppkey").cast("long").as("node")).distinct()
+      var dist = seeds.withColumn("dist", lit(0L))
+      var frontier = seeds
+      for (h <- 1 to 3) {
+        frontier = frontier.join(sym, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+        dist = dist.union(frontier.withColumn("dist", lit(h.toLong)))
+      }
+      dist.groupBy("node").agg(min("dist").as("dist"))
     }))
 
   // Oracle: the identical exact-integer recursion, unrolled (standard
@@ -105,5 +132,24 @@ object GraphQ {
         |SELECT least(apex, b, c) AS n1,
         |  apex + b + c - least(apex, b, c) - greatest(apex, b, c) AS n2,
         |  greatest(apex, b, c) AS n3
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+
+    "g3_bfs" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey::BIGINT AS sk
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |       FROM li x JOIN li y ON x.ok = y.ok WHERE x.sk < y.sk),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b, a FROM e0),
+        |s0 AS (SELECT DISTINCT s_suppkey::BIGINT AS node FROM supplier
+        |       WHERE s_nationkey = 0),
+        |f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN s0 ON e.src = s0.node),
+        |f2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node),
+        |f3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node),
+        |u AS (SELECT node, 0 AS dist FROM s0
+        |      UNION ALL SELECT node, 1 FROM f1
+        |      UNION ALL SELECT node, 2 FROM f2
+        |      UNION ALL SELECT node, 3 FROM f3)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM u GROUP BY node""".stripMargin)
 }
