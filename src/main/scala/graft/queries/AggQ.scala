@@ -638,6 +638,27 @@ object AggQ {
       g.select(col("n"), col("agree"), ((po - pe) / (lit(1.0) - pe)).as("kappa"))
     }),
 
+    // M13/net-new: binary-classification evaluation — confusion counts
+    // plus precision/recall/F1. The counts are exact; the three
+    // metrics are single-division / short pointwise IEEE expressions
+    // on exact operands, mirrored token-for-token (the a32_kappa
+    // class).
+    "m13_confusion" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        col("event_type").isin("purchase", "signup").cast("long").as("actual"),
+        (round(col("value") * 100).cast("long") >= 5000L).cast("long").as("pred"))
+      val g = e.agg(
+        sum(when(col("pred") === 1 && col("actual") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("actual") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0 && col("actual") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === 0 && col("actual") === 0, 1L).otherwise(0L)).as("tn"))
+      val p = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+      val r = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+      g.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        p.as("precision"), r.as("recall"),
+        (lit(2.0) * p * r / (p + r)).as("f1"))
+    }),
+
     // A31/net-new: Gini coefficient per group (distribution-inequality
     // profiling of e.g. token/domain shares). Sorted-rank formula
     // G = (2·Σi·x − (n+1)·Σx) / (n·Σx) with ranks from row_number over
@@ -1200,6 +1221,26 @@ object AggQ {
         |    AS segment_nation_sk FROM k)
         |SELECT c_custkey, c_mktsegment, c_nationkey, segment_nation_sk
         |FROM customer JOIN sk USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    "m13_confusion" ->
+      """WITH e AS (SELECT
+        |  CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS actual,
+        |  CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+        |    THEN 1 ELSE 0 END AS pred FROM events),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN pred = 1 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN pred = 1 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN pred = 0 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN pred = 0 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        | FROM e)
+        |SELECT tp, fp, fn, tn,
+        | CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        | CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+        | 2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |     * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+        |   / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+        |      + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) AS f1
+        |FROM g""".stripMargin,
 
     "a32_kappa" ->
       """WITH e AS (SELECT

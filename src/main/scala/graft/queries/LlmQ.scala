@@ -242,6 +242,25 @@ object LlmQ {
         bucket.as("bucket"), split.as("split"))
     }),
 
+    // Class-balanced oversampling: every language is replicated up to
+    // EXACTLY the majority class's count — n_copies = target DIV size
+    // plus one for the first (target MOD size) docs in id order, so
+    // per-class totals match to the row. All integer; the explode is
+    // map-side (null-lang docs drop on the equi-join, both engines).
+    "t_upsample" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("lang"))
+      val sizes = d.groupBy("lang").agg(count(lit(1)).as("sz"))
+      val target = sizes.agg(max("sz").as("target"))
+      val ranked = d.withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+          .cast("long") - 1)
+      ranked.join(broadcast(sizes), "lang").crossJoin(broadcast(target))
+        .withColumn("n_copies", expr("target DIV sz") +
+          when(col("rk") < expr("target % sz"), 1L).otherwise(0L))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+    }),
+
     // Temporal split with embargo: train on the first 70% of the time
     // RANGE, embargo the next 5% (drop — the leakage buffer any
     // forward-looking label needs), test on the rest. Boundaries are
@@ -975,6 +994,19 @@ object LlmQ {
          |      WHEN fp % 100 < 90 THEN 'val'
          |      ELSE 'test' END AS split
          |FROM f""".stripMargin,
+
+    "t_upsample" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |sizes AS (SELECT lang, count(*)::BIGINT AS sz FROM d GROUP BY lang),
+        |t AS (SELECT max(sz) AS target FROM sizes),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id)::BIGINT - 1 AS rk
+        | FROM d),
+        |x AS (SELECT doc_id, r.lang,
+        |  target // sz + CASE WHEN rk < target % sz THEN 1 ELSE 0 END AS n_copies
+        | FROM r JOIN sizes ON r.lang = sizes.lang, t)
+        |SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy_id
+        |FROM x""".stripMargin,
 
     "t_time_split" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
