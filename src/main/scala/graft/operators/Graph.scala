@@ -161,6 +161,11 @@ object Graph {
       r = nodes.join(inc, Seq("node"), "left")
         .select(col("node"),
           (base + expr("85 * coalesce(__in, 0L) DIV 100")).as("r"))
+        // Measured (sf0.1, local[32]): materializing each round beats
+        // pipelining several rounds into one deep job (5.4 s vs 8.5 s
+        // warm) — each round's exchange then feeds AQE a concrete
+        // size, and the deep chained-join alternative re-plans the
+        // whole prefix per action.
         .localCheckpoint()
     }
     e.unpersist(); deg.unpersist()
