@@ -139,4 +139,19 @@ class GraphSpec extends SparkSpec {
       .toDF("a", "b")
     assert(Graph.triangles(edges).isEmpty)
   }
+
+  test("scale smoke: triangles at 16x planted K4 blocks + a hub") {
+    // 64 disjoint K4 blocks (4 triangles each) plus one hub node wired
+    // to every block's node 0 — the hub has degree 64 but closes no
+    // triangle, exercising the degree-ordering's hub handling: wedges
+    // through the hub must be generated from the LOW-degree endpoints,
+    // not fan out of the hub.
+    val copies = 64
+    val k4 = for {
+      c <- 0 until copies; i <- 0 until 4; j <- (i + 1) until 4
+    } yield (c * 10L + i, c * 10L + j)
+    val hub = (0 until copies).map(c => (999999L, c * 10L))
+    val t = Graph.triangles((k4 ++ hub).toDF("a", "b"))
+    assert(t.count() == 4L * copies)
+  }
 }
