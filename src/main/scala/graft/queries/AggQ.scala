@@ -659,6 +659,35 @@ object AggQ {
         (lit(2.0) * p * r / (p + r)).as("f1"))
     }),
 
+    // M14/net-new: ROC AUC by the rank statistic (Mann–Whitney), tie-
+    // aware: per distinct score, positives take the group's AVERAGE
+    // rank. Doubling the rank sums keeps half-integer average ranks
+    // exact in BIGINT — 2·Σranks_pos = Σ_groups pos·(2·before+cnt+1) —
+    // so AUC = (2·Σranks_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg) is
+    // exact until ONE final division. The standard eval for a binary
+    // scorer, no sort of raw rows (aggregate per score value first).
+    "m14_auc" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        round(col("value") * 100).cast("long").as("score"),
+        col("event_type").isin("purchase", "signup").cast("long").as("y"))
+      val g = e.groupBy("score").agg(count(lit(1)).as("cnt"),
+        sum(col("y")).as("pos"))
+      // The global cumsum runs over the per-SCORE aggregate (distinct
+      // score values, not rows) — bounded by the score lattice, the
+      // same contract as the exact-quantile path; range-partition it
+      // if the score domain is unbounded.
+      val wOrd = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = g.withColumn("before",
+        coalesce(sum("cnt").over(wOrd), lit(0L)))
+      val agg = ranked.agg(
+        sum(col("pos") * (lit(2L) * col("before") + col("cnt") + 1)).as("r2"),
+        sum(col("pos")).as("np"), sum(col("cnt") - col("pos")).as("nn"))
+      agg.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        ((col("r2") - col("np") * (col("np") + 1)).cast("double") /
+          (lit(2L) * col("np") * col("nn")).cast("double")).as("auc"))
+    }),
+
     // A31/net-new: Gini coefficient per group (distribution-inequality
     // profiling of e.g. token/domain shares). Sorted-rank formula
     // G = (2·Σi·x − (n+1)·Σx) / (n·Σx) with ranks from row_number over
@@ -1221,6 +1250,27 @@ object AggQ {
         |    AS segment_nation_sk FROM k)
         |SELECT c_custkey, c_mktsegment, c_nationkey, segment_nation_sk
         |FROM customer JOIN sk USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    "m14_auc" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |  CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+        | FROM events),
+        |g AS (SELECT score, count(*)::BIGINT AS cnt,
+        |  CAST(sum(y) AS BIGINT) AS pos FROM e GROUP BY score),
+        |r AS (SELECT score, cnt, pos,
+        |  COALESCE(CAST(sum(cnt) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS "before"
+        | FROM g),
+        |a AS (SELECT
+        |  CAST(sum(pos * (2 * "before" + cnt + 1)) AS BIGINT) AS r2,
+        |  CAST(sum(pos) AS BIGINT) AS np,
+        |  CAST(sum(cnt - pos) AS BIGINT) AS nn
+        | FROM r)
+        |SELECT np AS n_pos, nn AS n_neg,
+        | CAST(r2 - np * (np + 1) AS DOUBLE)
+        |   / CAST(2 * np * nn AS DOUBLE) AS auc
+        |FROM a""".stripMargin,
 
     "m13_confusion" ->
       """WITH e AS (SELECT
