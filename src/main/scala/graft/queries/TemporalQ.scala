@@ -92,6 +92,33 @@ object TemporalQ {
         Temporal.rollingMax(col("value"), 3, ww).as("roll_max3"))
     }),
 
+    // A34/net-new: seasonal decomposition (STL-lite): trend = centered
+    // 25-row rolling mean, seasonal index = per-phase (hour-of-day)
+    // mean of the detrended series. Exactness: only INTERIOR rows
+    // (full 25-row frames) contribute, so the scaled residual
+    // c·25 − Σc is an exact BIGINT with one constant scale, the phase
+    // sums are exact, and ONE final division produces the index.
+    "a34_decompose" -> ((s, dir) => {
+      val e = graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("c"))
+        .withColumn("phase", expr("(ts_us DIV 3600000000) % 24"))
+      val wk = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-12, 12)
+      val withFrame = e
+        .withColumn("fn", count(col("c")).over(wk))
+        .withColumn("fs", sum(col("c")).over(wk))
+        .filter(col("fn") === 25)
+        .withColumn("resid_scaled", col("c") * 25 - col("fs"))
+      withFrame.groupBy("phase")
+        .agg(count(lit(1)).as("n_interior"),
+          sum(col("resid_scaled")).as("resid_sum"))
+        .select(col("phase"), col("n_interior"),
+          (col("resid_sum").cast("double") /
+            (col("n_interior") * lit(2500L)).cast("double"))
+            .as("seasonal_idx"))
+    }),
+
     // W34/net-new: EWM variance (volatility tracking), adjust=False,
     // dyadic alpha — TWO exact dyadic recursions (EWM of x and of x²)
     // whose states stay exact binary, then a pointwise m2 − m·m tail:
@@ -558,6 +585,30 @@ object TemporalQ {
     // pre-aggregated unique per (user, t) so the match is
     // deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
     // independent algorithm validating the union+window formulation.
+    // J20/net-new: point-in-time feature join — the feature-store
+    // correctness pattern: enrich every observation with the latest
+    // value from SEVERAL feature tables as of the observation's own
+    // time, never the future. Two chained as-of scans, one keyed
+    // exchange each; at 100 TB this replaces the (wrong) plain join +
+    // dedup and the (quadratic) theta-join.
+    "j20_pit" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(s"$dir/events.parquet")
+      def ref(t: String, idName: String, vName: String) =
+        e.filter(col("event_type") === t).groupBy("user_id", "ts")
+          .agg(max(col("event_id")).as(idName),
+            max_by(col("value"), col("event_id")).as(vName))
+      val base = e.select("event_id", "user_id", "ts")
+      val j1 = Temporal.asofJoin(base,
+        ref("purchase", "purch_event_id", "purch_value"),
+        Seq("user_id"), "ts", "ts", Seq("purch_event_id", "purch_value"))
+      Temporal.asofJoin(j1,
+        ref("signup", "signup_event_id", "signup_value"),
+        Seq("user_id"), "ts", "ts", Seq("signup_event_id", "signup_value"))
+        .select("event_id", "purch_event_id", "purch_value",
+          "signup_event_id", "signup_value")
+    }),
+
     // J18/net-new: FORWARD as-of join (pandas merge_asof
     // direction='forward') — "next purchase at or after this event";
     // the reversed-scan twin of j7_asof, same one-shuffle cost.
@@ -706,6 +757,22 @@ object TemporalQ {
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "a34_decompose" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS c,
+        |  (epoch_us(ts) // 3600000000) % 24 AS phase FROM events),
+        |f AS (SELECT phase, c,
+        |  count(c) OVER wk AS fn, CAST(sum(c) OVER wk AS BIGINT) AS fs
+        | FROM e WINDOW wk AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |g AS (SELECT phase, count(*)::BIGINT AS n_interior,
+        |  CAST(sum(c * 25 - fs) AS BIGINT) AS resid_sum
+        | FROM f WHERE fn = 25 GROUP BY phase)
+        |SELECT phase, n_interior,
+        | CAST(resid_sum AS DOUBLE) / CAST(n_interior * 2500 AS DOUBLE)
+        |   AS seasonal_idx
+        |FROM g""".stripMargin,
+
     "w34_ewmvar" ->
       s"""WITH f AS (SELECT event_id,
          | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -1059,6 +1126,24 @@ object TemporalQ {
         |SELECT l.event_id, r.ref_event_id, r.ref_value
         |FROM e l ASOF LEFT JOIN ref r
         | ON l.user_id = r.user_id AND r.tns <= l.tns""".stripMargin,
+
+    "j20_pit" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ns(ts) AS tns FROM events),
+        |r1 AS (SELECT user_id, tns, max(event_id) AS purch_event_id,
+        |  arg_max(value, event_id) AS purch_value
+        | FROM e WHERE event_type = 'purchase' GROUP BY user_id, tns),
+        |r2 AS (SELECT user_id, tns, max(event_id) AS signup_event_id,
+        |  arg_max(value, event_id) AS signup_value
+        | FROM e WHERE event_type = 'signup' GROUP BY user_id, tns),
+        |j1 AS (SELECT l.event_id, l.user_id, l.tns,
+        |  r.purch_event_id, r.purch_value
+        | FROM e l ASOF LEFT JOIN r1 r
+        |   ON l.user_id = r.user_id AND r.tns <= l.tns)
+        |SELECT j1.event_id, j1.purch_event_id, j1.purch_value,
+        | r.signup_event_id, r.signup_value
+        |FROM j1 ASOF LEFT JOIN r2 r
+        | ON j1.user_id = r.user_id AND r.tns <= j1.tns""".stripMargin,
 
     "j18_asof_fwd" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
