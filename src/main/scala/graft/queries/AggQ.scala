@@ -371,8 +371,12 @@ object AggQ {
       val urgent = orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_custkey"))
+      // Sized to the dim-side key count (~20% of orders): the filter
+      // bytes ride the serialized plan into every task binary, so
+      // over-sizing inflates scheduling cost; under-sizing only raises
+      // the false-positive rate (never wrong results).
       val bytes = graft.functions.BloomKeyFilter.build(
-        urgent, "o_orderkey", expectedItems = 1000000L)
+        urgent, "o_orderkey", expectedItems = 200000L)
       lineitem(s, dir)
         .filter(graft.functions.BloomKeyFilter.mightContain(col("l_orderkey"), bytes))
         .select(col("l_orderkey"),
