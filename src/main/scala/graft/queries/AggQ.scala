@@ -663,6 +663,34 @@ object AggQ {
         (lit(2.0) * p * r / (p + r)).as("f1"))
     }),
 
+    // A35/net-new: two-sample Kolmogorov–Smirnov distance between the
+    // 'view' and 'click' value distributions — the nonparametric
+    // drift test complementing PSI. D = max |F_a − F_b| over the
+    // merged support, computed as exact integers by cross-multiplying
+    // the CDF numerators: |cumA·nB − cumB·nA|, one division at the
+    // end. The cumsum runs over the per-VALUE aggregate (score
+    // lattice), not raw rows.
+    "a35_ks" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(round(col("value") * 100).cast("long").as("c"),
+          (col("event_type") === "view").cast("long").as("isA"))
+      val g = e.groupBy("c").agg(sum(col("isA")).as("ca"),
+        sum(lit(1L) - col("isA")).as("cb"))
+      val wCum = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      val cum = g.select(col("c"),
+        sum("ca").over(wCum).as("cumA"), sum("cb").over(wCum).as("cumB"),
+        sum("ca").over(wAll).as("na"), sum("cb").over(wAll).as("nb"))
+      cum.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(abs(col("cumA") * col("nb") - col("cumB") * col("na")))
+            .as("d_num"))
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          (col("d_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
+    }),
+
     // M14/net-new: ROC AUC by the rank statistic (Mann–Whitney), tie-
     // aware: per distinct score, positives take the group's AVERAGE
     // rank. Doubling the rank sums keeps half-integer average ranks
@@ -1254,6 +1282,26 @@ object AggQ {
         |    AS segment_nation_sk FROM k)
         |SELECT c_custkey, c_mktsegment, c_nationkey, segment_nation_sk
         |FROM customer JOIN sk USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    "a35_ks" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isA
+        | FROM events WHERE event_type IN ('view', 'click')),
+        |g AS (SELECT c, CAST(sum(isA) AS BIGINT) AS ca,
+        |  CAST(sum(1 - isA) AS BIGINT) AS cb FROM e GROUP BY c),
+        |cum AS (SELECT c,
+        |  CAST(sum(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cumA,
+        |  CAST(sum(cb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cumB,
+        |  CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |  CAST(sum(cb) OVER () AS BIGINT) AS nb
+        | FROM g),
+        |a AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+        |  CAST(max(abs(cumA * nb - cumB * na)) AS BIGINT) AS d_num FROM cum)
+        |SELECT n_a, n_b, d_num,
+        | CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks_d
+        |FROM a""".stripMargin,
 
     "m14_auc" ->
       """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,

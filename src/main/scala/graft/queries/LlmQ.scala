@@ -63,6 +63,37 @@ object LlmQ {
     // map-side-combined groupBy builds the LM, a 1-row (total,
     // distinct) aggregate broadcasts, one hash join on the bigram key
     // scores — no driver state.
+    // BLEU-style modified bigram precision between adjacent docs
+    // (candidate i vs reference i+1) — the generation-eval primitive:
+    // per-gram counts CLIPPED by the reference's count, summed, over
+    // the candidate total. Exact integers + one division; pairs with
+    // no reference doc are dropped (not scored 0).
+    "t_bleu" -> ((s, dir) => {
+      val toks = Text.tokens(Text.normalizeAz(col("text")))
+      val m = greatest(size(col("toks")) - 1, lit(0))
+      val bigrams = zip_with(
+        slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
+        (a, b) => concat(a, lit("_"), b))
+      val bg = documents(s, dir).select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(bigrams).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+        .cache() // candidate AND shifted-reference sides of the join
+      val cand = bg.select(col("doc_id").as("doc_a"), col("bigram"),
+        col("cnt").as("c_cnt"))
+      val ref = bg.select((col("doc_id") - 1).as("doc_a"), col("bigram"),
+        col("cnt").as("r_cnt"))
+      val tot = cand.groupBy("doc_a").agg(sum("c_cnt").as("n_cand"))
+      val clip = cand.join(ref, Seq("doc_a", "bigram"))
+        .groupBy("doc_a")
+        .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"))
+      tot.join(ref.select("doc_a").distinct(), Seq("doc_a"), "left_semi")
+        .join(clip, Seq("doc_a"), "left")
+        .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"), col("n_cand"),
+          coalesce(col("clipped"), lit(0L)).as("clipped"),
+          (coalesce(col("clipped"), lit(0L)).cast("double") /
+            col("n_cand").cast("double")).as("p2"))
+    }),
+
     "t_bigram_rare" -> ((s, dir) => {
       val toks = Text.tokens(Text.normalizeAz(col("text")))
       val m = greatest(size(col("toks")) - 1, lit(0))
@@ -877,6 +908,27 @@ object LlmQ {
          |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |HAVING count(*) >= 2""".stripMargin,
+
+    "t_bleu" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks
+         |  FROM (SELECT doc_id, $NormSql AS t FROM documents)),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |  i -> toks[i] || '_' || toks[i + 1])) AS bigram FROM tok),
+         |c AS (SELECT doc_id, bigram, count(*)::BIGINT AS cnt
+         |  FROM bg GROUP BY doc_id, bigram),
+         |cand AS (SELECT doc_id AS doc_a, bigram, cnt AS c_cnt FROM c),
+         |ref AS (SELECT doc_id - 1 AS doc_a, bigram, cnt AS r_cnt FROM c),
+         |tot AS (SELECT doc_a, CAST(sum(c_cnt) AS BIGINT) AS n_cand
+         |  FROM cand GROUP BY doc_a),
+         |clip AS (SELECT doc_a,
+         |  CAST(sum(least(c_cnt, r_cnt)) AS BIGINT) AS clipped
+         |  FROM cand JOIN ref USING (doc_a, bigram) GROUP BY doc_a),
+         |refd AS (SELECT DISTINCT doc_a FROM ref)
+         |SELECT t.doc_a, t.doc_a + 1 AS doc_b, n_cand,
+         | COALESCE(clipped, CAST(0 AS BIGINT)) AS clipped,
+         | CAST(COALESCE(clipped, CAST(0 AS BIGINT)) AS DOUBLE)
+         |   / CAST(n_cand AS DOUBLE) AS p2
+         |FROM tot t JOIN refd USING (doc_a) LEFT JOIN clip USING (doc_a)""".stripMargin,
 
     "t_bigram_rare" ->
       s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks
