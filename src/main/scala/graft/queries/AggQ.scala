@@ -769,6 +769,74 @@ object AggQ {
             .as("within_5pct"))
     }),
 
+    // A34/net-new: mergeable Count-Min frequency sketch — the
+    // heavy-hitter companion to the HLL rollup (a30): build ONE
+    // sketch over the full stream with Spark's map-side-combined
+    // count_min_sketch aggregate (partials merge by counter addition
+    // — commutative, so the merged sketch is partitioning-invariant
+    // given the fixed seed), then probe the top-20 hot keys with the
+    // native CmsEstimate expression — sketch→merge→probe entirely
+    // in-engine, no driver round-trip. At 100 TB the sketch is the
+    // point: ~1 MB of state summarizes any stream cardinality. The
+    // estimate is engine-specific (only Spark computes it), so the
+    // graded columns are the exact counts plus integer-decided gates:
+    // CMS never undercounts, and the planted slack (est−exact)·1000
+    // ≤ N is 10× the eps·N expected collision mass.
+    "a34_cms" -> ((s, dir) => {
+      val e = events(s, dir)
+      val sk = e.agg(count_min_sketch(col("user_id"),
+        lit(0.0001), lit(0.99), lit(42)).as("sk"))
+      val tot = e.agg(count(lit(1)).as("__N"))
+      val hot = e.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id")).limit(20)
+      val est = graft.functions.CmsEstimate.estimate(col("sk"),
+        col("user_id").cast("long"))
+      hot.crossJoin(broadcast(sk)).crossJoin(broadcast(tot))
+        .select(col("user_id"), col("exact"),
+          (est >= col("exact")).as("never_under"),
+          ((est - col("exact")) * 1000 <= col("__N")).as("within_slack"))
+    }),
+
+    // A35/net-new: two-sample A/B gate (Welch) decided ENTIRELY in
+    // exact integers — the experimentation-platform primitive. The
+    // variant split is deterministic (user_id parity); the decision
+    // |t| ≥ 2 is cross-multiplied free of every division and sqrt:
+    //   (S₁n₂−S₂n₁)²(n₁−1)(n₂−1) ≥ 4[(n₁Q₁−S₁²)n₂²(n₂−1)
+    //                               + (n₂Q₂−S₂²)n₁²(n₁−1)]
+    // over per-variant exact sums S=Σc, Q=Σc² of cents. A boolean
+    // decided in the integer domain has no float boundary to drift
+    // (ORACLE_NOTES.md rule-1 corollary, the a25 pattern).
+    // Magnitude bound: ≤ ~1e35 at sf0.1 — inside both decimal(38,0)
+    // and HUGEINT; beyond ~sf0.3 rescale the lattice (dollars) or
+    // shard-mean the inputs first (documented, not silent).
+    "a35_ab" -> ((s, dir) => {
+      val big = "decimal(38,0)"
+      val g = events(s, dir)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("variant", col("user_id") % 2)
+        .groupBy("event_type", "variant")
+        .agg(count(lit(1)).cast(big).as("n"),
+          sum(col("c").cast(big)).as("s"),
+          sum((col("c") * col("c")).cast(big)).as("q"))
+      val a = g.filter(col("variant") === 0).select(col("event_type"),
+        col("n").as("n1"), col("s").as("s1"), col("q").as("q1"))
+      val b = g.filter(col("variant") === 1).select(col("event_type"),
+        col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
+      val one = lit(1).cast(big)
+      val lhsD = col("s1") * col("n2") - col("s2") * col("n1")
+      val lhs = lhsD * lhsD * (col("n1") - one) * (col("n2") - one)
+      val rhs = lit(4).cast(big) *
+        ((col("n1") * col("q1") - col("s1") * col("s1")) *
+          col("n2") * col("n2") * (col("n2") - one) +
+         (col("n2") * col("q2") - col("s2") * col("s2")) *
+          col("n1") * col("n1") * (col("n1") - one))
+      a.join(b, "event_type").select(col("event_type"),
+        col("n1").cast("long").as("n_a"),
+        col("n2").cast("long").as("n_b"),
+        lhsD.cast("long").as("diff_scaled"),
+        (lhs >= rhs).as("significant_2se"))
+    }),
+
     // J19/net-new: entity resolution — blocking + pairwise scoring +
     // deterministic classification, the record-linkage pipeline shape.
     // A synthetic "dirty" feed perturbs names deterministically (one
@@ -1405,6 +1473,34 @@ object AggQ {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    // The sketch estimate is Spark-side only; graded columns are the
+    // exact hot-key counts plus the constant-true gates.
+    "a34_cms" ->
+      """SELECT user_id, count(*)::BIGINT AS exact,
+        | TRUE AS never_under, TRUE AS within_slack
+        |FROM events GROUP BY user_id
+        |ORDER BY exact DESC, user_id LIMIT 20""".stripMargin,
+
+    // Identical cross-multiplied Welch decision in HUGEINT.
+    "a35_ab" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS variant,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_type, variant, count(*)::HUGEINT AS n,
+        |  sum(c)::HUGEINT AS s, sum(c * c)::HUGEINT AS q
+        | FROM e GROUP BY event_type, variant),
+        |a AS (SELECT event_type, n AS n1, s AS s1, q AS q1 FROM g
+        |      WHERE variant = 0),
+        |b AS (SELECT event_type, n AS n2, s AS s2, q AS q2 FROM g
+        |      WHERE variant = 1)
+        |SELECT a.event_type,
+        | CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        | CAST(s1 * n2 - s2 * n1 AS BIGINT) AS diff_scaled,
+        | (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1) * (n1 - 1) * (n2 - 1)
+        |  >= 4 * ((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+        |        + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1))
+        |  AS significant_2se
+        |FROM a JOIN b ON a.event_type = b.event_type""".stripMargin,
 
     "j19_entity_res" ->
       """WITH c AS (SELECT c_custkey, c_name, c_nationkey,

@@ -201,6 +201,34 @@ object CorpusQ {
           r6(col("tf") * log(col("__N").cast("double") / col("df"))).as("tfidf"))
     }),
 
+    // M15/net-new: term co-occurrence pair counts — the raw statistic
+    // behind word-vector training (GloVe counts, word2vec negative
+    // sampling tables) and collocation mining. Shape: distinct
+    // (doc, term) pairs, hub terms dropped by a RELATIVE df cap
+    // (df·10 ≤ N·9: terms in > 90% of docs are stopword-class — the
+    // synthetic corpus's shared vocabulary is deliberately dense — and
+    // would dominate the pair fan-out), then a per-doc self-join with
+    // t1 < t2. At 100 TB the fan-out per doc is (distinct kept terms)²
+    // — bounded by doc length and the df cap, and keyed on doc_id so
+    // it partitions cleanly; the df table is tiny and broadcast. All
+    // counts are exact BIGINTs.
+    "m15_cooccur" -> ((s, dir) => {
+      val dt = documents(s, dir).select(col("doc_id"),
+        explode(array_distinct(Text.tokens(Text.normalizeAz(col("text")))))
+          .as("term"))
+      val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = documents(s, dir).agg(count(lit(1)).as("__N"))
+      val kept = dt.join(
+        broadcast(dfreq.crossJoin(broadcast(n))
+          .filter(col("df") * 10 <= col("__N") * 9).select("term")),
+        "term")
+      val a = kept.select(col("doc_id"), col("term").as("t1"))
+      val b = kept.select(col("doc_id"), col("term").as("t2"))
+      a.join(b, "doc_id").filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 5)
+    }),
+
     // Inverted-index build: per term, document frequency + the first
     // 50 postings "doc:tf" in doc order. The posting-list cap bounds
     // row width; at real scale the list would be range-bucketed per
@@ -418,6 +446,18 @@ object CorpusQ {
          |SELECT doc_id, keyword_rank, term, tf, df,
          | round(tf * ln(N::DOUBLE / df), 6) AS tfidf
          |FROM r WHERE keyword_rank <= 3""".stripMargin,
+
+    "m15_cooccur" ->
+      s"""WITH $TokCte,
+         |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY term),
+         |n AS (SELECT count(*)::BIGINT AS N FROM documents),
+         |kept AS (SELECT dt.doc_id, dt.term
+         |  FROM dt JOIN df USING (term), n WHERE df * 10 <= N * 9)
+         |SELECT a.term AS t1, b.term AS t2, count(*)::BIGINT AS cooc
+         |FROM kept a JOIN kept b ON a.doc_id = b.doc_id
+         |WHERE a.term < b.term
+         |GROUP BY a.term, b.term HAVING count(*) >= 5""".stripMargin,
 
     "t_postings" ->
       s"""WITH $TokCte,

@@ -24,6 +24,45 @@ object EventsQ {
   private val GapUs = 600L * 1000000L // 10 minutes
 
   val queries: Map[String, Q.QueryFn] = Map(
+    // J20/net-new: last-touch conversion attribution — assign each
+    // purchase to the user's most recent PRIOR non-purchase event's
+    // channel (first question every event-analytics user asks of a
+    // funnel). The "most recent prior" lookup is a running MAX over a
+    // packed BIGINT (rn·8 + channel_code): rn is unique within the
+    // user's ordered series, so the max IS the latest prior touch and
+    // the low 3 bits decode its channel — argmax-with-payload as one
+    // window aggregate (the t_winnow packing trick), riding the
+    // canonical per-user exchange with no self-join. Purchases with no
+    // prior touch fall out as NULL → 'direct'. Integer-exact
+    // throughout (ORACLE_NOTES.md rule 1).
+    "j20_attribution" -> ((s, dir) => {
+      val ww = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val code = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "view", 2L)
+        .when(col("event_type") === "signup", 3L)
+        .otherwise(4L)
+      eventsUs(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        // rn materializes BEFORE the max frame (window functions don't
+        // nest); both windows share one exchange+sort on the same spec.
+        .withColumn("rn", row_number().over(ww).cast("long"))
+        .withColumn("packed",
+          when(col("event_type") =!= "purchase", col("rn") * 8 + code))
+        .withColumn("last_packed", max(col("packed"))
+          .over(ww.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("last_packed").isNull, "direct")
+            .when(col("last_packed") % 8 === 1, "click")
+            .when(col("last_packed") % 8 === 2, "view")
+            .when(col("last_packed") % 8 === 3, "signup")
+            .otherwise("error"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+    }),
+
     "w20_sessionize" -> ((s, dir) => {
       // Gap-based sessionization (gap > 10 min ⇒ new session) +
       // per-session summary; one shuffle on user_id end-to-end.
@@ -139,6 +178,31 @@ object EventsQ {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Same packed-BIGINT argmax recursion-free attribution; rn·8+code
+    // stays far under 2^53 so the packing is exact in both engines.
+    "j20_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    ::BIGINT AS rn FROM e),
+        |p AS (SELECT *, CASE WHEN event_type <> 'purchase'
+        |  THEN rn * 8 + CASE event_type WHEN 'click' THEN 1
+        |    WHEN 'view' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END
+        |  END AS packed FROM r),
+        |lt AS (SELECT *, max(packed) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_packed
+        | FROM p)
+        |SELECT CASE last_packed % 8 WHEN 1 THEN 'click' WHEN 2 THEN 'view'
+        |  WHEN 3 THEN 'signup' WHEN 4 THEN 'error' ELSE 'direct' END
+        |  AS channel,
+        | count(*) AS n_purchases,
+        | CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM lt WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
     "w20_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),

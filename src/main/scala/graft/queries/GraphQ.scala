@@ -81,6 +81,38 @@ object GraphQ {
         dist = dist.union(frontier.withColumn("dist", lit(h.toLong)))
       }
       dist.groupBy("node").agg(min("dist").as("dist"))
+    }),
+
+    // Weighted single-source shortest path: 3 Bellman-Ford relaxation
+    // rounds over the co-supply graph with deterministic integer edge
+    // weights (1 + (a+b) mod 5 — a pure function of the endpoint ids,
+    // so both engines derive identical weights with no stored edge
+    // attribute needed). Each round is one join of the CURRENT
+    // distance table (small: reached nodes only) against the edge
+    // list plus one min-agg — the standard bounded-round SSSP shape
+    // that scales as rounds × one-shuffle, never materializing paths.
+    // The fixed round bound both caps traversal blow-up and makes the
+    // oracle expressible as unrolled CTEs (same rationale as g3_bfs);
+    // all arithmetic is BIGINT (ORACLE_NOTES.md rule 1).
+    "g4_sssp" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sk"))
+      val x = li.select(col("ok"), col("sk").as("a"))
+      val y = li.select(col("ok"), col("sk").as("b"))
+      val e0 = x.join(y, "ok").filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .withColumn("w", (col("a") + col("b")) % 5 + lit(1L))
+      val sym = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val seeds = supplier(s, dir).filter(col("s_nationkey") === 0)
+        .select(col("s_suppkey").cast("long").as("node")).distinct()
+      var dist = seeds.withColumn("d", lit(0L))
+      for (_ <- 1 to 3) {
+        val relaxed = dist.join(sym, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.union(relaxed).groupBy("node").agg(min("d").as("d"))
+      }
+      dist
     }))
 
   // Oracle: the identical exact-integer recursion, unrolled (standard
@@ -151,5 +183,31 @@ object GraphQ {
         |      UNION ALL SELECT node, 2 FROM f2
         |      UNION ALL SELECT node, 3 FROM f3)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
-        |FROM u GROUP BY node""".stripMargin)
+        |FROM u GROUP BY node""".stripMargin,
+
+    // Identical unrolled relaxation; DuckDB's % on positive BIGINTs
+    // matches Spark's. min() widens stay in BIGINT via the CAST.
+    "g4_sssp" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey::BIGINT AS sk
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |       FROM li x JOIN li y ON x.ok = y.ok WHERE x.sk < y.sk),
+        |ew AS (SELECT a, b, (a + b) % 5 + 1 AS w FROM e0),
+        |e AS (SELECT a AS src, b AS dst, w FROM ew
+        |      UNION ALL SELECT b, a, w FROM ew),
+        |d0 AS (SELECT DISTINCT s_suppkey::BIGINT AS node, 0::BIGINT AS d
+        |       FROM supplier WHERE s_nationkey = 0),
+        |d1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+        |  SELECT node, d FROM d0
+        |  UNION ALL SELECT e.dst, d0.d + e.w FROM d0 JOIN e ON d0.node = e.src
+        |) GROUP BY node),
+        |d2 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+        |  SELECT node, d FROM d1
+        |  UNION ALL SELECT e.dst, d1.d + e.w FROM d1 JOIN e ON d1.node = e.src
+        |) GROUP BY node),
+        |d3 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+        |  SELECT node, d FROM d2
+        |  UNION ALL SELECT e.dst, d2.d + e.w FROM d2 JOIN e ON d2.node = e.src
+        |) GROUP BY node)
+        |SELECT node, d FROM d3""".stripMargin)
 }

@@ -30,6 +30,43 @@ object LlmQ {
         length(norm).cast("long").as("n_chars_norm"))
     }),
 
+    // Unicode normalization (accent stripping): "café" and "cafe" must
+    // collide before any hash-based dedup. The synthetic corpus is
+    // ASCII, so accents are PLANTED deterministically (translate
+    // aeounc → áéöüñç) and then stripped by the native StripAccents
+    // expression (NFD + drop-combining-marks — the same utf8proc
+    // recipe as DuckDB's strip_accents, so outputs hash-compare).
+    // String-only pipeline: zero float-drift surface; pure map-side
+    // work, inherits the scan partitioning at any scale. round_trip
+    // proves strip ∘ plant = identity on the ASCII corpus.
+    "t_normalize" -> ((s, dir) => {
+      val accented = translate(col("text"), "aeounc", "áéöüñç")
+      documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.StripAccents.strip(accented).as("normalized"),
+        (graft.functions.StripAccents.strip(accented) === col("text"))
+          .as("round_trip"))
+    }),
+
+    // Domain-mix profiling: every crawled-corpus pipeline weights and
+    // caps documents per source domain. URLs are synthesized
+    // deterministically from the source column, the host is extracted
+    // with Spark's native parse_url, and the per-domain profile
+    // (doc count, total chars, languages) is one map-side-combined
+    // aggregate — the 100 TB shape is a single shuffle on ~domains
+    // keys. Strings + BIGINTs only.
+    "t_domains" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id").cast("string"),
+        lit("?lang="), col("lang"))
+      documents(s, dir)
+        .withColumn("host", parse_url(url, lit("HOST")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          count_distinct(col("lang")).as("n_langs"))
+    }),
+
     // RAG-style chunking: overlapping token windows (32 tokens,
     // stride 24) per document. Pure map-side work — tokenize +
     // sequence + explode + slice never shuffle, so chunking a 100 TB
@@ -879,6 +916,20 @@ object LlmQ {
     "t_tokens" ->
       s"""SELECT doc_id, len($ToksSql) AS n_tokens, length(t) AS n_chars_norm
          |FROM (SELECT doc_id, $NormSql AS t FROM documents)""".stripMargin,
+
+    "t_normalize" ->
+      """SELECT doc_id,
+        | strip_accents(translate(text, 'aeounc', 'áéöüñç')) AS normalized,
+        | strip_accents(translate(text, 'aeounc', 'áéöüñç')) = text
+        |   AS round_trip
+        |FROM documents""".stripMargin,
+
+    "t_domains" ->
+      """SELECT source || '.example.com' AS host,
+        | count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
 
     "t_chunk" ->
       s"""WITH tok AS (SELECT doc_id, $ToksSql AS toks

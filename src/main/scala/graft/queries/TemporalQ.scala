@@ -301,6 +301,35 @@ object TemporalQ {
           .as("nd_types_10"))
     }),
 
+    // W35/net-new: Hampel outlier filter — the robust despiking pass
+    // sensor/feature pipelines run before model features (rolling
+    // median + rolling MAD instead of mean/std, so one spike can't
+    // mask itself by inflating the std). Entirely in the exact-cents
+    // domain (ORACLE_NOTES.md rule 1): with ODD k over a FULL frame
+    // both the median and the MAD are actual data values — integer
+    // selections, no interpolation — and the decision threshold
+    // |c−med|·10⁴ > 44478·mad (= 3·1.4826 Gaussian-consistent sigmas,
+    // scaled to integers) has no float boundary to drift. The frame's
+    // value multiset rides ONE collect over the canonical per-user
+    // exchange; per-row cost is O(k log k) for small fixed k.
+    "w35_hampel" -> ((s, dir) => {
+      val ww = w(s)
+      val k = 7
+      events(s, dir)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("rn", row_number().over(ww))
+        .withColumn("arr",
+          collect_list(col("c")).over(Temporal.rollingFrame(ww, k)))
+        .filter(col("rn") >= k)
+        .withColumn("med", element_at(array_sort(col("arr")), (k + 1) / 2))
+        .withColumn("mad", element_at(
+          array_sort(transform(col("arr"), x => abs(x - col("med")))),
+          (k + 1) / 2))
+        .select(col("event_id"), col("med"), col("mad"),
+          (abs(col("c") - col("med")) * lit(10000L) >
+            col("mad") * lit(44478L)).as("is_outlier"))
+    }),
+
     "w3_diff" -> ((s, dir) => {
       val ww = w(s)
       events(s, dir).select(
@@ -846,6 +875,25 @@ object TemporalQ {
          | quantile_cont(value, 0.5) $over
          |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med5
          |FROM events) WHERE rn >= 5""".stripMargin,
+
+    // Same integer selections via DuckDB's list window aggregate;
+    // 1-based list indexing picks the same middle element as Spark's
+    // element_at(…, 4) for k=7.
+    "w35_hampel" ->
+      s"""WITH m AS (SELECT event_id,
+         | CAST(round(value * 100) AS BIGINT) AS c,
+         | row_number() $over) AS rn,
+         | list(CAST(round(value * 100) AS BIGINT)) $over
+         |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+         |FROM events),
+         |h AS (SELECT event_id, c, arr, list_sort(arr)[4] AS med
+         |      FROM m WHERE rn >= 7)
+         |SELECT event_id, med,
+         | list_sort(list_transform(arr, x -> abs(x - med)))[4] AS mad,
+         | abs(c - med) * 10000 >
+         |   list_sort(list_transform(arr, x -> abs(x - med)))[4] * 44478
+         |   AS is_outlier
+         |FROM h""".stripMargin,
 
     "w25_resample" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
