@@ -18,7 +18,9 @@ object Verify {
       // Pandas-equivalent semantics: parse/cast failures yield null,
       // matching both the reference and the DuckDB oracle.
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS) — read nanos as long.
+      // Legacy-schema tolerance: if events.parquet ever ships
+      // TIMESTAMP(NANOS) again, read nanos as long (no-op for the
+      // current TIMESTAMP(MICROS) encoding).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

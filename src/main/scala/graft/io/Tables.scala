@@ -1,6 +1,8 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-provided synthetic tables
   * (TESTDATA.md) and generic IO helpers.
@@ -18,28 +20,61 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events with ts kept as INTEGER epoch-micros (`ts DIV 1000` on
-    * the raw nanos — long division; a double route would corrupt
-    * low micros). For queries whose time math must stay on the
-    * integer domain (sessionization, retention, SCD-2). */
-  def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Raw events read. The driver's `events.parquet` has shipped two
+    * encodings of `ts` across rounds: TIMESTAMP(MICROS) (current) and
+    * TIMESTAMP(NANOS)-as-INT64 (legacy). The legacy conf is set before
+    * the read so BOTH load; callers branch on the loaded dtype via
+    * [[tsAsTimestamp]]/[[tsAsMicros]] instead of assuming either.
+    */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us",
-        org.apache.spark.sql.functions.expr("ts DIV 1000"))
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf) and truncate to
-    * microsecond timestamps — exactly what DuckDB's reader does, so
-    * the oracle sees identical instants.
+  /** A Column producing `ts` as a micro-second TimestampType whatever
+    * the on-disk encoding was: identity for TIMESTAMP(MICROS); integer
+    * `DIV 1000` for legacy nanos-as-LONG (long division — a double
+    * route would corrupt low micros, since 1.7e18 ns exceeds 2^53).
+    * Micros is what DuckDB's TIMESTAMP holds internally, so the oracle
+    * sees identical instants on either encoding.
+    */
+  def tsAsTimestamp(dt: DataType): Column = dt match {
+    case TimestampType => col("ts")
+    // parquet isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ; every
+    // session here pins spark.sql.session.timeZone=UTC, so the cast to
+    // the instant type is exact (same micros DuckDB's naive TIMESTAMP
+    // holds).
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case LongType         => timestamp_micros(expr("ts div 1000"))
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported type $other (expected TIMESTAMP or legacy LONG nanos)")
+  }
+
+  /** A Column producing `ts` as INTEGER epoch-micros (for queries whose
+    * time math must stay on the integer domain — sessionization,
+    * retention, SCD-2, time-range windows).
+    */
+  def tsAsMicros(dt: DataType): Column = dt match {
+    case TimestampType    => unix_micros(col("ts"))
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case LongType         => expr("ts DIV 1000")
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported type $other (expected TIMESTAMP or legacy LONG nanos)")
+  }
+
+  /** events with an extra `ts_us` INTEGER epoch-micros column. */
+  def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = eventsRaw(spark, sfDir)
+    df.withColumn("ts_us", tsAsMicros(df.schema("ts").dataType))
+  }
+
+  /** events with `ts` normalized to a micro-second TimestampType
+    * regardless of the file's encoding (schema-adaptive — see
+    * [[eventsRaw]]).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = eventsRaw(spark, sfDir)
+    df.withColumn("ts", tsAsTimestamp(df.schema("ts").dataType))
   }
 
   /** CSV scan with explicit schema — schema inference at 100 TB is a

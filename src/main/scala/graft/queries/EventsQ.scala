@@ -11,9 +11,9 @@ import Q._
   * Net-new vs the reference (SURVEY §2.11) — the batch reprocessing
   * twins of the streaming session/window queries.
   *
-  * Determinism: all timestamp math is integer epoch-micros (`ts DIV
-  * 1000` from the nanos parquet — trap #9 in the verify skill), value
-  * sums are exact cents (trap #1), orderings carry an `event_id`
+  * Determinism: all timestamp math is integer epoch-micros
+  * (schema-adaptive `Tables.eventsUs` — trap #9 in the verify skill),
+  * value sums are exact cents (trap #1), orderings carry an `event_id`
   * tiebreak. Nothing here emits an unrounded float.
   */
 object EventsQ {

@@ -94,12 +94,33 @@ object FeatureStageQ {
         r6(sqrt((s2 - s1 * s1 / n) / (n - lit(1))) / 1000).as("side_std_s"))
   }
 
+  // Per-class bisection of the windows half (e1_features has hash-
+  // drifted on the DRIVER's DuckDB in r2-r4 while matching the local
+  // 1.0.0 — these four subsets make the next driver run name the
+  // drifting column class directly):
+  //   _w_lags  — raw copies/ints (can only drift if x itself does)
+  //   _w_roll  — exact-integer rolling stats (rule-1 lattice)
+  //   _w_ema   — dyadic recursion + rounded lattice scalars
+  //   _w_side  — exact-integer group stats over the side key
+  private val lagCols = Seq("lag1_x", "lag2_x", "dx", "frames_elapsed")
+  private val rollCols = Seq("roll_mean3_s", "roll_std5_s", "route_sharpness")
+  private val emaCols = Seq("ema_s", "jerk_s", "dir_change")
+  private val sideCols = Seq("side_mean_s", "side_std_s")
+
   val queries: Map[String, QueryFn] = Map(
     "e1_features" -> ((s, dir) => full(s, dir)),
     "e1_features_trig" -> ((s, dir) =>
       full(s, dir).select((keyCols ++ trigCols).map(col): _*)),
     "e1_features_windows" -> ((s, dir) =>
-      full(s, dir).select((keyCols ++ windowCols).map(col): _*)))
+      full(s, dir).select((keyCols ++ windowCols).map(col): _*)),
+    "e1_w_lags" -> ((s, dir) =>
+      full(s, dir).select((keyCols ++ lagCols).map(col): _*)),
+    "e1_w_roll" -> ((s, dir) =>
+      full(s, dir).select((keyCols ++ rollCols).map(col): _*)),
+    "e1_w_ema" -> ((s, dir) =>
+      full(s, dir).select((keyCols ++ emaCols).map(col): _*)),
+    "e1_w_side" -> ((s, dir) =>
+      full(s, dir).select((keyCols ++ sideCols).map(col): _*)))
 
   private val FullSql: String =
     s"""WITH ${TrackingQ.FramesSql},
@@ -162,5 +183,17 @@ object FeatureStageQ {
          |FROM ($FullSql) t""".stripMargin,
     "e1_features_windows" ->
       s"""SELECT ${(keyCols ++ windowCols).mkString(", ")}
+         |FROM ($FullSql) t""".stripMargin,
+    "e1_w_lags" ->
+      s"""SELECT ${(keyCols ++ lagCols).mkString(", ")}
+         |FROM ($FullSql) t""".stripMargin,
+    "e1_w_roll" ->
+      s"""SELECT ${(keyCols ++ rollCols).mkString(", ")}
+         |FROM ($FullSql) t""".stripMargin,
+    "e1_w_ema" ->
+      s"""SELECT ${(keyCols ++ emaCols).mkString(", ")}
+         |FROM ($FullSql) t""".stripMargin,
+    "e1_w_side" ->
+      s"""SELECT ${(keyCols ++ sideCols).mkString(", ")}
          |FROM ($FullSql) t""".stripMargin)
 }

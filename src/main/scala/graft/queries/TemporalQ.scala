@@ -546,8 +546,7 @@ object TemporalQ {
     // both engines.
     "w12_stream_window" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
-        .select(col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+        .select(col("user_id"), col("ts"), col("value"))
       runStream(s, "w12_stream_window_sink",
         graft.streaming.StreamingTemporal.windowedMean(
           stream, "ts", "value", "user_id", "1 hour"),
@@ -564,7 +563,7 @@ object TemporalQ {
     "w15_stream_dedup" -> ((s, dir) => {
       def src = eventsStream(s, dir)
         .select(col("event_id"), col("user_id"), col("value"),
-          timestamp_micros(expr("ts div 1000")).as("ets"))
+          col("ts").as("ets"))
       runStream(s, "w15_stream_dedup_sink",
         src.union(src)
           .withWatermark("ets", "10 seconds")
@@ -592,7 +591,7 @@ object TemporalQ {
         .select(col("event_id").as(s"${tag}_id"),
           col("user_id").as(s"${tag}_user"),
           col("event_type").as(s"${tag}_type"),
-          timestamp_micros(expr("ts div 1000")).as(s"${tag}_ts"))
+          col("ts").as(s"${tag}_ts"))
         .withWatermark(s"${tag}_ts", "10 seconds")
       val clicks = stream("c").filter(col("c_type") === "click")
       val purchases = stream("p").filter(col("p_type") === "purchase")
@@ -608,9 +607,9 @@ object TemporalQ {
 
     // J7/net-new: as-of join — each event picks up the latest
     // earlier-or-equal purchase by the same user (point-in-time
-    // lookup). Times are RAW integer nanos on both sides: Spark's
-    // micros truncation would disagree with DuckDB's nanos on <=
-    // comparisons of sub-microsecond neighbors. The right side is
+    // lookup). Times are micro-second timestamps on both sides —
+    // identical to DuckDB's internal TIMESTAMP resolution, so <=
+    // comparisons agree exactly. The right side is
     // pre-aggregated unique per (user, t) so the match is
     // deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
     // independent algorithm validating the union+window formulation.
@@ -621,8 +620,7 @@ object TemporalQ {
     // exchange each; at 100 TB this replaces the (wrong) plain join +
     // dedup and the (quadratic) theta-join.
     "j20_pit" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(s"$dir/events.parquet")
+      val e = events(s, dir)
       def ref(t: String, idName: String, vName: String) =
         e.filter(col("event_type") === t).groupBy("user_id", "ts")
           .agg(max(col("event_id")).as(idName),
@@ -642,8 +640,7 @@ object TemporalQ {
     // direction='forward') — "next purchase at or after this event";
     // the reversed-scan twin of j7_asof, same one-shuffle cost.
     "j18_asof_fwd" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(s"$dir/events.parquet")
+      val e = events(s, dir)
       val ref = e.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts")
         .agg(max(col("event_id")).as("ref_event_id"),
@@ -676,8 +673,7 @@ object TemporalQ {
     }),
 
     "j7_asof" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(s"$dir/events.parquet")
+      val e = events(s, dir)
       val ref = e.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts")
         .agg(max(col("event_id")).as("ref_event_id"),
@@ -694,20 +690,14 @@ object TemporalQ {
     // restricted to order-free ones (count, max) — a windowed SUM of
     // doubles would depend on intra-frame accumulation order, which is
     // unstable under ts ties (determinism trap #4's windowed cousin).
-    // The frame is defined on MICROSECOND-truncated integer time on
-    // both sides: DuckDB's TIMESTAMP is micros internally (it
-    // truncates the file's nanos on read), so framing on raw nanos
-    // would flip membership for events within a micro of the 600 s
-    // boundary.
+    // The frame is defined on MICROSECOND integer time on both sides:
+    // DuckDB's TIMESTAMP is micros internally, so both engines see the
+    // same instants and the 600 s boundary membership agrees exactly.
     "w17_timerange" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(s"$dir/events.parquet")
-      // integer DIV: ts ~ 1.7e18 ns exceeds double's 2^53 — a float
-      // division here would corrupt low microseconds
-      val tus = expr("ts DIV 1000")
+      val e = eventsRawUs(s, dir)
       val tw = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-600L * 1000000L, 0L)
-      e.select(col("event_id"), col("user_id"), tus.as("ts_us"),
+      e.select(col("event_id"), col("user_id"), col("ts_us"),
           col("value"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           count(lit(1)).over(tw).as("n_10m"),
@@ -728,13 +718,13 @@ object TemporalQ {
         element_at(seq8, -1).as("seq_last"))
     }))
 
-  /** The events file as a raw streaming DataFrame via a parquet FILE
-    * SOURCE (no driver-side data path — the production shape).
-    * ts = TIMESTAMP(NANOS) read as LongType: a FileStreamSource needs
-    * the on-disk schema, not Tables.events' converted one; nanos
-    * ordering == micros ordering and the column is only an ordering
-    * key downstream. The source also wants a directory, hence the sf
-    * dir + glob filter selecting the events file. */
+  /** The events file as a streaming DataFrame via a parquet FILE
+    * SOURCE (no driver-side data path — the production shape), with
+    * `ts` normalized to a micro-second TimestampType whatever the
+    * file's encoding (schema-adaptive, see [[graft.io.Tables.eventsRaw]]
+    * — a FileStreamSource needs the on-disk schema, so the conversion
+    * is applied AFTER the source). The source also wants a directory,
+    * hence the sf dir + glob filter selecting the events file. */
   private def eventsStream(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -742,14 +732,20 @@ object TemporalQ {
     s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+      .withColumn("ts",
+        graft.io.Tables.tsAsTimestamp(rawSchema("ts").dataType))
   }
 
+  /** Typed per-key observation stream. Obs.ts is INTEGER epoch-micros
+    * (unix_micros, NOT cast("long") which would yield epoch seconds
+    * and collapse sub-second ordering to the id tiebreak) — the same
+    * (micros, id) total order the batch oracle sorts by. */
   private def obsStream(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.Dataset[graft.streaming.Obs] = {
     import s.implicits._
     eventsStream(s, dir)
       .select(col("user_id").cast("string").as("key"),
-        col("ts").cast("long").as("ts"),
+        unix_micros(col("ts")).as("ts"),
         col("event_id").cast("long").as("id"), col("value"))
       .as[graft.streaming.Obs]
   }

@@ -15,8 +15,7 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
       ev.printSchema()
       ev.orderBy("event_id").select(col("ts"), unix_micros(col("ts")),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).show(3, false)

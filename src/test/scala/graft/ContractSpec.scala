@@ -1,47 +1,75 @@
 package graft
 
-import graft.queries._
+import org.apache.spark.sql.types._
+import graft.io.Tables
 
-/** Guards on the driver contract itself: the queries map is built by
-  * ++ of per-group maps, where a duplicate key would silently drop a
-  * query; every oracle entry must reference a registered query; the
-  * flagship must return rows on the smoke scale factor. */
+/** Schema canary for the driver-provided testdata (TESTDATA.md).
+  *
+  * Round 4 lost 71 queries to ONE silent testdata change (events.ts
+  * flipped from nanos-as-INT64 to timestamp[us]); this spec pins every
+  * table's loaded dtypes so the next change fails one named assertion
+  * instead of half the query surface. `events.ts` is asserted through
+  * the schema-adaptive [[Tables.events]]/[[Tables.eventsUs]] helpers —
+  * those must yield a timestamp + integer micros on ANY encoding the
+  * driver has shipped.
+  */
 class ContractSpec extends SparkSpec {
 
-  private val groups = Seq(
-    "TemporalQ" -> (TemporalQ.queries.keySet, TemporalQ.oracle.keySet),
-    "ScalarQ" -> (ScalarQ.queries.keySet, ScalarQ.oracle.keySet),
-    "AggQ" -> (AggQ.queries.keySet, AggQ.oracle.keySet),
-    "TrackingQ" -> (TrackingQ.queries.keySet, TrackingQ.oracle.keySet),
-    "LlmQ" -> (LlmQ.queries.keySet, LlmQ.oracle.keySet),
-    "MlQ" -> (MlQ.queries.keySet, MlQ.oracle.keySet),
-    "PipelineQ" -> (PipelineQ.queries.keySet, PipelineQ.oracle.keySet),
-    "IoQ" -> (IoQ.queries.keySet, IoQ.oracle.keySet),
-    "FeatureStageQ" -> (FeatureStageQ.queries.keySet, FeatureStageQ.oracle.keySet),
-    "CorpusQ" -> (CorpusQ.queries.keySet, CorpusQ.oracle.keySet),
-    "EventsQ" -> (EventsQ.queries.keySet, EventsQ.oracle.keySet),
-    "GraphQ" -> (GraphQ.queries.keySet, GraphQ.oracle.keySet))
+  private val sf = "/root/testdata/sf0.001"
 
-  test("no query-name collisions across groups") {
-    val counts = groups.flatMap(_._2._1.toSeq).groupBy(identity).view.mapValues(_.size)
-    val dups = counts.filter(_._2 > 1).keys.toList
-    assert(dups.isEmpty, s"duplicate query names: $dups")
-    assert(SparkEntry.queries.size == groups.map(_._2._1.size).sum)
-  }
+  private val expected: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
+  )
 
-  test("every oracle key has a registered query; oracle within group") {
-    for ((name, (qs, os)) <- groups)
-      assert(os.subsetOf(qs), s"$name oracle keys without queries: ${os -- qs}")
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-  }
+  for ((table, cols) <- expected.toSeq.sortBy(_._1))
+    test(s"driver schema pin: $table") {
+      val got = Tables.load(spark, sf, table).schema
+        .map(f => f.name -> f.dataType)
+      assert(got == cols,
+        s"$table schema drifted — update loaders AND this pin together")
+    }
 
-  test("oracle coverage: only the MLlib-fit queries lack oracle SQL") {
-    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("m2_gbt", "e1_tree_ensemble", "m5_ridge",
-      "s5_artifacts", "m8_scorer", "s_kmeans_ivf"))
-  }
-
-  test("flagship entry returns rows on the smoke scale factor") {
-    assert(SparkEntry.entry(spark).count() > 0)
+  test("driver schema pin: events (via schema-adaptive helpers)") {
+    val raw = Tables.eventsRaw(spark, sf).schema
+    assert(raw.map(_.name) ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // the raw ts encoding may legally be any of the three the helpers
+    // support; everything downstream consumes the normalized forms:
+    val ev = Tables.events(spark, sf)
+    assert(Seq(TimestampType, TimestampNTZType)
+      .contains(ev.schema("ts").dataType),
+      s"events.ts normalized to ${ev.schema("ts").dataType}")
+    val us = Tables.eventsUs(spark, sf)
+    assert(us.schema("ts_us").dataType == LongType)
+    // sanity: micros magnitude (post-2001, pre-2286) — catches a
+    // silent seconds- or nanos-scale regression, not just a dtype one
+    val r = us.selectExpr("min(ts_us) AS lo", "max(ts_us) AS hi").head()
+    assert(r.getLong(0) > 100_000_000_000_000L && // micros for ~1973
+      r.getLong(1) < 100_000_000_000_000_000L,    // micros for ~5138
+      s"ts_us out of micros range (seconds or nanos scale regression?): " +
+        s"${r.getLong(0)}..${r.getLong(1)}")
   }
 }

@@ -104,4 +104,73 @@ class EndToEndSpec extends SparkSpec {
     val rmse = Score.rmse(solution, restored)
     assert(math.abs(rmse - r.rmseEnsemble) < 1e-4) // CSV roundtrip preserved
   }
+
+  // ------------------------------------------------------------------
+  // Golden-artifact reproduction on the REAL reference repository data
+  // (read-only; the reference's own test_input.csv is not shipped, so
+  // the last-observed-state physics slice can't run — what CAN be
+  // reproduced exactly is pinned here).
+
+  private val refData = "/root/reference/data"
+
+  test("golden artifact: template expansion reproduces the committed submission id set") {
+    assume(new java.io.File(s"$refData/test.csv").isFile)
+    // J5/S4-id on the real template: the id column of the reference's
+    // committed submission.csv (main_cuda.py:1533-1540) must be EXACTLY
+    // our concat_ws expansion of its test.csv, same cardinality, no
+    // dupes either side.
+    val template = Tables.csv(spark, TrackingSchemas.testTemplate,
+      s"$refData/test.csv")
+    val ids = template.select(
+      concat_ws("_", col("game_id"), col("play_id"), col("nfl_id"),
+        col("frame_id")).as("id"))
+    val golden = Tables.csv(spark, TrackingSchemas.submission,
+      s"$refData/submission.csv")
+    assert(golden.columns.toSeq == Seq("id", "x", "y"))
+    val n = golden.count()
+    assert(n == 5837L, s"committed submission rows: $n")
+    assert(ids.count() == n)
+    assert(ids.distinct().count() == n)
+    assert(golden.join(ids, Seq("id"), "left_anti").count() == 0,
+      "submission ids missing from our template expansion")
+    assert(ids.join(golden, Seq("id"), "left_anti").count() == 0,
+      "template ids missing from the committed submission")
+    // field-bounds sanity on the reference's own predictions
+    val oob = golden.filter(col("x") < 0 || col("x") > 120 ||
+      col("y") < 0 || col("y") > 53.3).count()
+    assert(oob == 0)
+  }
+
+  test("golden artifact: 18-week multi-file scan of the real train outputs") {
+    assume(new java.io.File(s"$refData/train").isDirectory)
+    // S2 on the real per-week files: one multi-path scan, explicit
+    // schema (no inference), schema and totals pinned against wc -l.
+    val weeks = new java.io.File(s"$refData/train").listFiles()
+      .filter(_.getName.matches("output_2023_w\\d+\\.csv"))
+      .map(_.getPath).sorted
+    assert(weeks.length == 18)
+    val out = Tables.csv(spark, TrackingSchemas.trackingOutput, weeks: _*)
+    assert(out.schema == TrackingSchemas.trackingOutput)
+    val n = out.count()
+    val expected = weeks.map(p =>
+      scala.io.Source.fromFile(p).getLines().size - 1L).sum
+    assert(n == expected, s"union rows $n != per-file sum $expected")
+    // keys well-formed, no parse failures
+    assert(out.filter(col("x").isNull || col("y").isNull ||
+      col("game_id").isNull).count() == 0)
+    // truth tracking is NOT clipped to the field (3 rows in w03 run
+    // ~1 yd past the boundary: x to 120.83, y to 53.72) — assert a
+    // sane envelope, not the clip the PREDICTION path applies (P4).
+    assert(out.filter(col("x") < -5 || col("x") > 125 ||
+      col("y") < -5 || col("y") > 58).count() == 0)
+  }
+
+  test("golden artifact: scorer is exact-zero on the committed submission vs itself") {
+    assume(new java.io.File(s"$refData/submission.csv").isFile)
+    // M9 on the real artifact: score(sub, sub) == 0 and the metric
+    // joins on the full 5,837-row id set (scoring.py:10-53 semantics).
+    val golden = Tables.csv(spark, TrackingSchemas.submission,
+      s"$refData/submission.csv")
+    assert(Score.rmse(golden, golden) == 0.0)
+  }
 }

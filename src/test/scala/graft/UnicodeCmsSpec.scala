@@ -22,8 +22,6 @@ class UnicodeCmsSpec extends SparkSpec {
     val got = df.select(StripAccents.strip(col("s")).as("got"), col("want"))
       .collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1)))
-    val n = df.select(StripAccents.strip(lit(null).cast("string")))
-      .filter(col("strip_accents(NULL)").isNull)
     assert(df.select(StripAccents.strip(lit(null).cast("string")).as("x"))
       .filter(col("x").isNull).count() == 5)
   }
