@@ -40,7 +40,14 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // Self-persisted per-query artifact: the driver's own capture of
+    // this line has truncated before (r4) — an on-disk copy keeps
+    // regressions attributable round over round.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -720,6 +720,72 @@ object AggQ {
           (lit(2L) * col("np") * col("nn")).cast("double")).as("auc"))
     }),
 
+    // M15/net-new: calibration reliability table — the standard
+    // classifier-calibration diagnostic (is a 0.7-score bucket right
+    // 70% of the time?). Scores bucket on the exact cent lattice
+    // (bin = cents DIV 1000), counts are exact BIGINTs, and the two
+    // emitted rates are single divisions of exact operands — the
+    // m14_auc portability class. One hash-agg exchange on the bin key.
+    "m15_calibration" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_type").isin("purchase", "signup").cast("long").as("y"))
+      e.groupBy(expr("cents DIV 1000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("cents")).as("sc"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          ((col("sc").cast("double") / col("n")) / 100.0)
+            .as("mean_score"),
+          (col("n_pos").cast("double") / col("n")).as("pos_rate"))
+    }),
+
+    // M16/net-new: cumulative gains / lift curve keyed by distinct
+    // score threshold (descending): for each score s, the share of all
+    // positives captured by predicting positive at >= s, and the lift
+    // over the base rate. Decile-ntile formulations are NON-deterministic
+    // under score ties (the row boundary lands inside a tie group), so
+    // the curve is keyed on the distinct-score lattice — exact
+    // cumulative BIGINTs, cross-multiplied lift = (cum_pos·n) /
+    // (cum_n·total_pos) as ONE division of exact products. Cumsum runs
+    // over the per-score aggregate (lattice-bounded), not raw rows —
+    // same scale contract as m14_auc.
+    "m16_gains" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        round(col("value") * 100).cast("long").as("score"),
+        col("event_type").isin("purchase", "signup").cast("long").as("y"))
+      val g = e.groupBy("score").agg(count(lit(1)).as("cnt"),
+        sum(col("y")).as("pos"))
+      val wCum = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      g.select(col("score"),
+          sum("cnt").over(wCum).as("cum_n"),
+          sum("pos").over(wCum).as("cum_pos"),
+          sum("cnt").over(wAll).as("n"),
+          sum("pos").over(wAll).as("tot_pos"))
+        .select(col("score"), col("cum_n"), col("cum_pos"),
+          (col("cum_pos").cast("double") / col("tot_pos").cast("double"))
+            .as("capture_rate"),
+          ((col("cum_pos") * col("n")).cast("double") /
+            (col("cum_n") * col("tot_pos")).cast("double")).as("lift"))
+    }),
+
+    // A36/net-new: k-anonymity audit — training-data governance: any
+    // quasi-identifier combination shared by fewer than k individuals
+    // re-identifies them; the release rule is suppress-or-generalize
+    // those groups. Pure integer grouping (one exchange on the QI key)
+    // with an integer-decided violation flag; the summary twin a36 row
+    // counts suppressed individuals exactly.
+    "a36_kanon" -> ((s, dir) => {
+      val k = 5L
+      customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("nationkey"), col("segment"), col("n"),
+          (col("n") < k).cast("long").as("violates_k5"))
+    }),
+
     // A31/net-new: Gini coefficient per group (distribution-inequality
     // profiling of e.g. token/domain shares). Sorted-rank formula
     // G = (2·Σi·x − (n+1)·Σx) / (n·Σx) with ranks from row_number over
@@ -1411,6 +1477,43 @@ object AggQ {
         |   / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
         |      + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) AS f1
         |FROM g""".stripMargin,
+
+    "m15_calibration" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(CASE WHEN event_type IN ('purchase', 'signup')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS y FROM events)
+        |SELECT cents // 1000 AS bin, count(*)::BIGINT AS n,
+        | CAST(sum(y) AS BIGINT) AS n_pos,
+        | (CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*)) / 100.0
+        |   AS mean_score,
+        | CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / count(*) AS pos_rate
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "m16_gains" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |  CAST(CASE WHEN event_type IN ('purchase', 'signup')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS y FROM events),
+        |g AS (SELECT score, count(*)::BIGINT AS cnt,
+        |  CAST(sum(y) AS BIGINT) AS pos FROM e GROUP BY score),
+        |c AS (SELECT score,
+        |  CAST(sum(cnt) OVER wd AS BIGINT) AS cum_n,
+        |  CAST(sum(pos) OVER wd AS BIGINT) AS cum_pos,
+        |  CAST(sum(cnt) OVER () AS BIGINT) AS n,
+        |  CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+        | FROM g WINDOW wd AS (ORDER BY score DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT score, cum_n, cum_pos,
+        | CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS capture_rate,
+        | CAST(cum_pos * n AS DOUBLE) / CAST(cum_n * tot_pos AS DOUBLE)
+        |   AS lift
+        |FROM c""".stripMargin,
+
+    "a36_kanon" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        | c_mktsegment AS segment, count(*)::BIGINT AS n,
+        | CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS violates_k5
+        |FROM customer GROUP BY 1, 2""".stripMargin,
 
     "a32_kappa" ->
       """WITH e AS (SELECT
