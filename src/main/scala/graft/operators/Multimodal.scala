@@ -139,6 +139,11 @@ object Multimodal {
     val idx = df.schema.fieldIndex(payloadCol)
     val nulls = Seq(null, null, null, null, null, null)
     df.mapPartitions { it =>
+      // ImageIO defaults to a DISK-backed stream cache: every decode
+      // writes a temp file — a hidden per-blob disk round-trip that
+      // serializes on IO under load. The blobs are already in memory;
+      // cache in memory.
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         // ImageIO.read signals "not an image" with null but THROWS on
         // a recognized-but-corrupt body (truncated PNG etc.) — both
@@ -194,6 +199,7 @@ object Multimodal {
     val nulls = Seq(null, null)
     val (gCols, gRows) = (9, 8)
     df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see decodeImageStats
       it.map { r =>
         val img =
           if (r.isNullAt(idx)) null
