@@ -786,6 +786,96 @@ object AggQ {
           (col("n") < k).cast("long").as("violates_k5"))
     }),
 
+    // A37/net-new: winsorized mean per group — the robust mean that
+    // clamps the tails at exact p10/p90 cut points instead of dropping
+    // them. Cuts use the integer-decided type-1 quantile rule
+    // (first value whose cumcount reaches ceil(n·p): cum·10 ≥ n·p10
+    // cross-multiplied, the a17_binning recipe), the clamp is
+    // greatest/least on the cent lattice, and the mean is ONE division
+    // of an exact BIGINT sum. Two exchanges: the per-(group, value)
+    // aggregate and the tiny cuts frame broadcast back.
+    "a37_winsor" -> ((s, dir) => {
+      val b = lineitem(s, dir).select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val g = b.groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("flag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("flag")
+      val cum = g.select(col("flag"), col("cents"),
+        sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"))
+      val cuts = cum.groupBy("flag").agg(
+        min(when(col("cum") * 10 >= col("n"), col("cents"))).as("lo"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("cents"))).as("hi"))
+      b.join(broadcast(cuts), Seq("flag"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), min(col("lo")).as("lo_cents"),
+          min(col("hi")).as("hi_cents"),
+          sum(greatest(col("lo"), least(col("hi"), col("cents"))))
+            .as("wsum"))
+        .select(col("flag"), col("n"), col("lo_cents"), col("hi_cents"),
+          ((col("wsum").cast("double") / col("n")) / 100.0)
+            .as("winsor_mean"))
+    }),
+
+    // A38/net-new: contribution / percent-of-total analysis — each
+    // nation's share of its region's order revenue. Exact cent sums at
+    // the nation grain, the region total via a window over the tiny
+    // nation-level aggregate (no second scan of orders), share as ONE
+    // division. orders→customer is the only big exchange; nation and
+    // region are broadcast.
+    "a38_contribution" -> ((s, dir) => {
+      val rev = orders(s, dir).select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(customer(s, dir).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")), Seq("o_custkey"))
+        .join(broadcast(nation(s, dir).select(
+          col("n_nationkey").as("c_nationkey"), col("n_name"),
+          col("n_regionkey"))), Seq("c_nationkey"))
+        .join(broadcast(region(s, dir).select(
+          col("r_regionkey").as("n_regionkey"), col("r_name"))),
+          Seq("n_regionkey"))
+      val g = rev.groupBy("r_name", "n_name")
+        .agg(sum(col("cents")).as("cents"))
+      val wReg = Window.partitionBy("r_name")
+      g.select(col("r_name"), col("n_name"), col("cents"),
+        (col("cents").cast("double") /
+          sum("cents").over(wReg).cast("double")).as("share"))
+    }),
+
+    // A39/net-new: Pareto 80/20 coverage — the smallest number of
+    // customers whose revenue reaches 80% of their region's total,
+    // decided entirely in BIGINT (row i counts iff the cumsum BEFORE it
+    // is under 4/5 of the total: (cum−x)·5 < tot·4 — no float
+    // threshold). The cumsum runs over the per-customer aggregate with
+    // a (cents DESC, custkey) total order; at an unbounded customer
+    // count this window range-partitions by the region key the same
+    // way the exact-quantile path does.
+    "a39_pareto" -> ((s, dir) => {
+      val rev = orders(s, dir).select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum(col("cents")).as("cents"))
+        .join(customer(s, dir).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")), Seq("o_custkey"))
+        .join(broadcast(nation(s, dir).select(
+          col("n_nationkey").as("c_nationkey"), col("n_regionkey"))),
+          Seq("c_nationkey"))
+        .join(broadcast(region(s, dir).select(
+          col("r_regionkey").as("n_regionkey"), col("r_name"))),
+          Seq("n_regionkey"))
+      val wCum = Window.partitionBy("r_name")
+        .orderBy(col("cents").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("r_name")
+      rev.select(col("r_name"), col("cents"), col("o_custkey"))
+        .select(col("r_name"),
+          sum("cents").over(wCum).as("cum"), col("cents"),
+          sum("cents").over(wAll).as("tot"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when((col("cum") - col("cents")) * 5 < col("tot") * 4, 1L)
+            .otherwise(0L)).as("n_top80"))
+    }),
+
     // A31/net-new: Gini coefficient per group (distribution-inequality
     // profiling of e.g. token/domain shares). Sorted-rank formula
     // G = (2·Σi·x − (n+1)·Σx) / (n·Σx) with ranks from row_number over
@@ -1514,6 +1604,64 @@ object AggQ {
         | CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
         |   AS violates_k5
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "a37_winsor" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem),
+        |g AS (SELECT flag, cents, count(*)::BIGINT AS cnt
+        | FROM b GROUP BY flag, cents),
+        |cum AS (SELECT flag, cents,
+        |  CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        | FROM g),
+        |cuts AS (SELECT flag,
+        |  min(CASE WHEN cum * 10 >= n THEN cents END) AS lo,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN cents END) AS hi
+        | FROM cum GROUP BY flag)
+        |SELECT flag, count(*)::BIGINT AS n,
+        | min(lo) AS lo_cents, min(hi) AS hi_cents,
+        | (CAST(CAST(sum(greatest(lo, least(hi, cents))) AS BIGINT)
+        |    AS DOUBLE) / count(*)) / 100.0 AS winsor_mean
+        |FROM b JOIN cuts USING (flag) GROUP BY flag""".stripMargin,
+
+    "a38_contribution" ->
+      """WITH g AS (SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, cents,
+        | CAST(cents AS DOUBLE) /
+        |   CAST(CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |     AS DOUBLE) AS share
+        |FROM g""".stripMargin,
+
+    "a39_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        | FROM orders GROUP BY o_custkey),
+        |r AS (SELECT r_name, cents, o_custkey
+        | FROM rev
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey),
+        |c AS (SELECT r_name, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY r_name
+        |    ORDER BY cents DESC, o_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS tot
+        | FROM r)
+        |SELECT r_name, count(*)::BIGINT AS n_customers,
+        | CAST(sum(CASE WHEN (cum - cents) * 5 < tot * 4 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_top80
+        |FROM c GROUP BY r_name""".stripMargin,
 
     "a32_kappa" ->
       """WITH e AS (SELECT
