@@ -488,6 +488,77 @@ object TemporalQ {
       }
     }),
 
+    // W36/streaming: per-key top-k through transformWithState — the
+    // bounded-state streaming twin of the w6/w24 top-k family (O(k)
+    // RocksDB-backed state per key vs an unbounded buffer; a rank
+    // window would need the whole history). The oracle is the batch
+    // top-3: hash-equality IS the batch-parity proof.
+    "w36_stream_topk" -> ((s, dir) => {
+      // transformWithState needs multi-column-family state: RocksDB
+      // provider for the run, restored after (the w19 pattern).
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val out = obsStream(s, dir)
+          .groupByKey(_.key)
+          .transformWithState(new graft.streaming.TopKProcessor(3),
+            TimeMode.None(), OutputMode.Append())
+        runStream(s, "w36_stream_topk_sink", out)
+          .select(col("key").cast("long").as("user_id"),
+            col("id").as("event_id"), col("value"),
+            col("rnk").cast("long").as("rnk"))
+      } finally prev match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
+    // W37/streaming: TRUE streaming sessionization — the w9 batch
+    // session_window expression run under readStream + watermark in
+    // APPEND mode (the only mode session aggregation supports), with
+    // the production "graceful flush" pattern: append only emits a
+    // session once the watermark passes its end, so a bounded replay's
+    // LAST session per user would be withheld forever. The stream is
+    // unioned with one far-future sentinel row per user (event_id −1,
+    // ts = global max + 5h > gap + watermark) that pushes the final
+    // watermark past every real session's end; the sentinel's own
+    // single-row sessions are dropped by their session_first = −1.
+    "w37_stream_session" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val flushDir = java.nio.file.Files.createTempDirectory(
+        "graft_w37_flush").toString
+      ev.groupBy("user_id")
+        .agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (max(col("mx")).over(Window.partitionBy()) +
+            expr("INTERVAL 5 HOURS")).as("ts"),
+          col("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .write.mode("overwrite").parquet(flushDir)
+      val schema = ev.schema
+      def src(d: String, glob: String) = s.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val stream = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .union(src(flushDir, "*.parquet"))
+        .withWatermark("ts", "10 seconds")
+      runStream(s, "w37_stream_session_sink",
+        stream
+          .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+          .agg(min(col("event_id")).as("session_first"),
+            count(lit(1)).as("n_events"),
+            r6(sum(col("value"))).as("val_sum")))
+        .filter(col("session_first") >= 0)
+        .select("user_id", "session_first", "n_events", "val_sum")
+    }),
+
     "w6_topk" -> ((s, dir) => {
       Temporal.topKPerGroup(
         events(s, dir).select("event_id", "user_id", "value"),
@@ -1097,6 +1168,23 @@ object TemporalQ {
         | SELECT user_id, event_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
         | FROM events) WHERE rnk <= 3""".stripMargin,
+
+    "w36_stream_topk" ->
+      """SELECT user_id, event_id, value, rnk FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        | FROM events) WHERE rnk <= 3""".stripMargin,
+
+    "w37_stream_session" ->
+      s"""WITH f AS (SELECT user_id, event_id, value, ts,
+         |  CASE WHEN lag(ts) $over) IS NULL
+         |        OR ts - lag(ts) $over) >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS is_new
+         | FROM events),
+         |s AS (SELECT user_id, event_id, value,
+         |  sum(is_new) $over) AS sid FROM f)
+         |SELECT user_id, min(event_id) AS session_first,
+         | count(*) AS n_events, round(sum(value), 6) AS val_sum
+         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "w13_pctrank" ->
       """SELECT event_id,

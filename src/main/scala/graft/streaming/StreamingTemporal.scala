@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming variants of the temporal operators (net-new;
   * the reference is pure batch — SURVEY §2.10): the same EMA / rolling
@@ -27,6 +28,7 @@ case class RollState(recent: List[Double])
 case class CusumOut(key: String, ts: Long, id: Long, cents: Long, cusum: Long)
 case class CusumState(s: Long)
 case class KeyStats(key: String, n: Long, max_value: Double)
+case class TopKOut(key: String, id: Long, value: Double, rnk: Int)
 
 /** Spark 4 arbitrary-state API ([[StatefulProcessor]]) — running
   * per-key count + max, emitted once per key per micro-batch. The
@@ -51,6 +53,43 @@ class KeyStatsProcessor extends StatefulProcessor[String, Obs, KeyStats] {
     nState.update(n)
     maxState.update(mx)
     Iterator.single(KeyStats(key, n, mx))
+  }
+}
+
+/** Streaming per-key top-k (k=3) by (value DESC, id ASC) — the
+  * transformWithState twin of the batch [[graft.functions.TopKAgg]]:
+  * O(k) ValueState per key, the same total order (ties on value break
+  * by id, so the kept set is unique under any batch/row order), rows
+  * that do not beat the current k-th are O(k) no-state-write. Emitted
+  * once per key per micro-batch (same single-batch contract as
+  * [[KeyStatsProcessor]] under an AvailableNow file source).
+  * Top-level class: processors are serialized to executors. */
+class TopKProcessor(k: Int)
+    extends StatefulProcessor[String, Obs, TopKOut] {
+  @transient private var topState: ListState[(Double, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    topState = getHandle.getListState[(Double, Long)](
+      "top", Encoders.product[(Double, Long)], TTLConfig.NONE)
+
+  /** (value DESC, id ASC) via Double.compare — NaN-total like TopKAgg. */
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[Obs],
+                               timerValues: TimerValues): Iterator[TopKOut] = {
+    var top = topState.get().toList
+    rows.foreach { r =>
+      val cand = (r.value, r.id)
+      if (top.size < k || beats(cand, top.last))
+        top = (cand :: top).sortWith(beats).take(k)
+    }
+    topState.put(top.toArray)
+    top.iterator.zipWithIndex.map { case ((v, id), i) =>
+      TopKOut(key, id, v, i + 1)
+    }
   }
 }
 
