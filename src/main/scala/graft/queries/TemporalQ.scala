@@ -519,6 +519,36 @@ object TemporalQ {
       }
     }),
 
+    // W38/streaming: per-key category histogram through MapState —
+    // the third transformWithState state primitive (Value w19 / List
+    // w36 / Map here): one point-updated RocksDB entry per category,
+    // never a full-map rewrite. Oracle = the batch two-key count.
+    "w38_stream_typecounts" -> ((s, dir) => {
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val typed = eventsStream(s, dir)
+          .select(col("user_id").cast("string").as("key"),
+            col("event_type").as("typ"), col("event_id").as("id"))
+          .as[graft.streaming.TypedObs]
+        val out = typed.groupByKey(_.key)
+          .transformWithState(new graft.streaming.TypeCountsProcessor,
+            TimeMode.None(), OutputMode.Append())
+        runStream(s, "w38_stream_typecounts_sink", out)
+          .select(col("key").cast("long").as("user_id"),
+            col("typ").as("event_type"), col("n"))
+      } finally prev match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     // W37/streaming: TRUE streaming sessionization — the w9 batch
     // session_window expression run under readStream + watermark in
     // APPEND mode (the only mode session aggregation supports), with
@@ -1174,6 +1204,10 @@ object TemporalQ {
         | SELECT user_id, event_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
         | FROM events) WHERE rnk <= 3""".stripMargin,
+
+    "w38_stream_typecounts" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
 
     "w37_stream_session" ->
       s"""WITH f AS (SELECT user_id, event_id, value, ts,

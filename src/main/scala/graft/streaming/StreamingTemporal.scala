@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming variants of the temporal operators (net-new;
   * the reference is pure batch — SURVEY §2.10): the same EMA / rolling
@@ -29,6 +29,8 @@ case class CusumOut(key: String, ts: Long, id: Long, cents: Long, cusum: Long)
 case class CusumState(s: Long)
 case class KeyStats(key: String, n: Long, max_value: Double)
 case class TopKOut(key: String, id: Long, value: Double, rnk: Int)
+case class TypedObs(key: String, typ: String, id: Long)
+case class TypeCount(key: String, typ: String, n: Long)
 
 /** Spark 4 arbitrary-state API ([[StatefulProcessor]]) — running
   * per-key count + max, emitted once per key per micro-batch. The
@@ -90,6 +92,31 @@ class TopKProcessor(k: Int)
     top.iterator.zipWithIndex.map { case ((v, id), i) =>
       TopKOut(key, id, v, i + 1)
     }
+  }
+}
+
+/** Streaming per-key-per-category running counts through MapState —
+  * the third transformWithState primitive (Value/List/Map all
+  * exercised): one map entry per observed category, point-updated
+  * (no full-map rewrite per row — the RocksDB column family stores
+  * each map key separately). Emits the key's full category histogram
+  * once per micro-batch; order-free counts, so deterministic under
+  * any batch/row order. Top-level class: serialized to executors. */
+class TypeCountsProcessor
+    extends StatefulProcessor[String, TypedObs, TypeCount] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[TypedObs],
+                               timerValues: TimerValues): Iterator[TypeCount] = {
+    rows.foreach { r =>
+      val c = if (counts.containsKey(r.typ)) counts.getValue(r.typ) else 0L
+      counts.updateValue(r.typ, c + 1)
+    }
+    counts.iterator().map { case (t, n) => TypeCount(key, t, n) }
   }
 }
 
