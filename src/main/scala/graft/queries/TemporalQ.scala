@@ -773,6 +773,28 @@ object TemporalQ {
             (n * sxx - sx * sx).cast("double")).as("slope8"))
     }),
 
+    // J21/net-new: TOLERANCE-bounded as-of join (pandas merge_asof
+    // tolerance=1h): the latest earlier-or-equal purchase counts only
+    // if it is at most one hour old — stale matches null out, exactly
+    // pandas' semantics. Same single-exchange union+window scan as j7;
+    // the tolerance is a post-match conditional, not a join predicate
+    // (a range predicate would forfeit the one-pass as-of shape).
+    "j21_asof_tol" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ref = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("ref_event_id"),
+          max_by(col("value"), col("event_id")).as("ref_value"))
+        .withColumn("ref_ts", col("ts"))
+      val j = Temporal.asofJoin(
+        e.select("event_id", "user_id", "ts"), ref, Seq("user_id"),
+        "ts", "ts", Seq("ref_ts", "ref_event_id", "ref_value"))
+      val fresh = col("ts") - col("ref_ts") <= expr("INTERVAL 1 HOUR")
+      j.select(col("event_id"),
+        when(fresh, col("ref_event_id")).as("ref_event_id"),
+        when(fresh, col("ref_value")).as("ref_value"))
+    }),
+
     "j7_asof" -> ((s, dir) => {
       val e = events(s, dir)
       val ref = e.filter(col("event_type") === "purchase")
@@ -1292,6 +1314,24 @@ object TemporalQ {
         |SELECT l.event_id, r.ref_event_id, r.ref_value
         |FROM e l ASOF LEFT JOIN ref r
         | ON l.user_id = r.user_id AND r.tns <= l.tns""".stripMargin,
+
+    "j21_asof_tol" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ns(ts) AS tns FROM events),
+        |ref AS (SELECT user_id, tns,
+        |  max(event_id) AS ref_event_id,
+        |  arg_max(value, event_id) AS ref_value
+        | FROM e WHERE event_type = 'purchase' GROUP BY user_id, tns),
+        |j AS (SELECT l.event_id, l.tns, r.tns AS rtns,
+        |  r.ref_event_id, r.ref_value
+        | FROM e l ASOF LEFT JOIN ref r
+        |  ON l.user_id = r.user_id AND r.tns <= l.tns)
+        |SELECT event_id,
+        | CASE WHEN tns - rtns <= 3600000000000 THEN ref_event_id END
+        |   AS ref_event_id,
+        | CASE WHEN tns - rtns <= 3600000000000 THEN ref_value END
+        |   AS ref_value
+        |FROM j""".stripMargin,
 
     "j20_pit" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
