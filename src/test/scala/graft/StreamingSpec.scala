@@ -74,6 +74,61 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState top-k: ListState continues and trims across batches") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val feed = MemoryStream[Obs]
+      val out = feed.toDS().groupByKey(_.key)
+        .transformWithState(new graft.streaming.TopKProcessor(2),
+          TimeMode.None(), OutputMode.Append())
+      runBatches(out, "topk_out", feed, Seq(
+        Seq(Obs("a", 1, 1, 10.0), Obs("a", 2, 2, 30.0), Obs("a", 3, 3, 20.0)),
+        // 25 displaces 20; a value tie (30) loses to the lower id 2
+        Seq(Obs("a", 4, 4, 25.0), Obs("a", 5, 5, 30.0))))
+      // last batch's emission is the final top-2 (value DESC, id ASC)
+      val last = spark.table("topk_out").filter(col("id").isin(2L, 5L, 4L))
+        .groupBy("id").agg(max("rnk").as("rnk"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(last(2L) == 1, s"id 2 (30.0, lower id) must stay rank 1: $last")
+      assert(last(5L) == 2, s"id 5 (30.0) must take rank 2: $last")
+      assert(!last.contains(4L) || last(4L) > 2,
+        s"25.0 must be displaced by the second 30.0: $last")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("transformWithState MapState: per-category counts continue across batches") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import graft.streaming.TypedObs
+      val feed = MemoryStream[TypedObs]
+      val out = feed.toDS().groupByKey(_.key)
+        .transformWithState(new graft.streaming.TypeCountsProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val q = out.writeStream.format("memory").queryName("tc_out")
+        .outputMode("append").start()
+      try {
+        feed.addData(Seq(TypedObs("a", "x", 1), TypedObs("a", "y", 2)))
+        q.processAllAvailable()
+        feed.addData(Seq(TypedObs("a", "x", 3), TypedObs("b", "x", 4)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val r = spark.table("tc_out").groupBy("key", "typ")
+        .agg(max("n").as("n")).collect()
+        .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+      assert(r(("a", "x")) == 2L, s"x count must continue across batches: $r")
+      assert(r(("a", "y")) == 1L)
+      assert(r(("b", "x")) == 1L)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming rolling mean keeps only k values of state") {
     implicit val sq = spark.sqlContext
     val feed = MemoryStream[Obs]
