@@ -306,6 +306,25 @@ object IoQ {
            |FROM a GROUP BY node""".stripMargin)
     }),
 
+    // O15/net-new: correlated LATERAL subquery join — the SQL-standard
+    // "top-N per outer row" shape (each nation's two richest
+    // customers) as ONE declarative query; Spark plans the correlated
+    // limit as a ranked window under the hood, so the cost is the same
+    // single exchange as w6_topk, with the SQL surface a BI tool
+    // would emit.
+    "o15_lateral" -> ((s, dir) => {
+      val cv = "graft_cust_lat"
+      val nv = "graft_nat_lat"
+      customer(s, dir).createOrReplaceTempView(cv)
+      nation(s, dir).createOrReplaceTempView(nv)
+      s.sql(
+        s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+           |FROM $nv n,
+           |LATERAL (SELECT c_custkey, c_acctbal FROM $cv c
+           |         WHERE c.c_nationkey = n.n_nationkey
+           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    }),
+
     // A23/net-new: sketch heavy hitters via approx_top_k (the
     // mergeable bounded-memory path; with capacity >> NDV the counts
     // are exact, so the re-sorted rendering is deterministic and
@@ -461,6 +480,13 @@ object IoQ {
       """SELECT l_returnflag AS item, count(*)::BIGINT AS cnt
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY cnt DESC, item""".stripMargin,
+
+    "o15_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
 
     "p12_json" ->
       """SELECT event_id, event_type,
