@@ -839,6 +839,38 @@ object TemporalQ {
           r6(m3 / sqrt(m2 * m2 * m2))).as("skew8"))
     }),
 
+    // W40/net-new: rolling excess kurtosis — w39's recipe with the
+    // fourth power sum (tail-heaviness drift per entity; the pair is
+    // the standard rolling shape-monitor). Same decimal(38,0) exact
+    // sums, token-mirrored m4/m2² − 3 float tail, integer-decided emit.
+    "w40_rollkurt" -> ((s, dir) => {
+      val wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+      val cd = round(col("value") * 100).cast("long").cast("decimal(38,0)")
+      val b = events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), cd.as("c"))
+        .select(col("event_id"),
+          count(col("c")).over(wk).as("n"),
+          sum(col("c")).over(wk).as("sl1"),
+          sum(col("c") * col("c")).over(wk).as("sl2"),
+          sum(col("c") * col("c") * col("c")).over(wk).as("sl3"),
+          sum(col("c") * col("c") * col("c") * col("c")).over(wk).as("sl4"))
+      val nd = col("n").cast("double")
+      val s1 = col("sl1").cast("double")
+      val s2 = col("sl2").cast("double")
+      val s3 = col("sl3").cast("double")
+      val s4 = col("sl4").cast("double")
+      val m2 = (s2 - s1 * s1 / nd) / nd
+      val m4 = (s4 - lit(4.0) * s1 * s3 / nd +
+        lit(6.0) * s1 * s1 * s2 / (nd * nd) -
+        lit(3.0) * s1 * s1 * s1 * s1 / (nd * nd * nd)) / nd
+      b.select(col("event_id"), col("n"),
+        when(col("n") >= 4 &&
+          col("n").cast("decimal(38,0)") * col("sl2") -
+            col("sl1") * col("sl1") > 0,
+          r6(m4 / (m2 * m2) - lit(3.0))).as("kurt8"))
+    }),
+
     // W17/net-new: TIME-range rolling window (RANGE BETWEEN INTERVAL),
     // complementing the row-count windows of w2: each event sees the
     // trailing 10 minutes of its user's stream. Aggregates are
@@ -1393,6 +1425,32 @@ object TemporalQ {
         |SELECT l.event_id, r.ref_event_id, r.ref_value
         |FROM e l ASOF LEFT JOIN ref r
         | ON l.user_id = r.user_id AND r.tns >= l.tns""".stripMargin,
+
+    "w40_rollkurt" ->
+      s"""WITH o AS (SELECT event_id, user_id, ts,
+         |  CAST(round(value * 100) AS HUGEINT) AS c FROM events),
+         |st AS (SELECT event_id,
+         |  count(c) OVER wk AS n,
+         |  sum(c) OVER wk AS sl1,
+         |  sum(c * c) OVER wk AS sl2,
+         |  sum(c * c * c) OVER wk AS sl3,
+         |  sum(c * c * c * c) OVER wk AS sl4
+         | FROM o WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+         |d AS (SELECT event_id, n, sl1, sl2,
+         |  CAST(n AS DOUBLE) AS nd, CAST(sl1 AS DOUBLE) AS s1,
+         |  CAST(sl2 AS DOUBLE) AS s2, CAST(sl3 AS DOUBLE) AS s3,
+         |  CAST(sl4 AS DOUBLE) AS s4
+         | FROM st)
+         |SELECT event_id, n::BIGINT AS n,
+         | CASE WHEN n >= 4 AND CAST(n AS HUGEINT) * sl2 - sl1 * sl1 > 0
+         |  THEN round(
+         |   ((s4 - 4.0 * s1 * s3 / nd + 6.0 * s1 * s1 * s2 / (nd * nd)
+         |     - 3.0 * s1 * s1 * s1 * s1 / (nd * nd * nd)) / nd)
+         |   / (((s2 - s1 * s1 / nd) / nd) * ((s2 - s1 * s1 / nd) / nd))
+         |   - 3.0, 6)
+         | END AS kurt8
+         |FROM d""".stripMargin,
 
     "w39_rollskew" ->
       s"""WITH o AS (SELECT event_id, user_id, ts,
