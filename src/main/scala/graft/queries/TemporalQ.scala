@@ -839,6 +839,47 @@ object TemporalQ {
           r6(m3 / sqrt(m2 * m2 * m2))).as("skew8"))
     }),
 
+    // M17/net-new: group-wise min-max normalization — the per-entity
+    // [0,1] feature rescale (vs m6's global standard scaler): min/max
+    // on the exact cent lattice via the group window, ONE division of
+    // exact integers per row, integer-decided degenerate-group guard
+    // (max == min → null, both engines).
+    "m17_minmax" -> ((s, dir) => {
+      val wAll = Window.partitionBy("user_id")
+      val b = events(s, dir).select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      b.select(col("event_id"),
+        min(col("c")).over(wAll).as("lo"),
+        max(col("c")).over(wAll).as("hi"), col("c"))
+        .select(col("event_id"),
+          when(col("hi") > col("lo"),
+            (col("c") - col("lo")).cast("double") /
+              (col("hi") - col("lo")).cast("double")).as("minmax"))
+    }),
+
+    // W41/net-new: period-over-period growth — monthly revenue per
+    // user with LAG percent change (the BI staple). Months are
+    // date_trunc buckets (identical calendars both engines), revenue
+    // is exact cents, pct_change ONE division of exact integer
+    // operands; the first month and zero-revenue predecessors yield
+    // null (integer-decided).
+    "w41_pct_change" -> ((s, dir) => {
+      val m = events(s, dir).select(
+        col("user_id"),
+        date_trunc("month", col("ts")).as("mon"),
+        round(col("value") * 100).cast("long").as("c"))
+        .groupBy("user_id", "mon")
+        .agg(sum(col("c")).as("cents"))
+      val wm = Window.partitionBy("user_id").orderBy("mon")
+      m.select(col("user_id"),
+          unix_micros(col("mon")).as("mon_us"), col("cents"),
+          lag(col("cents"), 1).over(wm).as("prev"))
+        .select(col("user_id"), col("mon_us"), col("cents"),
+          when(col("prev") > 0,
+            (col("cents") - col("prev")).cast("double") /
+              col("prev").cast("double")).as("pct_change"))
+    }),
+
     // W40/net-new: rolling excess kurtosis — w39's recipe with the
     // fourth power sum (tail-heaviness drift per entity; the pair is
     // the standard rolling shape-monitor). Same decimal(38,0) exact
@@ -1425,6 +1466,31 @@ object TemporalQ {
         |SELECT l.event_id, r.ref_event_id, r.ref_value
         |FROM e l ASOF LEFT JOIN ref r
         | ON l.user_id = r.user_id AND r.tns >= l.tns""".stripMargin,
+
+    "m17_minmax" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_id, c,
+        |  min(c) OVER (PARTITION BY user_id) AS lo,
+        |  max(c) OVER (PARTITION BY user_id) AS hi
+        | FROM b)
+        |SELECT event_id,
+        | CASE WHEN hi > lo THEN
+        |   CAST(c - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) END AS minmax
+        |FROM g""".stripMargin,
+
+    "w41_pct_change" ->
+      """WITH m AS (SELECT user_id, date_trunc('month', ts) AS mon,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY user_id, date_trunc('month', ts)),
+        |l AS (SELECT user_id, epoch_us(mon) AS mon_us, cents,
+        |  lag(cents, 1) OVER (PARTITION BY user_id ORDER BY mon) AS prev
+        | FROM m)
+        |SELECT user_id, mon_us, cents,
+        | CASE WHEN prev > 0 THEN
+        |   CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) END
+        |   AS pct_change
+        |FROM l""".stripMargin,
 
     "w40_rollkurt" ->
       s"""WITH o AS (SELECT event_id, user_id, ts,
