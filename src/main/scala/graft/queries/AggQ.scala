@@ -786,6 +786,22 @@ object AggQ {
           (col("n") < k).cast("long").as("violates_k5"))
     }),
 
+    // M18/net-new: frequency-ordered categorical indexer — MLlib
+    // StringIndexer semantics (frequencyDesc, label ties break
+    // alphabetically) as pure relational algebra: fit = row_number
+    // over the tiny per-label count aggregate; transform = broadcast
+    // map-back onto the fact rows. Exact integers end to end.
+    "m18_stringindex" -> ((s, dir) => {
+      val cnt = events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val idx = cnt.select(col("event_type"), col("cnt"),
+        (row_number().over(Window.orderBy(col("cnt").desc,
+          col("event_type"))) - 1).cast("long").as("type_idx"))
+      events(s, dir).select("event_id", "event_type")
+        .join(broadcast(idx), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("type_idx"))
+    }),
+
     // A37/net-new: winsorized mean per group — the robust mean that
     // clamps the tails at exact p10/p90 cut points instead of dropping
     // them. Cuts use the integer-decided type-1 quantile rule
@@ -1604,6 +1620,16 @@ object AggQ {
         | CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
         |   AS violates_k5
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "m18_stringindex" ->
+      """WITH c AS (SELECT event_type, count(*)::BIGINT AS cnt
+        | FROM events GROUP BY event_type),
+        |i AS (SELECT event_type, cnt,
+        |  (row_number() OVER (ORDER BY cnt DESC, event_type) - 1)::BIGINT
+        |    AS type_idx
+        | FROM c)
+        |SELECT event_id, event_type, type_idx
+        |FROM events JOIN i USING (event_type)""".stripMargin,
 
     "a37_winsor" ->
       """WITH b AS (SELECT l_returnflag AS flag,

@@ -880,6 +880,38 @@ object TemporalQ {
               col("prev").cast("double")).as("pct_change"))
     }),
 
+    // W42/net-new: linear gap interpolation (pandas interpolate
+    // 'linear', interior-only): a deterministic mask nulls every 5th
+    // observation's cents; each masked row rebuilds its value from the
+    // surrounding known points as pv + (nv−pv)·(i−pi)/(ni−pi) — the
+    // numerator/denominator exact BIGINTs (positions from row_number,
+    // cents lattice), ONE division + ONE add of correctly-rounded
+    // doubles, token-mirrored. Rows with no known neighbor on either
+    // side stay null (integer-decided). All four fills ride the ONE
+    // per-user window exchange.
+    "w42_interpolate" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val b = events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"),
+          when(col("event_id") % 5 =!= 0,
+            round(col("value") * 100).cast("long")).as("c"))
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+      val known = when(col("c").isNotNull, col("i"))
+      val pv = Temporal.ffill(col("c"), wOrd)
+      val pi = Temporal.ffill(known, wOrd)
+      val nv = Temporal.bfill(col("c"), wOrd)
+      val ni = Temporal.bfill(known, wOrd)
+      b.select(col("event_id"),
+        col("c").isNotNull.cast("long").as("is_known"),
+        when(col("c").isNotNull, col("c").cast("double") / 100.0)
+          .otherwise(
+            when(pv.isNotNull && nv.isNotNull,
+              (pv.cast("double") +
+                ((nv - pv) * (col("i") - pi)).cast("double") /
+                  (ni - pi).cast("double")) / 100.0))
+          .as("filled"))
+    }),
+
     // W40/net-new: rolling excess kurtosis — w39's recipe with the
     // fourth power sum (tail-heaviness drift per entity; the pair is
     // the standard rolling shape-monitor). Same decimal(38,0) exact
@@ -1466,6 +1498,34 @@ object TemporalQ {
         |SELECT l.event_id, r.ref_event_id, r.ref_value
         |FROM e l ASOF LEFT JOIN ref r
         | ON l.user_id = r.user_id AND r.tns >= l.tns""".stripMargin,
+
+    // pv/nv via PACKED integer keys (i·1e7 + c: i dominates, c < 1e7)
+    // instead of IGNORE NULLS — version-independent, and max/min of
+    // exact integers is order-free. Values match Spark's
+    // last/first(ignoreNulls) fills exactly.
+    "w42_interpolate" ->
+      """WITH b AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 5 <> 0
+        |    THEN CAST(round(value * 100) AS BIGINT) END AS c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS i
+        | FROM events),
+        |p AS (SELECT event_id, c, i,
+        |  max(CASE WHEN c IS NOT NULL THEN i * 10000000 + c END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+        |  min(CASE WHEN c IS NOT NULL THEN i * 10000000 + c END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nk
+        | FROM b)
+        |SELECT event_id,
+        | CAST(c IS NOT NULL AS BIGINT) AS is_known,
+        | CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE) / 100.0
+        |      WHEN pk IS NOT NULL AND nk IS NOT NULL THEN
+        |   (CAST(pk % 10000000 AS DOUBLE)
+        |    + CAST((nk % 10000000 - pk % 10000000) * (i - pk // 10000000) AS DOUBLE)
+        |      / CAST(nk // 10000000 - pk // 10000000 AS DOUBLE)) / 100.0
+        | END AS filled
+        |FROM p""".stripMargin,
 
     "m17_minmax" ->
       """WITH b AS (SELECT event_id, user_id,
