@@ -839,6 +839,33 @@ object TemporalQ {
           r6(m3 / sqrt(m2 * m2 * m2))).as("skew8"))
     }),
 
+    // M19/net-new: RFM (recency/frequency/monetary) customer scoring —
+    // the classic segmentation feature: per user, micros since their
+    // last event (vs the global max — exact integers), event count,
+    // exact cent revenue; each dimension quintiled by ntile over a
+    // TOTAL order (metric + user_id tiebreak — plain ntile over a
+    // tied metric is partition-order-dependent, determinism trap).
+    // One exchange for the per-user aggregate; the quintile windows
+    // ride the tiny user-grain result.
+    "m19_rfm" -> ((s, dir) => {
+      val e = eventsRawUs(s, dir)
+      val g = e.groupBy("user_id").agg(
+        max(col("ts_us")).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      val gm = g.select(col("user_id"),
+        (max(col("last_us")).over(Window.partitionBy()) - col("last_us"))
+          .as("recency_us"),
+        col("freq"), col("cents"))
+      gm.select(col("user_id"), col("recency_us"), col("freq"), col("cents"),
+        ntile(5).over(Window.orderBy(col("recency_us"), col("user_id")))
+          .cast("long").as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+          .cast("long").as("f_score"),
+        ntile(5).over(Window.orderBy(col("cents").desc, col("user_id")))
+          .cast("long").as("m_score"))
+    }),
+
     // M17/net-new: group-wise min-max normalization — the per-entity
     // [0,1] feature rescale (vs m6's global standard scaler): min/max
     // on the exact cent lattice via the group window, ONE division of
@@ -1526,6 +1553,20 @@ object TemporalQ {
         |      / CAST(nk // 10000000 - pk // 10000000 AS DOUBLE)) / 100.0
         | END AS filled
         |FROM p""".stripMargin,
+
+    "m19_rfm" ->
+      """WITH g AS (SELECT user_id,
+        |  max(epoch_us(ts)) AS last_us, count(*)::BIGINT AS freq,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY user_id),
+        |m AS (SELECT user_id,
+        |  max(last_us) OVER () - last_us AS recency_us, freq, cents
+        | FROM g)
+        |SELECT user_id, recency_us, freq, cents,
+        | ntile(5) OVER (ORDER BY recency_us, user_id)::BIGINT AS r_score,
+        | ntile(5) OVER (ORDER BY freq DESC, user_id)::BIGINT AS f_score,
+        | ntile(5) OVER (ORDER BY cents DESC, user_id)::BIGINT AS m_score
+        |FROM m""".stripMargin,
 
     "m17_minmax" ->
       """WITH b AS (SELECT event_id, user_id,
