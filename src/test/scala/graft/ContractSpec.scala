@@ -52,6 +52,24 @@ class ContractSpec extends SparkSpec {
         s"$table schema drifted — update loaders AND this pin together")
     }
 
+  test("legacy nanos-INT64 events encoding still loads through the adaptive helpers") {
+    // The r1-r3 testdata stored ts as TIMESTAMP(NANOS); the driver
+    // switched to timestamp[us] in r4. This committed fixture keeps the
+    // legacy branch of tsAsTimestamp/tsAsMicros honest: nanos read as
+    // LONG (legacy conf), integer-DIV'd to micros — never via double.
+    val dir = getClass.getResource("/events_nanos").getPath
+    val ev = Tables.events(spark, dir)
+    assert(Seq(TimestampType, TimestampNTZType)
+      .contains(ev.schema("ts").dataType))
+    val us = Tables.eventsUs(spark, dir)
+      .select("event_id", "ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact micros truncation of the fixture's nanos
+    assert(us(1L) == 1700000000000000L) // ...000001 ns -> trunc
+    assert(us(2L) == 1700000000000001L) // ...001999 ns -> 1 us
+    assert(us(5L) == 1700000010123456L) // ...456789 ns -> 456 us
+  }
+
   test("driver schema pin: events (via schema-adaptive helpers)") {
     val raw = Tables.eventsRaw(spark, sf).schema
     assert(raw.map(_.name) ==
