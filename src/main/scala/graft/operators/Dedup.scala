@@ -44,11 +44,16 @@ object Dedup {
     val norm = df
       .select(col(idCol), Text.normalizeAz(col(textCol)).as("t"))
       .filter(length(col("t")) >= 5)
+    // positional codegen'd hasher: one generated loop over the bytes —
+    // the charNgrams+polyHashElem route materialized a substring per
+    // gram (25M short-lived strings at sf0.1); values are identical on
+    // the normalized single-byte text, so the oracle is unchanged.
     val grams = norm
       .select(col(idCol),
-        posexplode(Text.charNgrams(col("t"), 5)).as(Seq("pos0", "gram")))
+        posexplode(graft.functions.NgramPosHash.ngramPosHashes(col("t"), 5))
+          .as(Seq("pos0", "h")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
-        Text.polyHashElem(col("gram")).as("h"))
+        col("h"))
     val keyed = grams.select(col(idCol), col("pos"),
       (col("h") * M + (lit(M - 1) - col("pos"))).as("key"))
     keyed
