@@ -27,6 +27,29 @@ class TextVectorsSpec extends SparkSpec {
     assert(r.getSeq[String](1).isEmpty)
   }
 
+  test("NgramPosHash: positional hashes == per-gram polyHashElem, both exec paths") {
+    import graft.functions.NgramPosHash
+    // projection (whole-stage codegen / doGenCode) over 64 rows
+    val df = (0 until 64).map(i => s"abcde$i-winnow sample").toDF("t")
+    val viaExpr = df.select(
+      posexplode(NgramPosHash.ngramPosHashes(col("t"), 5))
+        .as(Seq("pos", "h")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val viaStrings = df.select(
+      posexplode(Text.charNgrams(col("t"), 5)).as(Seq("pos", "g")))
+      .select(col("pos"), Text.polyHashElem(col("g")).as("h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(viaExpr.sorted.toSeq == viaStrings.sorted.toSeq)
+    // interpreted eval (filter) agrees with codegen; short/empty input
+    val r = spark.range(1).select(
+      NgramPosHash.ngramPosHashes(lit("abcd"), 5).as("short"),
+      NgramPosHash.ngramPosHashes(lit("abcde"), 5).as("one")).head()
+    assert(r.getSeq[Long](0).isEmpty)
+    def hand(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Text.P)
+    assert(r.getSeq[Long](1) == Seq(hand("abcde")))
+  }
+
   test("normalize + tokens: lowercase a-z only, empties dropped") {
     val r = spark.range(1).select(
       Text.tokens(Text.normalizeAz(lit("Hello,  World! 123"))).as("t")).head()
