@@ -839,6 +839,38 @@ object TemporalQ {
           r6(m3 / sqrt(m2 * m2 * m2))).as("skew8"))
     }),
 
+    // A40/net-new: 2-D histogram (value bucket × hour-of-day) — the
+    // joint-density grid behind heatmaps and feature-pair drift
+    // monitors; both axes integer-derived (cent kilobuckets; hour from
+    // integer micros), one hash-agg exchange on the composite bin key.
+    "a40_hist2d" -> ((s, dir) => {
+      eventsRawUs(s, dir)
+        .select(expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("vbin"),
+          (expr("ts_us DIV 3600000000") % 24).as("hod"))
+        .groupBy("vbin", "hod")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // W43/net-new: consecutive-increase streak length — gaps-and-
+    // islands at row grain (how many successive upticks ended here):
+    // reset rows (first of user, or non-increase on the exact cent
+    // compare) carry their own index; every row's streak is its index
+    // minus the latest reset index from a running MAX over the CASE —
+    // all integers, one window exchange, no self-join.
+    "w43_streak" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val b = events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), round(col("value") * 100).cast("long").as("c"))
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("inc",
+          (lag(col("c"), 1).over(wOrd).isNotNull &&
+            col("c") > lag(col("c"), 1).over(wOrd)).cast("long"))
+      b.select(col("event_id"),
+        (col("i") - max(when(col("inc") === 0, col("i")))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .as("streak"))
+    }),
+
     // M19/net-new: RFM (recency/frequency/monetary) customer scoring —
     // the classic segmentation feature: per user, micros since their
     // last event (vs the global max — exact integers), event count,
@@ -1553,6 +1585,27 @@ object TemporalQ {
         |      / CAST(nk // 10000000 - pk // 10000000 AS DOUBLE)) / 100.0
         | END AS filled
         |FROM p""".stripMargin,
+
+    "a40_hist2d" ->
+      """SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS vbin,
+        | (epoch_us(ts) // 3600000000) % 24 AS hod,
+        | count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "w43_streak" ->
+      s"""WITH b AS (SELECT event_id, user_id, ts,
+         |  CAST(round(value * 100) AS BIGINT) AS c,
+         |  row_number() $over)::BIGINT AS i
+         | FROM events),
+         |m AS (SELECT event_id, i,
+         |  CASE WHEN lag(c) $over) IS NOT NULL AND c > lag(c) $over)
+         |    THEN 1 ELSE 0 END AS inc,
+         |  c, user_id, ts FROM b)
+         |SELECT event_id,
+         | i - max(CASE WHEN inc = 0 THEN i END)
+         |   $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS streak
+         |FROM m""".stripMargin,
 
     "m19_rfm" ->
       """WITH g AS (SELECT user_id,
