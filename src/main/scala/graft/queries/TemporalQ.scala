@@ -795,6 +795,40 @@ object TemporalQ {
         when(fresh, col("ref_value")).as("ref_value"))
     }),
 
+    // J22/net-new: NEAREST as-of join (pandas merge_asof
+    // direction='nearest') — completes the direction family
+    // (backward j7, forward j18, tolerance j21): each event takes
+    // whichever of its latest-earlier / earliest-later purchase is
+    // closer in time, ties to the earlier one (pandas' rule). Two
+    // one-exchange as-of scans + an integer-micros distance compare;
+    // no range join, no theta join.
+    "j22_asof_nearest" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ref = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("r_id"),
+          max_by(col("value"), col("event_id")).as("r_val"))
+        .withColumn("r_ts", col("ts"))
+      val base = e.select("event_id", "user_id", "ts")
+      val back = Temporal.asofJoin(base, ref, Seq("user_id"), "ts", "ts",
+        Seq("r_ts", "r_id", "r_val"))
+        .withColumnRenamed("r_ts", "b_ts")
+        .withColumnRenamed("r_id", "b_id")
+        .withColumnRenamed("r_val", "b_val")
+      val both = Temporal.asofJoinForward(back, ref, Seq("user_id"),
+        "ts", "ts", Seq("r_ts", "r_id", "r_val"))
+      // distances on the exact micros domain; a missing side loses
+      val dB = when(col("b_ts").isNotNull,
+        unix_micros(col("ts")) - unix_micros(col("b_ts")))
+      val dF = when(col("r_ts").isNotNull,
+        unix_micros(col("r_ts")) - unix_micros(col("ts")))
+      val useBack = col("b_ts").isNotNull &&
+        (col("r_ts").isNull || dB <= dF)
+      both.select(col("event_id"),
+        when(useBack, col("b_id")).otherwise(col("r_id")).as("ref_event_id"),
+        when(useBack, col("b_val")).otherwise(col("r_val")).as("ref_value"))
+    }),
+
     "j7_asof" -> ((s, dir) => {
       val e = events(s, dir)
       val ref = e.filter(col("event_type") === "purchase")
@@ -1510,6 +1544,30 @@ object TemporalQ {
         |SELECT l.event_id, r.ref_event_id, r.ref_value
         |FROM e l ASOF LEFT JOIN ref r
         | ON l.user_id = r.user_id AND r.tns <= l.tns""".stripMargin,
+
+    "j22_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts) AS tus FROM events),
+        |ref AS (SELECT user_id, tus,
+        |  max(event_id) AS r_id,
+        |  arg_max(value, event_id) AS r_val
+        | FROM e WHERE event_type = 'purchase' GROUP BY user_id, tus),
+        |bk AS (SELECT l.event_id, l.user_id, l.tus,
+        |  r.tus AS b_tus, r.r_id AS b_id, r.r_val AS b_val
+        | FROM e l ASOF LEFT JOIN ref r
+        |  ON l.user_id = r.user_id AND r.tus <= l.tus),
+        |fw AS (SELECT l.event_id, l.tus, l.b_tus, l.b_id, l.b_val,
+        |  r.tus AS f_tus, r.r_id AS f_id, r.r_val AS f_val
+        | FROM bk l ASOF LEFT JOIN ref r
+        |  ON l.user_id = r.user_id AND r.tus >= l.tus)
+        |SELECT event_id,
+        | CASE WHEN b_tus IS NOT NULL AND (f_tus IS NULL
+        |        OR tus - b_tus <= f_tus - tus)
+        |      THEN b_id ELSE f_id END AS ref_event_id,
+        | CASE WHEN b_tus IS NOT NULL AND (f_tus IS NULL
+        |        OR tus - b_tus <= f_tus - tus)
+        |      THEN b_val ELSE f_val END AS ref_value
+        |FROM fw""".stripMargin,
 
     "j21_asof_tol" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
