@@ -79,7 +79,13 @@ object FeatureStageQ {
         Temporal.rollingMeanExact(c, 3, w, 1000).as("roll_mean3_s"),
         r6(Temporal.rollingStdExact(c, 5, w, 1000)).as("roll_std5_s"),
         Temporal.diff(col("x"), w).as("dx"),
-        r6(Temporal.delta2(col("s"), w)).as("jerk_s"),
+        // + 0.0 normalizes IEEE negative zero (mirrored in the oracle):
+        // the second difference crosses zero with ~1e-16 FP error on 28
+        // sf0.01 rows, and round(-2e-16, 6) is -0.0 in DuckDB (libm,
+        // sign-preserving) but +0.0 in Spark (BigDecimal HALF_UP has no
+        // signed zero). Numerically equal, hash-DIFFERENT — this exact
+        // column was the r2-r4 e1_features driver-hash drift.
+        (r6(Temporal.delta2(col("s"), w)) + lit(0.0)).as("jerk_s"),
         // alpha = 0.5 (in the reference's {0.3, 0.5, 0.7} set,
         // `main_mps.py:231-240`), UNROUNDED — same reasoning as
         // w5_ema: a dyadic alpha makes the recursion bitwise
@@ -156,7 +162,7 @@ object FeatureStageQ {
        |     / (count(c) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) - 1)) / 1000
        |   END, 6) AS roll_std5_s,
        | x - lag(x, 1) OVER w AS dx,
-       | round(s - 2 * lag(s, 1) OVER w + lag(s, 2) OVER w, 6) AS jerk_s,
+       | round(s - 2 * lag(s, 1) OVER w + lag(s, 2) OVER w, 6) + 0.0 AS jerk_s,
        | list_reduce(list(s) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        |   (acc, v) -> 0.5 * v + 0.5 * acc) AS ema_s,
        | round(dir_change, 6) AS dir_change,

@@ -9,7 +9,7 @@ library is pure Scala/Spark.
 
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 """
-import json, sys, math
+import json, struct, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -58,7 +58,11 @@ def main():
                     if a is None or (isinstance(a, float) and math.isnan(a)):
                         ok = b is None or (isinstance(b, float) and math.isnan(b))
                     elif isinstance(a, float):
-                        ok = isinstance(b, float) and (a == b or (math.isnan(a) and math.isnan(b)))
+                        # Bit-exact: the driver hashes values, so -0.0
+                        # vs +0.0 (== under IEEE) is a REAL mismatch —
+                        # it hid the r2-r4 e1_features jerk_s drift.
+                        ok = isinstance(b, float) and (
+                            struct.pack("<d", a) == struct.pack("<d", b))
                     else:
                         ok = a == b
                     if not ok:
