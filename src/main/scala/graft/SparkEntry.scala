@@ -25,7 +25,8 @@ object SparkEntry {
     TemporalQ.queries ++ ScalarQ.queries ++ AggQ.queries ++
       TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries ++
       PipelineQ.queries ++ IoQ.queries ++ FeatureStageQ.queries ++
-      CorpusQ.queries ++ EventsQ.queries ++ GraphQ.queries
+      CorpusQ.queries ++ EventsQ.queries ++ GraphQ.queries ++
+      CurationQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     TemporalQ.oracle ++ ScalarQ.oracle ++ AggQ.oracle ++
       TrackingQ.oracle ++ LlmQ.oracle ++ MlQ.oracle ++
       PipelineQ.oracle ++ IoQ.oracle ++ FeatureStageQ.oracle ++
-      CorpusQ.oracle ++ EventsQ.oracle ++ GraphQ.oracle
+      CorpusQ.oracle ++ EventsQ.oracle ++ GraphQ.oracle ++
+      CurationQ.oracle
 }
