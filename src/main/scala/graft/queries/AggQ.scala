@@ -493,10 +493,18 @@ object AggQ {
     // ~1% typical error). Register-max merging is order-independent,
     // so the estimate itself is deterministic under any partitioning.
     "a11_approx" -> ((s, dir) => {
+      // Two-phase: reduce to distinct (flag, partkey) pairs first (one
+      // map-side-combinable shuffle), then count + HLL over the deduped
+      // set. HLL registers are insertion-multiset-invariant, so the
+      // estimate is identical to hashing the raw column — but this
+      // shape avoids the Expand a combined exact+approx agg plans, and
+      // the exact count becomes a cheap count(*). At 100 TB the first
+      // phase is the only big shuffle and it combines map-side.
       lineitem(s, dir)
+        .groupBy("l_returnflag", "l_partkey").agg(count(lit(1)).as("__n"))
         .groupBy("l_returnflag")
         .agg(
-          countDistinct(col("l_partkey")).as("exact_nd"),
+          count(lit(1)).as("exact_nd"),
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd"))
         .select(col("l_returnflag"), col("exact_nd"),
           round(col("approx_nd").cast("double") / col("exact_nd") * 20)

@@ -125,6 +125,103 @@ object CurationQ {
           r6(lit(0.5) * p * log(lit(2.0) * p / (p + q))))
           .otherwise(lit(null).cast("double")).as("jsd_term_p"),
         r6(lit(0.5) * q * log(lit(2.0) * q / (p + q))).as("jsd_term_q"))
+    }),
+
+    // Unigram-LM surprisal scoring — the classic "perplexity filter"
+    // of pretraining curation, on a corpus-fit unigram model. The
+    // per-token log-prob is integerized ONCE per vocab entry
+    // (round(1e6·ln(n_t/T)) — micro-nat lattice; tick distance is
+    // ~5e-4 while cross-engine ln noise is ~1e-9, audited in
+    // CurationSpec), so the per-doc aggregation is an exact BIGINT sum
+    // and the mean surprisal is one IEEE division. Scale: token
+    // explode is map-side; the vocab join is a plain equi-join on the
+    // token key (AQE broadcasts when the vocab fits; at web scale it
+    // shuffles — both correct).
+    "t_unigram_lp" -> ((s, dir) => {
+      val toks = documents(s, dir).select(col("doc_id"),
+          explode(Text.tokens(Text.normalizeAz(col("text")))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
+      val tot = vocab.agg(sum("n_t").as("tt"))
+      val lp6 = round(lit(1e6) *
+        log(col("n_t").cast("double") / col("tt"))).cast("long")
+      toks.join(vocab, "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tok"),
+          sum(lp6).as("sum_lp6"))
+        .select(col("doc_id"), col("n_tok"), col("sum_lp6"),
+          (-col("sum_lp6").cast("double") /
+            (col("n_tok") * lit(1000000L))).as("mean_nll"))
+    }),
+
+    // Rolling median absolute deviation — the robust volatility screen
+    // (a27/a31-class drift ops are mean-based; MAD survives outliers).
+    // Entirely on the integer cent lattice: lower-median of the sorted
+    // 5-row window, then lower-median of absolute deviations — no
+    // float ever exists, so the result is engine-exact. One exchange
+    // on the user key serves both windows.
+    "w44_rollmad" -> ((s, dir) => {
+      val e = graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-4, 0)
+      // The window list is materialized ONCE as a column before any
+      // lambda touches it — interpreted HOFs have no CSE, so inlining
+      // the window expression into the transform would re-plan it per
+      // use (the t_quality lesson).
+      def lowerMed(a: org.apache.spark.sql.Column) =
+        element_at(a, floor((size(a) + 1) / 2).cast("int"))
+      e.select(col("event_id"), col("user_id"),
+          sort_array(collect_list(col("cents")).over(w)).as("l"))
+        .select(col("event_id"), col("user_id"), col("l"),
+          lowerMed(col("l")).as("med"))
+        .select(col("event_id"), col("user_id"),
+          col("med").as("roll_med5_cents"),
+          lowerMed(sort_array(transform(col("l"), x => abs(x - col("med")))))
+            .as("roll_mad5_cents"))
+    }),
+
+    // Brier-score reliability decomposition per calibration bin —
+    // the probabilistic-forecast audit. Predictions live on the cent
+    // lattice (p = cents/100), outcomes are 0/1, so every per-bin
+    // statistic is an exact BIGINT sum and each emitted float is ONE
+    // division of exact integers (no rounding even needed):
+    //   brier_bin = Σ(c − 100·o)² / (10⁴·n)
+    //   rel_term  = (Σc − 100·Σo)² / (10⁴·n)   [n·(p̄−ō)² scaled]
+    "m21_brier" -> ((s, dir) => {
+      val e = graft.io.Tables.eventsUs(s, dir).select(
+        ((col("event_id") * 37) % 101).as("p_cents"),
+        when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("o"))
+      val b = e.select(expr("p_cents DIV 10").as("bin"),
+        col("p_cents"), col("o"),
+        (col("p_cents") - col("o") * 100).as("err"))
+      b.groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum("p_cents").as("sp"),
+          sum("o").as("so"),
+          sum(col("err") * col("err")).as("sse"))
+        .select(col("bin"), col("n"), col("sp"), col("so"),
+          (col("sse").cast("double") / (lit(10000L) * col("n")))
+            .as("brier_bin"),
+          (((col("sp") - col("so") * 100) * (col("sp") - col("so") * 100))
+            .cast("double") / (lit(10000L) * col("n"))).as("rel_term"))
+    }),
+
+    // Corpus duplication profile: cluster sizes from exact-hash
+    // grouping, summarized as integer ppm shares — how much of the
+    // corpus the top duplicate clusters hold (the go/no-go number a
+    // dedup run reports). All BIGINT; the only shuffles are the
+    // content-hash groupBy and a 500-row sort.
+    "d_dupstats" -> ((s, dir) => {
+      val sizes = documents(s, dir)
+        .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+      val total = sizes.agg(sum("sz").as("tot"), count(lit(1)).as("n_clusters"))
+      val top = sizes.orderBy(col("sz").desc, col("h")).limit(10)
+        .agg(sum("sz").as("top10"))
+      total.crossJoin(top).select(
+        col("tot"), col("n_clusters"),
+        expr("top10 * 1000000 DIV tot").as("top10_ppm"),
+        expr("(tot - n_clusters) * 1000000 DIV tot").as("dup_ppm"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -205,5 +302,61 @@ object CurationQ {
         | round(0.5 * (n_l::DOUBLE / nn)
         |   * ln(2.0 * (n_l::DOUBLE / nn)
         |       / ((n_sl::DOUBLE / n_s) + (n_l::DOUBLE / nn))), 6) AS jsd_term_q
-        |FROM grid""".stripMargin)
+        |FROM grid""".stripMargin,
+
+    "t_unigram_lp" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(list_filter(string_split(t, ' '), w -> length(w) > 0)) AS tok
+         | FROM (SELECT doc_id, $NormSql AS t FROM documents)),
+         |vocab AS (SELECT tok, count(*) AS n_t FROM toks GROUP BY 1),
+         |tot AS (SELECT sum(n_t)::BIGINT AS tt FROM vocab)
+         |SELECT doc_id, count(*) AS n_tok,
+         | sum(CAST(round(1000000.0 * ln(n_t::DOUBLE / tt)) AS BIGINT))::BIGINT
+         |   AS sum_lp6,
+         | -(sum(CAST(round(1000000.0 * ln(n_t::DOUBLE / tt)) AS BIGINT))::BIGINT::DOUBLE)
+         |   / (count(*) * 1000000) AS mean_nll
+         |FROM toks JOIN vocab USING (tok), tot
+         |GROUP BY doc_id""".stripMargin,
+
+    "w44_rollmad" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |t1 AS (SELECT event_id, user_id,
+        |  list_sort(list(cents) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l
+        | FROM e),
+        |t2 AS (SELECT event_id, user_id, l,
+        |  l[(len(l) + 1) // 2] AS med FROM t1),
+        |t3 AS (SELECT event_id, user_id, med,
+        |  list_sort(list_transform(l, x -> abs(x - med))) AS d FROM t2)
+        |SELECT event_id, user_id, med AS roll_med5_cents,
+        | d[(len(d) + 1) // 2] AS roll_mad5_cents
+        |FROM t3""".stripMargin,
+
+    "m21_brier" ->
+      """WITH e AS (SELECT (event_id * 37) % 101 AS p_cents,
+        |  CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END::BIGINT AS o
+        | FROM events),
+        |b AS (SELECT p_cents // 10 AS bin, p_cents, o,
+        |  p_cents - 100 * o AS err FROM e)
+        |SELECT bin, count(*) AS n,
+        | sum(p_cents)::BIGINT AS sp, sum(o)::BIGINT AS so,
+        | sum(err * err)::BIGINT::DOUBLE / (10000 * count(*)) AS brier_bin,
+        | ((sum(p_cents)::BIGINT - 100 * sum(o)::BIGINT)
+        |   * (sum(p_cents)::BIGINT - 100 * sum(o)::BIGINT))::DOUBLE
+        |   / (10000 * count(*)) AS rel_term
+        |FROM b GROUP BY bin""".stripMargin,
+
+    "d_dupstats" ->
+      """WITH sizes AS (SELECT md5(text) AS h, count(*) AS sz
+        | FROM documents GROUP BY 1),
+        |total AS (SELECT sum(sz)::BIGINT AS tot,
+        |  count(*)::BIGINT AS n_clusters FROM sizes),
+        |top AS (SELECT sum(sz)::BIGINT AS top10
+        | FROM (SELECT sz FROM sizes ORDER BY sz DESC, h LIMIT 10))
+        |SELECT tot, n_clusters,
+        | top10 * 1000000 // tot AS top10_ppm,
+        | (tot - n_clusters) * 1000000 // tot AS dup_ppm
+        |FROM total, top""".stripMargin)
 }

@@ -60,6 +60,77 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)), "n_pos <= n_f")
   }
 
+  test("t_unigram_lp: micro-nat lattice is off-tick; surprisal positive") {
+    import spark.implicits._
+    val out = SparkEntry.queries("t_unigram_lp")(spark, dir).cache()
+    assert(out.filter(col("mean_nll") <= 0).count() == 0,
+      "log-probs are negative, so mean NLL must be positive")
+    // tick audit (ORACLE_NOTES rule 3): every vocab entry's scaled
+    // log-prob must sit far from a .5 rounding boundary relative to
+    // cross-engine ln noise (~1e-9 at the 1e6 scale).
+    val toks = graft.queries.Q.documents(spark, dir).select(
+      explode(graft.functions.Text.tokens(
+        graft.functions.Text.normalizeAz(col("text")))).as("tok"))
+    val vocab = toks.groupBy("tok").count()
+    val tt = vocab.agg(sum("count")).head().getLong(0)
+    val minDist = vocab.select((lit(1e6) *
+        log(col("count").cast("double") / tt)).as("lp"))
+      .select(abs(col("lp") - floor(col("lp")) - 0.5).as("dist"))
+      .agg(min("dist")).head().getDouble(0)
+    assert(minDist > 1e-6, s"vocab log-prob ${minDist} too close to a tick")
+    out.unpersist()
+  }
+
+  test("w44_rollmad matches a sequential median/MAD fold") {
+    val out = SparkEntry.queries("w44_rollmad")(spark, dir)
+      .orderBy("user_id", "event_id").collect()
+    // brute-force on the same source ordering
+    val src = graft.io.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, rows) =>
+        val sorted = rows.sortBy(t => (t._2, t._3))
+        def lowMed(xs: Seq[Long]): Long = {
+          val s = xs.sorted; s((s.length - 1) / 2)
+        }
+        u -> sorted.indices.map { i =>
+          val win = sorted.slice(math.max(0, i - 4), i + 1).map(_._4)
+          val m = lowMed(win.toSeq)
+          (sorted(i)._3, m, lowMed(win.map(x => math.abs(x - m)).toSeq))
+        }.map(t => t._1 -> (t._2, t._3)).toMap
+      }
+    out.foreach { r =>
+      val exp = src(r.getLong(1))(r.getLong(0))
+      assert((r.getLong(2), r.getLong(3)) == exp,
+        s"event ${r.getLong(0)}: got (${r.getLong(2)},${r.getLong(3)}) want $exp")
+    }
+  }
+
+  test("m21_brier: per-bin Brier and reliability invariants") {
+    val rows = SparkEntry.queries("m21_brier")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum > 0)
+    rows.foreach { r =>
+      val (n, sp, so) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val brier = r.getDouble(4); val rel = r.getDouble(5)
+      assert(brier >= 0 && brier <= 1, s"bin ${r.getLong(0)}: brier $brier")
+      // rel_term is the n-scaled reliability contribution n·(p̄−ō)²;
+      // per-row it is bounded by the bin's mean squared error.
+      assert(rel >= 0 && rel / n <= brier + 1e-12,
+        "per-row reliability cannot exceed the bin's Brier score")
+      val mean = (sp.toDouble / n / 100 - so.toDouble / n)
+      assert(approx(rel, n * mean * mean, 1e-6))
+    }
+  }
+
+  test("d_dupstats: ppm shares are consistent integers") {
+    val r = SparkEntry.queries("d_dupstats")(spark, dir).head()
+    val (tot, nc, top10, dup) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nc <= tot && top10 <= 1000000L && dup >= 0 && dup < 1000000L)
+    assert(dup == (tot - nc) * 1000000L / tot)
+  }
+
   test("a41_jsd: per-source term sums land in [0, ln 2]") {
     val out = SparkEntry.queries("a41_jsd")(spark, dir)
     val bySource = out.groupBy("source").agg(
