@@ -222,6 +222,50 @@ object CurationQ {
         col("tot"), col("n_clusters"),
         expr("top10 * 1000000 DIV tot").as("top10_ppm"),
         expr("(tot - n_clusters) * 1000000 DIV tot").as("dup_ppm"))
+    }),
+
+    // Zone-map construction + pruning decision — the data-skipping
+    // layer a 100 TB table needs (min/max per zone lets a predicate
+    // skip whole files without reading them; this is what parquet
+    // row-group stats and clustering keys buy). Stats on the exact
+    // cent lattice; the scan/skip decision is pure integer interval
+    // logic. One map-side-combinable groupBy.
+    "o16_zonemap" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val lo = lit(10000000L); val hi = lit(40000000L) // 100k..400k dollars-cents
+      lineitem(s, dir)
+        .select(expr("l_orderkey DIV 1000").as("zone"), cents.as("c"))
+        .groupBy("zone").agg(count(lit(1)).as("n"),
+          min("c").as("min_c"), max("c").as("max_c"))
+        .select(col("zone"), col("n"), col("min_c"), col("max_c"),
+          (!(col("max_c") < lo || col("min_c") > hi)).as("would_scan"))
+    }),
+
+    // Embedding centroid drift between two corpus halves, per label —
+    // the "did my embedding space move" monitor between ingest
+    // snapshots. Components are lifted to the integer milli lattice,
+    // so per-(label, dim) half-sums are exact BIGINTs; the cosine
+    // between half-centroids comes out of three BIGINT dot-sums with
+    // an IEEE tail (counts cancel in cosine, so no division until the
+    // end). Shuffles: one (label, dim) groupBy, one label groupBy.
+    "v_centroid_drift" -> ((s, dir) => {
+      val comps = embeddings(s, dir)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("ha"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("ha"), col("dim"),
+          round(col("x").cast("double") * 1000).cast("long").as("q"))
+      val byDim = comps.groupBy("label", "dim").agg(
+        sum(when(col("ha"), col("q")).otherwise(0L)).as("sa"),
+        sum(when(!col("ha"), col("q")).otherwise(0L)).as("sb"))
+      byDim.groupBy("label").agg(
+          sum(col("sa") * col("sb")).as("sab"),
+          sum(col("sa") * col("sa")).as("saa"),
+          sum(col("sb") * col("sb")).as("sbb"))
+        .select(col("label"), col("sab"), col("saa"), col("sbb"),
+          when(col("saa") > 0 && col("sbb") > 0,
+            col("sab").cast("double") /
+              (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
+            .as("cos_drift"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -358,5 +402,33 @@ object CurationQ {
         |SELECT tot, n_clusters,
         | top10 * 1000000 // tot AS top10_ppm,
         | (tot - n_clusters) * 1000000 // tot AS dup_ppm
-        |FROM total, top""".stripMargin)
+        |FROM total, top""".stripMargin,
+
+    "o16_zonemap" ->
+      """SELECT l_orderkey // 1000 AS zone, count(*) AS n,
+        | min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_c,
+        | max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_c,
+        | NOT (max(CAST(round(l_extendedprice * 100) AS BIGINT)) < 10000000
+        |   OR min(CAST(round(l_extendedprice * 100) AS BIGINT)) > 40000000)
+        |   AS would_scan
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "v_centroid_drift" ->
+      """WITH L AS (SELECT vec_id, label,
+        |  unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'d': i - 1, 'x': embedding[i]})) AS s FROM embeddings),
+        |p AS (SELECT label, vec_id % 2 = 0 AS ha, s.d::BIGINT AS dim,
+        |  CAST(round(s.x::DOUBLE * 1000) AS BIGINT) AS q FROM L),
+        |g AS (SELECT label, dim,
+        |  sum(CASE WHEN ha THEN q ELSE 0 END)::BIGINT AS sa,
+        |  sum(CASE WHEN NOT ha THEN q ELSE 0 END)::BIGINT AS sb
+        | FROM p GROUP BY label, dim),
+        |f AS (SELECT label, sum(sa * sb)::BIGINT AS sab,
+        |  sum(sa * sa)::BIGINT AS saa, sum(sb * sb)::BIGINT AS sbb
+        | FROM g GROUP BY label)
+        |SELECT label, sab, saa, sbb,
+        | CASE WHEN saa > 0 AND sbb > 0
+        |   THEN sab::DOUBLE / (sqrt(saa::DOUBLE) * sqrt(sbb::DOUBLE))
+        | END AS cos_drift
+        |FROM f""".stripMargin)
 }

@@ -20,8 +20,11 @@ object MlQ {
       Scaler.fitTransform(lineitem(s, dir), Seq("l_quantity", "l_extendedprice"))
         .select(
           col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-          r6(col("l_quantity_scaled")).as("q_scaled"),
-          r6(col("l_extendedprice_scaled")).as("p_scaled"))
+          // + 0.0 normalizes IEEE negative zero (ORACLE_NOTES rule 4):
+          // a row landing exactly on the column mean rounds to -0.0 in
+          // DuckDB, +0.0 here — caught at sf0.1 by the bit-exact check.
+          (r6(col("l_quantity_scaled")) + lit(0.0)).as("q_scaled"),
+          (r6(col("l_extendedprice_scaled")) + lit(0.0)).as("p_scaled"))
     }),
 
     // M10/net-new: leak-free out-of-fold target encoding — each row's
@@ -67,7 +70,7 @@ object MlQ {
       """WITH stats AS (SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
         |  avg(l_extendedprice) AS mp, stddev_samp(l_extendedprice) AS sp FROM lineitem)
         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        | round((l_quantity - mq) / sq, 6) AS q_scaled,
-        | round((l_extendedprice - mp) / sp, 6) AS p_scaled
+        | round((l_quantity - mq) / sq, 6) + 0.0 AS q_scaled,
+        | round((l_extendedprice - mp) / sp, 6) + 0.0 AS p_scaled
         |FROM lineitem, stats""".stripMargin)
 }

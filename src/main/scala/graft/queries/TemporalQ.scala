@@ -133,6 +133,31 @@ object TemporalQ {
       e.select(col("event_id"), m.as("ewm_mean"), (m2 - m * m).as("ewm_var"))
     }),
 
+    // W46/net-new: EWM correlation between two co-observed series —
+    // the online feature-vs-feature drift tracker. FIVE dyadic
+    // recursions (EWM of x, y, x², y², xy) sharing ONE window
+    // exchange+sort; every state is exact binary (w5_ema/w34 class),
+    // and the corr tail is pointwise correctly-rounded ops of
+    // bitwise-identical states — raw doubles, no rounding, portable.
+    // The second series is a deterministic integer-valued double so
+    // products with the raw parquet doubles stay correctly rounded.
+    "w46_ewmcorr" -> ((s, dir) => {
+      val entity = Seq(col("user_id"))
+      val ord = Seq(col("ts"), col("event_id"))
+      def ewm(c: org.apache.spark.sql.Column) =
+        graft.functions.EwmAvg.ewmAvg(c, 0.5, entity, ord)
+      val e = events(s, dir)
+        .withColumn("y", ((col("event_id") * 13) % 89).cast("double"))
+      val mx = ewm(col("value")); val my = ewm(col("y"))
+      val mxx = ewm(col("value") * col("value"))
+      val myy = ewm(col("y") * col("y"))
+      val mxy = ewm(col("value") * col("y"))
+      val vx = mxx - mx * mx; val vy = myy - my * my
+      e.select(col("event_id"),
+        when(vx > 0 && vy > 0, (mxy - mx * my) / sqrt(vx * vy))
+          .otherwise(lit(null).cast("double")).as("ewm_corr"))
+    }),
+
     // A33/net-new: lag-k autocorrelation per series — seasonality /
     // persistence screen. Formulated as the Pearson correlation of
     // (x_t, x_{t−3}) pairs, so it reuses the w30 exact-BIGINT recipe:
@@ -1159,6 +1184,27 @@ object TemporalQ {
          |   (acc, x) -> 0.5 * x + 0.5 * acc) AS m2
          | FROM events)
          |SELECT event_id, m AS ewm_mean, m2 - m * m AS ewm_var
+         |FROM f""".stripMargin,
+
+    "w46_ewmcorr" ->
+      s"""WITH s0 AS (SELECT event_id, user_id, ts, value,
+         |  ((event_id * 13) % 89)::DOUBLE AS y FROM events),
+         |f AS (SELECT event_id,
+         | list_reduce(list(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.5 * x + 0.5 * acc) AS mx,
+         | list_reduce(list(y) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.5 * x + 0.5 * acc) AS my,
+         | list_reduce(list(value * value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.5 * x + 0.5 * acc) AS mxx,
+         | list_reduce(list(y * y) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.5 * x + 0.5 * acc) AS myy,
+         | list_reduce(list(value * y) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   (acc, x) -> 0.5 * x + 0.5 * acc) AS mxy
+         | FROM s0)
+         |SELECT event_id,
+         | CASE WHEN mxx - mx * mx > 0 AND myy - my * my > 0
+         |   THEN (mxy - mx * my) / sqrt((mxx - mx * mx) * (myy - my * my))
+         | END AS ewm_corr
          |FROM f""".stripMargin,
 
     "a33_autocorr" ->

@@ -131,6 +131,95 @@ class CurationSpec extends SparkSpec {
     assert(dup == (tot - nc) * 1000000L / tot)
   }
 
+  test("g5_kcore: every surviving node keeps degree >= k at the fixpoint") {
+    // sf0.01: k=34 actually peels (~50% of nodes) — sf0.001's graph is
+    // too sparse to retain any 34-core.
+    val out = SparkEntry.queries("g5_kcore")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.nonEmpty && out.length < 1600,
+      s"peel must remove some of the 1600 nodes, kept ${out.length}")
+    assert(out.forall(_.getLong(1) >= 34), "k-core invariant violated")
+  }
+
+  test("w46_ewmcorr stays in [-1, 1] and matches a sequential fold") {
+    val out = SparkEntry.queries("w46_ewmcorr")(spark, dir).cache()
+    // near-degenerate windows (2 points -> |corr| = 1 exactly in real
+    // arithmetic) overshoot by FP epsilon; identically in both engines
+    assert(out.filter(col("ewm_corr") > 1.0 + 1e-9 ||
+      col("ewm_corr") < -1.0 - 1e-9).count() == 0)
+    // sequential five-state recursion on one user
+    val rows = graft.queries.Q.events(spark, dir)
+      .filter(col("user_id") === 1)
+      .orderBy("ts", "event_id")
+      .select(col("event_id"), col("value"),
+        ((col("event_id") * 13) % 89).cast("double").as("y"))
+      .collect()
+    var st = Option.empty[(Double, Double, Double, Double, Double)]
+    val expected = rows.map { r =>
+      val (x, y) = (r.getDouble(1), r.getDouble(2))
+      val nx = st match {
+        case None => (x, y, x * x, y * y, x * y)
+        case Some((mx, my, mxx, myy, mxy)) =>
+          (0.5 * x + 0.5 * mx, 0.5 * y + 0.5 * my, 0.5 * (x * x) + 0.5 * mxx,
+            0.5 * (y * y) + 0.5 * myy, 0.5 * (x * y) + 0.5 * mxy)
+      }
+      st = Some(nx)
+      val (mx, my, mxx, myy, mxy) = nx
+      val vx = mxx - mx * mx; val vy = myy - my * my
+      r.getLong(0) -> (if (vx > 0 && vy > 0)
+        Some((mxy - mx * my) / math.sqrt(vx * vy)) else None)
+    }.toMap
+    val got = out.filter(col("event_id").isin(expected.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    expected.foreach { case (id, e) =>
+      (e, got(id)) match {
+        case (Some(a), Some(b)) => assert(a == b, s"event $id: $a != $b (bitwise)")
+        case (a, b) => assert(a == b, s"event $id: $a != $b")
+      }
+    }
+    out.unpersist()
+  }
+
+  test("o16_zonemap: pruning decision consistent with zone ranges") {
+    val rows = SparkEntry.queries("o16_zonemap")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, scan) = (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(mn <= mx)
+      assert(scan == !(mx < 10000000L || mn > 40000000L))
+    }
+  }
+
+  test("v_centroid_drift: identical halves give cosine 1") {
+    import spark.implicits._
+    // planted: same 3 vectors in both halves (vec_id parity = half)
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), 7), (1L, Array(1.0f, 2.0f, 3.0f), 7),
+      (2L, Array(-1.0f, 0.5f, 2.0f), 7), (3L, Array(-1.0f, 0.5f, 2.0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    vecs.createOrReplaceTempView("__cd_fixture")
+    // inline kernel (same math as the registered query)
+    val comps = vecs.select(col("label"), (col("vec_id") % 2 === 0).as("ha"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("ha"), col("dim"),
+        round(col("x").cast("double") * 1000).cast("long").as("q"))
+    val byDim = comps.groupBy("label", "dim").agg(
+      sum(when(col("ha"), col("q")).otherwise(0L)).as("sa"),
+      sum(when(!col("ha"), col("q")).otherwise(0L)).as("sb"))
+    val r = byDim.groupBy("label").agg(
+        sum(col("sa") * col("sb")).as("sab"),
+        sum(col("sa") * col("sa")).as("saa"),
+        sum(col("sb") * col("sb")).as("sbb"))
+      .select((col("sab").cast("double") /
+        (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
+        .as("cos")).head().getDouble(0)
+    assert(approx(r, 1.0, 1e-12), s"identical halves must give cos 1, got $r")
+    val real = SparkEntry.queries("v_centroid_drift")(spark, dir).collect()
+    assert(real.forall(r => r.isNullAt(4) ||
+      (r.getDouble(4) <= 1.0 + 1e-12 && r.getDouble(4) >= -1.0 - 1e-12)))
+  }
+
   test("a41_jsd: per-source term sums land in [0, ln 2]") {
     val out = SparkEntry.queries("a41_jsd")(spark, dir)
     val bySource = out.groupBy("source").agg(
