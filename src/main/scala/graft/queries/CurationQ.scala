@@ -266,6 +266,99 @@ object CurationQ {
             col("sab").cast("double") /
               (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
             .as("cos_drift"))
+    }),
+
+    // Herfindahl–Hirschman concentration of the corpus per language —
+    // "is one source dominating my ingest mix". HHI = Σ share² =
+    // (Σ n_i²) / N², so both sums stay exact BIGINTs and ONE division
+    // produces the double. Two tiny aggregates, no float sums.
+    "a43_hhi" -> ((s, dir) => {
+      val cells = documents(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+      cells.groupBy("lang").agg(
+          sum(col("n") * col("n")).as("ss"),
+          sum(col("n")).as("tot"),
+          count(lit(1)).as("n_sources"))
+        .select(col("lang"), col("n_sources"), col("tot"),
+          (col("ss").cast("double") / (col("tot") * col("tot")))
+            .as("hhi"))
+    }),
+
+    // NDCG@10 per query group on an integer discount lattice: the
+    // position discounts 1/log2(i+1) are integerized ONCE as
+    // round(1e6/log2(i+1)) constants, so DCG and ideal-DCG are exact
+    // BIGINT dot products over graded relevance and the final NDCG is
+    // one division. Relevance is a deterministic function of ids
+    // (synthetic judgments); ranking = the model-score order. The
+    // eval op every retrieval/curation pipeline needs, with zero
+    // float-sum drift by construction.
+    "m22_ndcg" -> ((s, dir) => {
+      val w6: Seq[Long] = (1 to 10).map(i =>
+        math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+      val wArr = array(w6.map(lit): _*)
+      val e = graft.io.Tables.eventsUs(s, dir).select(
+        (col("event_id") % 50).as("qid"),
+        col("event_id"),
+        ((col("event_id") * 31) % 97).as("score"),
+        ((col("event_id") * 17) % 4).as("rel"))
+      val byScore = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("event_id"))
+      val byRel = Window.partitionBy("qid")
+        .orderBy(col("rel").desc, col("event_id"))
+      val ranked = e
+        .withColumn("r_model", row_number().over(byScore))
+        .withColumn("r_ideal", row_number().over(byRel))
+      val dcg = sum(when(col("r_model") <= 10,
+        col("rel") * element_at(wArr, col("r_model"))).otherwise(0L))
+      val idcg = sum(when(col("r_ideal") <= 10,
+        col("rel") * element_at(wArr, col("r_ideal"))).otherwise(0L))
+      ranked.groupBy("qid").agg(dcg.as("dcg6"), idcg.as("idcg6"))
+        .select(col("qid"), col("dcg6"), col("idcg6"),
+          when(col("idcg6") > 0,
+            col("dcg6").cast("double") / col("idcg6"))
+            .as("ndcg10"))
+    }),
+
+    // Leave-one-out group aggregate — the per-ROW twin of out-of-fold
+    // target encoding (m10): each row sees its group's mean computed
+    // WITHOUT itself, (S − x)/(n − 1) over exact integer sums. One
+    // window exchange on the group key, no self-join.
+    "m23_loo" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      val wg = Window.partitionBy("user_id", "event_type")
+      val e = graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents.as("c"))
+      e.select(col("event_id"), col("user_id"), col("event_type"),
+        count(lit(1)).over(wg).as("n_g"),
+        when(count(lit(1)).over(wg) > 1,
+          (sum(col("c")).over(wg) - col("c")).cast("double") /
+            (count(lit(1)).over(wg) - 1))
+          .otherwise(lit(null).cast("double")).as("loo_mean_cents"))
+    }),
+
+    // Running maximum WITH the id that achieved it (argmax-to-date) —
+    // the "best checkpoint so far" scan. Value and id are packed into
+    // one BIGINT (cents·2²⁴ + event_id, both bounded) so a plain
+    // running max is simultaneously tie-safe argmax: on equal cents
+    // the larger event_id (latest) wins, decided in integers
+    // (ORACLE_NOTES packed-argmin corollary, flipped to max).
+    "w48_runmax_id" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val e = graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      // offset keeps the pack positive for any cents >= -10^6; the id
+      // field is 24 bits (ids here are < 10^5; widen the shift before
+      // ids reach 16.7M)
+      e.withColumn("__p",
+          max((col("cents") + lit(1000000L)) * lit(16777216L) +
+            col("event_id")).over(w))
+        .select(col("event_id"), col("user_id"),
+          (expr("__p DIV 16777216") - 1000000L).as("runmax_cents"),
+          pmod(col("__p"), lit(16777216L)).as("argmax_event_id"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -430,5 +523,58 @@ object CurationQ {
         | CASE WHEN saa > 0 AND sbb > 0
         |   THEN sab::DOUBLE / (sqrt(saa::DOUBLE) * sqrt(sbb::DOUBLE))
         | END AS cos_drift
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    "a43_hhi" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n
+        | FROM documents GROUP BY 1, 2)
+        |SELECT lang, count(*)::BIGINT AS n_sources, sum(n)::BIGINT AS tot,
+        | sum(n * n)::BIGINT::DOUBLE / (sum(n)::BIGINT * sum(n)::BIGINT) AS hhi
+        |FROM cells GROUP BY lang""".stripMargin,
+
+    "m22_ndcg" -> {
+      // the SAME integerized discounts the Spark side uses, emitted
+      // into the SQL literally so both engines share identical longs
+      val w6 = (1 to 10).map(i =>
+        math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+      val lst = w6.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT event_id % 50 AS qid, event_id,
+         |  (event_id * 31) % 97 AS score, (event_id * 17) % 4 AS rel
+         | FROM events),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, event_id) AS rm,
+         |  row_number() OVER (PARTITION BY qid ORDER BY rel DESC, event_id) AS ri
+         | FROM e),
+         |g AS (SELECT qid,
+         |  sum(CASE WHEN rm <= 10 THEN rel * ($lst)[rm] ELSE 0 END)::BIGINT AS dcg6,
+         |  sum(CASE WHEN ri <= 10 THEN rel * ($lst)[ri] ELSE 0 END)::BIGINT AS idcg6
+         | FROM r GROUP BY qid)
+         |SELECT qid, dcg6, idcg6,
+         | CASE WHEN idcg6 > 0 THEN dcg6::DOUBLE / idcg6 END AS ndcg10
+         |FROM g""".stripMargin
+    },
+
+    "m23_loo" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT event_id, user_id, event_type,
+        | count(*) OVER (PARTITION BY user_id, event_type) AS n_g,
+        | CASE WHEN count(*) OVER (PARTITION BY user_id, event_type) > 1 THEN
+        |  (sum(c) OVER (PARTITION BY user_id, event_type)::BIGINT - c)::DOUBLE
+        |    / (count(*) OVER (PARTITION BY user_id, event_type) - 1)
+        | END AS loo_mean_cents
+        |FROM e""".stripMargin,
+
+    "w48_runmax_id" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |p AS (SELECT event_id, user_id,
+        |  max((cents + 1000000) * 16777216 + event_id) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+        | FROM e)
+        |SELECT event_id, user_id,
+        | mp // 16777216 - 1000000 AS runmax_cents,
+        | mp % 16777216 AS argmax_event_id
+        |FROM p""".stripMargin)
 }
