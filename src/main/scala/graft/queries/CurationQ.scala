@@ -359,6 +359,84 @@ object CurationQ {
         .select(col("event_id"), col("user_id"),
           (expr("__p DIV 16777216") - 1000000L).as("runmax_cents"),
           pmod(col("__p"), lit(16777216L)).as("argmax_event_id"))
+    }),
+
+    // Epoch-weighted dataset mixing (the Pile/Dolma recipe): each
+    // source gets an integer epoch multiplier and its docs are
+    // replicated once per epoch with an epoch index — downstream
+    // shuffling (t_shard) then interleaves. explode(sequence(1, w))
+    // is map-side only; the weights ride a broadcast join. Integer
+    // end to end.
+    "t_epoch_mix" -> ((s, dir) => {
+      // the mixing config: a tiny broadcast weights table (epochs 1-4
+      // per source, deterministic so the oracle carries the same VALUES)
+      val wdf = s.createDataFrame(
+        (0 until 20).map(i => (s"src$i", (i % 4 + 1).toLong)))
+        .toDF("source", "epochs")
+      documents(s, dir).select(col("doc_id"), col("source"))
+        .join(broadcast(wdf), Seq("source"), "inner")
+        .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    // Maximum-inner-product top-k (MIPS — the retrieval scoring that
+    // cosine ANN can't serve when magnitude matters, e.g. popularity-
+    // weighted item embeddings). Components ride the integer milli
+    // lattice, so every query·candidate dot is an exact BIGINT and
+    // top-k needs no float comparison anywhere. Query vectors are a
+    // 5-row broadcast; candidates stream map-side; one window top-k.
+    "v_mips_topk" -> ((s, dir) => {
+      val comps = embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          round(col("x").cast("double") * 1000).cast("long").as("q"))
+      val queries = comps.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("dim"), col("q").as("qq"))
+      val dots = comps.filter(col("vec_id") >= 5)
+        .join(broadcast(queries), "dim")
+        .groupBy("qid", "vec_id")
+        .agg(sum(col("q") * col("qq")).as("dot6"))
+      val wk = Window.partitionBy("qid")
+        .orderBy(col("dot6").desc, col("vec_id"))
+      dots.withColumn("rk", row_number().over(wk).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"), col("dot6"))
+    }),
+
+    // Wald–Wolfowitz runs test per series — "is this metric stream
+    // random or regime-switching" (drift triage beyond mean/variance).
+    // Above/below the per-user MEDIAN cent value (exact type-1 lower
+    // median via the a29 cumulative-weight rule would also do; here
+    // the tie-free >= split on the exact integer median of distinct
+    // ordering). Counts n1/n2/runs are exact; the z-statistic is a
+    // chain of IEEE ops over exact integers, mirrored token-for-token.
+    "a45_runs" -> ((s, dir) => {
+      val e = graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("c"))
+      val wMed = Window.partitionBy("user_id")
+      val wSeq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val med = element_at(sort_array(collect_list(col("c")).over(wMed)),
+        floor((count(lit(1)).over(wMed) + 1) / 2).cast("int"))
+      val marked = e.withColumn("above", (col("c") > med).cast("long"))
+      val runs = marked
+        .withColumn("brk",
+          when(lag(col("above"), 1).over(wSeq).isNull ||
+            lag(col("above"), 1).over(wSeq) =!= col("above"), 1L)
+            .otherwise(0L))
+      val g = runs.groupBy("user_id").agg(
+        sum("above").as("n1"),
+        (count(lit(1)) - sum("above")).as("n2"),
+        sum("brk").as("runs"))
+      val n = col("n1") + col("n2")
+      val mu = lit(2.0) * col("n1") * col("n2") / n + lit(1.0)
+      val sg = sqrt((lit(2.0) * col("n1") * col("n2") *
+        (lit(2.0) * col("n1") * col("n2") - n)).cast("double") /
+        (n * n * (n - 1)).cast("double"))
+      g.select(col("user_id"), col("n1"), col("n2"), col("runs"),
+        when(col("n1") > 0 && col("n2") > 0 && n > 1,
+          (col("runs").cast("double") - mu) / sg)
+          .otherwise(lit(null).cast("double")).as("z"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -576,5 +654,56 @@ object CurationQ {
         |SELECT event_id, user_id,
         | mp // 16777216 - 1000000 AS runmax_cents,
         | mp % 16777216 AS argmax_event_id
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+
+    "t_epoch_mix" -> {
+      val vals = (0 until 20).map(i => s"('src$i', ${i % 4 + 1})")
+        .mkString(", ")
+      s"""WITH w(source, epochs) AS (VALUES $vals)
+         |SELECT doc_id, source,
+         | unnest(range(1, epochs + 1))::BIGINT AS epoch
+         |FROM documents JOIN w USING (source)""".stripMargin
+    },
+
+    "v_mips_topk" ->
+      """WITH L AS (SELECT vec_id,
+        |  unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'d': i - 1, 'x': embedding[i]})) AS s FROM embeddings),
+        |p AS (SELECT vec_id, s.d::BIGINT AS dim,
+        |  CAST(round(s.x::DOUBLE * 1000) AS BIGINT) AS q FROM L),
+        |dots AS (SELECT qv.vec_id AS qid, cv.vec_id AS vec_id,
+        |  sum(cv.q * qv.q)::BIGINT AS dot6
+        | FROM p cv JOIN p qv ON qv.dim = cv.dim
+        | WHERE qv.vec_id < 5 AND cv.vec_id >= 5
+        | GROUP BY 1, 2),
+        |r AS (SELECT qid, vec_id, dot6,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot6 DESC, vec_id)
+        |    AS rk
+        | FROM dots)
+        |SELECT qid, rk::BIGINT AS rk, vec_id, dot6
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    "a45_runs" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT *, (list_sort(list(c) OVER (PARTITION BY user_id)))
+        |  [(count(*) OVER (PARTITION BY user_id) + 1) // 2] AS med FROM e),
+        |k AS (SELECT *, (CASE WHEN c > med THEN 1 ELSE 0 END)::BIGINT
+        |  AS above FROM m),
+        |r AS (SELECT *, (CASE WHEN
+        |    lag(above) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      IS NULL
+        |    OR lag(above) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      != above THEN 1 ELSE 0 END)::BIGINT AS brk
+        |  FROM k),
+        |g AS (SELECT user_id, sum(above)::BIGINT AS n1,
+        |  (count(*) - sum(above))::BIGINT AS n2, sum(brk)::BIGINT AS runs
+        | FROM r GROUP BY user_id)
+        |SELECT user_id, n1, n2, runs,
+        | CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+        |  (runs::DOUBLE - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+        |  / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)))
+        |     / CAST((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1) AS DOUBLE))
+        | END AS z
+        |FROM g""".stripMargin)
 }

@@ -294,6 +294,59 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("t_epoch_mix: replication count equals the source's epoch weight") {
+    val out = SparkEntry.queries("t_epoch_mix")(spark, dir)
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .collect()
+    perDoc.foreach { r =>
+      val want = r.getString(1).drop(3).toInt % 4 + 1
+      assert(r.getLong(2) == want && r.getLong(3) == want && r.getLong(4) == 1,
+        s"doc ${r.getLong(0)} source ${r.getString(1)}: epochs 1..$want expected")
+    }
+  }
+
+  test("v_mips_topk matches brute-force exact integer dots") {
+    val vecs = graft.queries.Q.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1)
+          .map(x => math.round(x.toDouble * 1000)).toArray).toMap
+    val queries = vecs.filterKeys(_ < 5)
+    val cands = vecs.filterKeys(_ >= 5)
+    val out = SparkEntry.queries("v_mips_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    queries.foreach { case (qid, q) =>
+      val want = cands.toSeq.map { case (cid, c) =>
+        (cid, q.zip(c).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (cid, d) => (-d, cid) }.take(5)
+      want.zipWithIndex.foreach { case ((cid, d), i) =>
+        assert(out((qid, i + 1L)) == (cid, d),
+          s"query $qid rank ${i + 1}: want ($cid,$d) got ${out((qid, i + 1L))}")
+      }
+    }
+  }
+
+  test("a45_runs: runs count matches a sequential scan; z centered") {
+    val out = SparkEntry.queries("a45_runs")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val byUser = graft.io.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val seq0 = rows.sortBy(t => (t._2, t._3)).map(_._4).toSeq
+      val med = seq0.sorted.apply((seq0.length - 1) / 2)
+      val above = seq0.map(_ > med)
+      val runs = 1 + above.sliding(2).count {
+        case scala.collection.Seq(a, b) => a != b; case _ => false }
+      val r = out(u)
+      assert(r.getLong(3) == runs, s"user $u: runs ${r.getLong(3)} != $runs")
+      assert(r.getLong(1) == above.count(identity))
+    }
+  }
+
   test("a41_jsd: per-source term sums land in [0, ln 2]") {
     val out = SparkEntry.queries("a41_jsd")(spark, dir)
     val bySource = out.groupBy("source").agg(
