@@ -26,7 +26,7 @@ object SparkEntry {
       TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries ++
       PipelineQ.queries ++ IoQ.queries ++ FeatureStageQ.queries ++
       CorpusQ.queries ++ EventsQ.queries ++ GraphQ.queries ++
-      CurationQ.queries
+      CurationQ.queries ++ Curation2Q.queries ++ Curation3Q.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       TrackingQ.oracle ++ LlmQ.oracle ++ MlQ.oracle ++
       PipelineQ.oracle ++ IoQ.oracle ++ FeatureStageQ.oracle ++
       CorpusQ.oracle ++ EventsQ.oracle ++ GraphQ.oracle ++
-      CurationQ.oracle
+      CurationQ.oracle ++ Curation2Q.oracle ++ Curation3Q.oracle
 }

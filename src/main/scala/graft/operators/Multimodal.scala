@@ -308,6 +308,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** VAD (voice-activity detection) frame stats over s16le PCM: the
+    * payload is framed into `frame`-sample windows; a frame is voiced
+    * when its exact sum of absolute amplitudes reaches `threshold`.
+    * Emits frame count, voiced-frame count, and the number of voiced
+    * SEGMENTS (maximal runs of consecutive voiced frames) — the
+    * speech-span statistic an audio curation pipeline uses to drop
+    * silence-heavy clips. All-integer per-blob outputs; map-side only
+    * (payload bytes never shuffle); the trailing partial frame is
+    * dropped (standard framing). Null/torn payloads → null metadata. */
+  val vadSchema: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("n_voiced", LongType),
+    StructField("n_segments", LongType)))
+
+  def vadStats(df: DataFrame, payloadCol: String, frame: Int = 100,
+               threshold: Long = 100000L): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ vadSchema.fields)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = Seq(null, null, null)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        if (bytes == null || bytes.length % 2 != 0) Row.fromSeq(r.toSeq ++ nulls)
+        else {
+          val sb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val nf = sb.limit() / frame
+          var voiced = 0L
+          var segs = 0L
+          var prev = false
+          var f = 0
+          while (f < nf) {
+            var s = 0L
+            var i = f * frame
+            val end = i + frame
+            while (i < end) { s += math.abs(sb.get(i).toInt); i += 1 }
+            val v = s >= threshold
+            if (v) { voiced += 1; if (!prev) segs += 1 }
+            prev = v
+            f += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](nf, voiced, segs))
+        }
+      }
+    }(enc)
+  }
+
   /** Distributed decode: per-partition batch over the binary column.
     * Runs map-side (no shuffle of payload bytes); output appends the
     * metadata struct fields. */
