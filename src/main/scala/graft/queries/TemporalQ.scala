@@ -574,6 +574,61 @@ object TemporalQ {
       }
     }),
 
+    // W50/streaming: timeout sessionization through transformWithState
+    // EVENT-TIME TIMERS (the 4th arbitrary-state primitive after
+    // Value/List/Map state): sessions close either inline on an
+    // in-batch gap or from handleExpiredTimer when the watermark
+    // passes the per-key idle timer — emission-path-invariant content,
+    // so the batch gap-sessionization SQL is the exact oracle. The
+    // w37 sentinel-flush pattern pushes the final watermark past every
+    // real session's timeout. Gap = 10 min (the w20 batch constant).
+    "w50_stream_timer" -> ((s, dir) => {
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val ev = events(s, dir)
+        val flushDir = java.nio.file.Files.createTempDirectory(
+          "graft_w50_flush").toString
+        ev.groupBy("user_id")
+          .agg(max(col("ts")).as("mx"))
+          .select(lit(-1L).as("event_id"),
+            (max(col("mx")).over(Window.partitionBy()) +
+              expr("INTERVAL 5 HOURS")).as("ts"),
+            col("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit("").as("props"))
+          .write.mode("overwrite").parquet(flushDir)
+        val flushSrc = s.readStream.schema(ev.schema)
+          .option("pathGlobFilter", "*.parquet").parquet(flushDir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val stream = eventsStream(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .union(flushSrc)
+          .withWatermark("ts", "10 seconds")
+        val obs = stream.select(
+            col("user_id").cast("string").as("key"),
+            unix_micros(col("ts")).as("ts"),
+            col("event_id").cast("long").as("id"), col("value"))
+          .as[graft.streaming.Obs]
+        val out = obs.groupByKey(_.key)
+          .transformWithState(
+            new graft.streaming.SessionTimerProcessor(600000000L),
+            TimeMode.EventTime(), OutputMode.Append())
+        runStream(s, "w50_stream_timer_sink", out)
+          .filter(col("session_first") >= 0)
+          .select(col("key").cast("long").as("user_id"),
+            col("session_first"), col("n_events"), col("sum_cents"))
+      } finally prev match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     // W37/streaming: TRUE streaming sessionization — the w9 batch
     // session_window expression run under readStream + watermark in
     // APPEND mode (the only mode session aggregation supports), with
@@ -1517,6 +1572,23 @@ object TemporalQ {
          |SELECT user_id, min(event_id) AS session_first,
          | count(*) AS n_events, round(sum(value), 6) AS val_sum
          |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "w50_stream_timer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts_us) OVER
+        |   (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |   OR ts_us - lag(ts_us) OVER
+        |   (PARTITION BY user_id ORDER BY ts_us, event_id) > 600000000
+        |   THEN 1 ELSE 0 END AS is_new FROM e),
+        |x AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND CURRENT ROW) AS sid FROM g),
+        |y AS (SELECT *, first_value(event_id) OVER (PARTITION BY user_id,
+        |   sid ORDER BY ts_us, event_id) AS first_id FROM x)
+        |SELECT user_id, first_id AS session_first,
+        | count(*) AS n_events, sum(cents)::BIGINT AS sum_cents
+        |FROM y GROUP BY user_id, first_id""".stripMargin,
 
     "w13_pctrank" ->
       """SELECT event_id,

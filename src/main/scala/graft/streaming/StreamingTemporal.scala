@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming variants of the temporal operators (net-new;
   * the reference is pure batch — SURVEY §2.10): the same EMA / rolling
@@ -31,6 +31,9 @@ case class KeyStats(key: String, n: Long, max_value: Double)
 case class TopKOut(key: String, id: Long, value: Double, rnk: Int)
 case class TypedObs(key: String, typ: String, id: Long)
 case class TypeCount(key: String, typ: String, n: Long)
+case class SessTimerOut(key: String, session_first: Long, n_events: Long,
+                        sum_cents: Long)
+case class SessTimerState(first: Long, n: Long, sum: Long, last: Long)
 
 /** Spark 4 arbitrary-state API ([[StatefulProcessor]]) — running
   * per-key count + max, emitted once per key per micro-batch. The
@@ -117,6 +120,69 @@ class TypeCountsProcessor
       counts.updateValue(r.typ, c + 1)
     }
     counts.iterator().map { case (t, n) => TypeCount(key, t, n) }
+  }
+}
+
+/** Gap-timeout sessionization through transformWithState EVENT-TIME
+  * TIMERS — the fourth transformWithState primitive after Value (w19)
+  * / List (w36) / Map (w38) state: rows inside a batch close sessions
+  * inline on a strict `gap` exceedance; the per-key idle timer —
+  * re-armed to lastSeen + gap on every input, stale timers deleted —
+  * closes a session from [[handleExpiredTimer]] once the watermark
+  * passes its timeout with NO newer input, the path a live
+  * low-traffic key depends on in production. Both paths emit the
+  * identical session row (exact integer first-id/count/cent-sum), and
+  * a session is closed exactly once (input-path deletes the timer;
+  * timer-path clears the state), so output CONTENT is invariant to
+  * how the engine batches the files — the property that makes the
+  * query oracle-able. StreamingSpec forces the timer-only closure
+  * deterministically via a two-run checkpoint restart.
+  * Top-level class: processors are serialized to executors. */
+class SessionTimerProcessor(gapUs: Long)
+    extends StatefulProcessor[String, Obs, SessTimerOut] {
+  @transient private var st: ValueState[SessTimerState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SessTimerState]("sess",
+      Encoders.product[SessTimerState], TTLConfig.NONE)
+
+  /** One live timer per key: the current session's timeout. The +1 ms
+    * keeps the ms-granular expiry strictly after the micro-precise
+    * timeout instant. */
+  private def rearm(lastUs: Long): Unit = {
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(lastUs / 1000 + gapUs / 1000 + 1)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[Obs],
+                               timerValues: TimerValues): Iterator[SessTimerOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(r => (r.ts, r.id))
+    val out = Seq.newBuilder[SessTimerOut]
+    var cur = if (st.exists()) Option(st.get()) else None
+    sorted.foreach { r =>
+      // floor(x+0.5) == BigDecimal HALF_UP on the positive cent lattice
+      val c = math.round(r.value * 100)
+      cur match {
+        case Some(sess) if r.ts - sess.last > gapUs =>
+          out += SessTimerOut(key, sess.first, sess.n, sess.sum)
+          cur = Some(SessTimerState(r.id, 1L, c, r.ts))
+        case Some(sess) =>
+          cur = Some(SessTimerState(sess.first, sess.n + 1L, sess.sum + c, r.ts))
+        case None =>
+          cur = Some(SessTimerState(r.id, 1L, c, r.ts))
+      }
+    }
+    cur.foreach { sess => st.update(sess); rearm(sess.last) }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessTimerOut] = {
+    if (st.exists()) {
+      val sess = st.get()
+      st.clear()
+      Iterator.single(SessTimerOut(key, sess.first, sess.n, sess.sum))
+    } else Iterator.empty
   }
 }
 

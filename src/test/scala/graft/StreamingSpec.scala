@@ -100,6 +100,48 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState timers: idle session closes via handleExpiredTimer only") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val feed = MemoryStream[Obs]
+      val H = 3600L * 1000000L
+      // event-time mode needs a watermarked timestamp on the input;
+      // the micros long round-trips through timestamp_micros exactly
+      val withTime = feed.toDS()
+        .withColumn("ets", timestamp_micros(col("ts")))
+        .withWatermark("ets", "0 seconds")
+        .select(col("key"), col("ts"), col("id"), col("value")).as[Obs]
+      val out = withTime.groupByKey(_.key)
+        .transformWithState(
+          new graft.streaming.SessionTimerProcessor(60L * 1000000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = out.writeStream.format("memory").queryName("timer_out")
+        .outputMode("append").start()
+      try {
+        feed.addData(Seq(Obs("a", 1000000L, 1, 10.0), Obs("a", 2000000L, 2, 5.0)))
+        q.processAllAvailable()
+        assert(spark.table("timer_out").isEmpty,
+          "a's session is still open — nothing may be emitted yet")
+        // advance the watermark far past a's 60s idle timer via a
+        // DIFFERENT key; a gets NO further input, so only the timer
+        // can close its session
+        feed.addData(Seq(Obs("b", 10 * H, 3, 1.0)))
+        q.processAllAvailable()
+        feed.addData(Seq(Obs("b", 10 * H + 1000000L, 4, 2.0)))
+        q.processAllAvailable()
+        val rows = spark.table("timer_out")
+          .select("key", "session_first", "n_events", "sum_cents")
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(rows == Set(("a", 1L, 2L, 1500L)),
+          s"timer must close a's session (and only a's): $rows")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState MapState: per-category counts continue across batches") {
     implicit val sq = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
