@@ -26,7 +26,8 @@ object SparkEntry {
       TrackingQ.queries ++ LlmQ.queries ++ MlQ.queries ++
       PipelineQ.queries ++ IoQ.queries ++ FeatureStageQ.queries ++
       CorpusQ.queries ++ EventsQ.queries ++ GraphQ.queries ++
-      CurationQ.queries ++ Curation2Q.queries ++ Curation3Q.queries
+      CurationQ.queries ++ Curation2Q.queries ++ Curation3Q.queries ++
+      Curation4Q.queries ++ Curation5Q.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       TrackingQ.oracle ++ LlmQ.oracle ++ MlQ.oracle ++
       PipelineQ.oracle ++ IoQ.oracle ++ FeatureStageQ.oracle ++
       CorpusQ.oracle ++ EventsQ.oracle ++ GraphQ.oracle ++
-      CurationQ.oracle ++ Curation2Q.oracle ++ Curation3Q.oracle
+      CurationQ.oracle ++ Curation2Q.oracle ++ Curation3Q.oracle ++
+      Curation4Q.oracle ++ Curation5Q.oracle
 }

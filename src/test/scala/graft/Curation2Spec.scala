@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Semantic properties of the round-5 batch-2/3 operators (Curation2Q /
+  * Curation3Q). The driver's DuckDB gate covers value parity; these pin
+  * the meaning: interval-merge coverage, canonical-pick invariants,
+  * DSIR separation, PQ encoding optimality, incremental-merge algebra.
+  */
+class Curation2Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d_ngram_coverage: shared runs merge into exact covered intervals") {
+    import spark.implicits._
+    // A and B share exactly the 5-gram "a b c d e"; C shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e y z w q"),
+      (3L, "totally different words with no overlap here at all")
+    ).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"),
+        graft.functions.Text.tokens(
+          graft.functions.Text.normalizeAz(col("text"))).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tok"))
+    val grams = base.filter(col("n_tok") >= 5)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1L), col("n_tok") - 4),
+          i => array_join(slice(col("t"), i.cast("int"), lit(5)), " ")))
+        .as(Seq("p", "gram")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("st"), col("gram"))
+    val shared = grams.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val iv = grams.join(shared, "gram")
+      .select(col("doc_id"), col("st"), (col("st") + 4).as("en"))
+    val w = Window.partitionBy("doc_id").orderBy("st")
+    val prevMax = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val cov = iv
+      .withColumn("nw", when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+      .withColumn("isl", sum("nw").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl").agg((max("en") - min("st") + 1).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cov.getOrElse(1L, 0L) == 5L, s"doc 1 covers the shared 5 tokens: $cov")
+    assert(cov.getOrElse(2L, 0L) == 5L, s"doc 2 covers the shared 5 tokens: $cov")
+    assert(!cov.contains(3L), s"doc 3 shares nothing: $cov")
+  }
+
+  test("d_ngram_coverage invariants on real docs") {
+    val out = SparkEntry.queries("d_ngram_coverage")(spark, dir).cache()
+    assert(out.filter(col("covered_tok") > col("n_tok")).count() == 0,
+      "coverage cannot exceed the doc")
+    assert(out.filter(col("covered_ppm") > 1000000L).count() == 0)
+    assert(out.filter(col("covered_tok") < 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("d_canonical: one canonical per cluster, and it is a member") {
+    val out = SparkEntry.queries("d_canonical")(spark, dir).cache()
+    val perCluster = out.groupBy("canon_id").agg(
+      sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canon"),
+      max(col("cluster_sz")).as("sz"), count(lit(1)).as("n"))
+    assert(perCluster.filter(col("n_canon") =!= 1L).count() == 0,
+      "exactly one canonical per cluster")
+    assert(perCluster.filter(col("n") =!= col("sz")).count() == 0,
+      "cluster_sz equals the member count")
+    // the canonical id is always one of the cluster's doc ids
+    assert(out.filter(col("is_canonical") && col("doc_id") =!= col("canon_id"))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("t_dsir: English docs score higher than non-English on the en-target LM") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val out = SparkEntry.queries("t_dsir")(spark, dir).join(docs, "doc_id")
+    val m = out.groupBy(col("lang") === "en")
+      .agg(avg(col("dsir6").cast("double") / col("n_tok")).as("mw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false),
+      s"per-token importance must separate en from the rest: $m")
+  }
+
+  test("t_bpe_learn: ranks ordered, pairs are 2 chars, top count is exact") {
+    val rows = SparkEntry.queries("t_bpe_learn")(spark, dir)
+      .orderBy("rk").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getString(1).length == 2))
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing in rank")
+    // recompute the top pair's count directly
+    val top = rows.head.getString(1)
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.functions.Text.tokens(
+        graft.functions.Text.normalizeAz(col("text")))).as("w"))
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("j"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w").substr(col("j"), lit(2)).as("pair"))
+      .filter(col("pair") === top).count()
+    assert(direct == rows.head.getLong(2),
+      s"top pair '$top': direct=$direct vs ${rows.head.getLong(2)}")
+  }
+
+  test("m24_robust: scaled value recomputes from per-user median/IQR") {
+    val out = SparkEntry.queries("m24_robust")(spark, dir).cache()
+    val bad = out.filter(col("iqr") > 0 &&
+      abs(col("robust_z") -
+        (col("c") - col("med")).cast("double") / col("iqr")) > 1e-12)
+    assert(bad.count() == 0)
+    // med/iqr are per-user constants
+    val consts = out.groupBy("user_id")
+      .agg(countDistinct("med").as("nm"), countDistinct("iqr").as("ni"))
+    assert(consts.filter(col("nm") =!= 1 || col("ni") =!= 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("s_pq_topk: 5 ranked rows per query, ordered by ADC distance") {
+    val out = SparkEntry.queries("s_pq_topk")(spark, dir).cache()
+    val perQ = out.groupBy("qid").agg(count(lit(1)).as("n"),
+      max("rk").as("mr")).collect()
+    assert(perQ.forall(r => r.getLong(1) == 5 && r.getLong(2) == 5))
+    val w = Window.partitionBy("qid").orderBy(col("adc2").asc, col("vec_id"))
+    val reordered = out.withColumn("rk2", row_number().over(w).cast("long"))
+      .filter(col("rk") =!= col("rk2"))
+    assert(reordered.count() == 0, "rank must follow (adc2 asc, vec_id)")
+    assert(out.filter(col("adc2") < 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("g6_linkpred: candidate blocking and AA votes hold") {
+    val out = SparkEntry.queries("g6_linkpred")(spark, dir).cache()
+    assert(out.filter(col("sb") - col("sa") > 5 || col("sb") <= col("sa"))
+      .count() == 0, "candidate blocking violated")
+    assert(out.filter(col("n_common") < 2).count() == 0)
+    // AA votes: each common neighbor contributes <= 1e6/ln(2), so
+    // aa_sum6 <= n_common * 1442695
+    assert(out.filter(col("aa_sum6") > col("n_common") * 1442695L).count() == 0)
+    out.unpersist()
+  }
+
+  test("a46_spearman: |rho| <= 1 on real data; 1.0 on a monotone series") {
+    val out = SparkEntry.queries("a46_spearman")(spark, dir)
+    assert(out.filter(abs(col("rho")) > 1.0 + 1e-12).count() == 0)
+    // inline kernel on a strictly increasing fixture → rho exactly 1
+    import spark.implicits._
+    val fix = Seq((1L, 10L, 100L), (1L, 20L, 250L), (1L, 30L, 400L),
+      (1L, 40L, 900L)).toDF("user_id", "ts_us", "c")
+    val wSeq = Window.partitionBy("user_id").orderBy("ts_us")
+    val wVal = Window.partitionBy("user_id").orderBy("c")
+    val wTie = Window.partitionBy("user_id", "c")
+    val r = fix.select(col("user_id"),
+        (row_number().over(wSeq).cast("long") * 2).as("dx"),
+        (rank().over(wVal).cast("long") * 2 +
+          count(lit(1)).over(wTie) - 1).as("dy"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("rho")).head().getDouble(0)
+    // sqrt(d)*sqrt(d) != d by a ulp, so rho lands within 2 ulp of 1 —
+    // the identical op chain is still bit-portable across engines
+    assert(math.abs(r - 1.0) < 1e-12,
+      s"monotone series must give rho ~ 1, got $r")
+  }
+
+  test("o18_incr_agg: merge equals a direct signed recompute") {
+    val out = SparkEntry.queries("o18_incr_agg")(spark, dir)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey"),
+        when(col("l_orderkey") % 10 === 0 && col("l_linenumber") % 2 === 0, -1L)
+          .otherwise(1L).as("sgn"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val direct = li.groupBy("l_suppkey")
+      .agg(sum("sgn").as("n2"), sum(col("sgn") * col("cents")).as("s2"))
+    val joined = out.join(direct, "l_suppkey")
+    assert(joined.filter(col("n_after") =!= col("n2") ||
+      col("s_after") =!= col("s2")).count() == 0,
+      "incremental merge must equal the one-pass signed aggregate")
+  }
+
+  test("w49_sax: word length equals chunk count, alphabet is {a,b,c,d}") {
+    val out = SparkEntry.queries("w49_sax")(spark, dir).cache()
+    assert(out.filter(length(col("sax_word")) =!= col("n_chunks")).count() == 0)
+    assert(out.filter(col("sax_word").rlike("[^abcd]")).count() == 0)
+    out.unpersist()
+  }
+
+  test("g7_hits: second iteration refines the first; all scores positive") {
+    val out = SparkEntry.queries("g7_hits")(spark, dir).cache()
+    assert(out.filter(col("a1") <= 0 || col("a2") <= 0).count() == 0)
+    // a2 >= a1 for every supplier: h2(c) = sum of a1 over c's suppliers
+    // >= h1(c) = deg(c) (each a1 >= 1), so the re-aggregation grows
+    assert(out.filter(col("a2") < col("a1")).count() == 0)
+    out.unpersist()
+  }
+
+  test("a47_wilson: interval brackets the point estimate inside [0,1]") {
+    val rows = SparkEntry.queries("a47_wilson")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+      val p = k.toDouble / n
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p && p <= hi,
+        s"${r.getString(0)}: [$lo, $hi] must bracket $p in [0,1]")
+      assert(r.getBoolean(5) == (k * 20 > n))
+    }
+  }
+
+  test("m25_isotonic: calibrated map is monotone non-decreasing in score") {
+    val rows = SparkEntry.queries("m25_isotonic")(spark, dir)
+      .orderBy("score").collect()
+    assert(rows.nonEmpty)
+    val cal = rows.map(_.getDouble(1))
+    assert(cal.zip(cal.tail).forall { case (a, b) => a <= b },
+      "isotonic output must be non-decreasing")
+    assert(cal.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("t_readability: ratios recompute from the exact counts") {
+    val out = SparkEntry.queries("t_readability")(spark, dir).cache()
+    assert(out.filter(col("n_sents") < 1).count() == 0)
+    val bad = out.filter(col("n_words") > 0 &&
+      abs(col("words_per_sent") -
+        col("n_words").cast("double") / col("n_sents")) > 1e-12)
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("a48_cuped: adjusted mean recomputes from the emitted exact sums") {
+    val rows = SparkEntry.queries("a48_cuped")(spark, dir).collect()
+    assert(rows.length == 2, "two arms")
+    val naAll = rows.map(_.getLong(1)).sum
+    val sxAll = rows.map(_.getLong(2)).sum
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      val (n, sx, sy) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val theta = r.getDouble(4)
+      val adj = r.getDouble(5)
+      val expected = sy.toDouble / n -
+        theta * (sx.toDouble / n - sxAll.toDouble / naAll)
+      assert(math.abs(adj - expected) < 1e-6,
+        s"arm ${r.getLong(0)}: adj $adj vs recomputed $expected")
+    }
+  }
+
+  test("g8_conductance: cut <= vol, ratio recomputes") {
+    val out = SparkEntry.queries("g8_conductance")(spark, dir).cache()
+    assert(out.filter(col("cut") > col("vol")).count() == 0)
+    assert(out.filter(abs(col("conductance") -
+      col("cut").cast("double") / col("vol")) > 1e-12).count() == 0)
+    out.unpersist()
+  }
+
+  test("d_softdedup: weights sum to the number of distinct texts") {
+    val out = SparkEntry.queries("d_softdedup")(spark, dir).cache()
+    val wsum = out.agg(sum("weight")).head().getDouble(0)
+    val distinctTexts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(md5(col("text"))).distinct().count()
+    assert(math.abs(wsum - distinctTexts) < 1e-6,
+      s"sum of 1/sz over members counts each cluster once: $wsum vs $distinctTexts")
+    out.unpersist()
+  }
+
+  test("mm_vad: analytic recompute of one doc; segment invariants") {
+    val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
+    assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
+    assert(out.filter(col("n_segments") > col("n_voiced")).count() == 0)
+    assert(out.filter(col("n_voiced") > 0 && col("n_segments") === 0).count() == 0)
+    // recompute doc 7 from the synthetic-PCM formula in plain Scala
+    val r7 = out.filter(col("doc_id") === 7L).head()
+    val n = (500 + (7 % 97) * 10) / 100 * 100
+    val sums = (0 until n).map(i =>
+      (i / 100, math.abs(((7L * 31 + i * 37) % 4001) - 2000)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val voiced = sums.toSeq.sortBy(_._1).map(_._2 >= 100000L)
+    val segs = voiced.zip(false +: voiced.init).count { case (v, p) => v && !p }
+    assert(r7.getLong(1) == voiced.size && r7.getLong(2) == voiced.count(identity)
+      && r7.getLong(3) == segs,
+      s"doc 7: got (${r7.getLong(1)}, ${r7.getLong(2)}, ${r7.getLong(3)}), " +
+        s"expected (${voiced.size}, ${voiced.count(identity)}, $segs)")
+    out.unpersist()
+  }
+}
