@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import Q._
+
+/** Round-5 batch 6: model-based curation — the fastText-style quality
+  * classifier gate and FP-Growth market-basket mining. Net-new vs the
+  * reference (SURVEY.md §2.11).
+  *
+  * t_quality_clf is a genuine MLlib fit (no SQL twin → rows-only
+  * driver check + Curation2Spec AUC gate); m26_fpgrowth's output IS
+  * exact support counting, so its size-≤2 itemsets oracle as plain
+  * SQL aggregates with the identical ceil(minSupport·n) threshold.
+  */
+object Curation6Q {
+
+  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // Quality-classifier filtering (the fastText/CCNet recipe): train
+    // a logistic regression on cheap surface features, score a
+    // held-out hash split, and emit the exact rank-statistic AUC with
+    // a must-beat gate — the e1_rmse_gate pattern for classifiers.
+    // Label: doc mentions "slow" (the low-quality marker). The model
+    // NEVER sees that token count alone — its informative feature
+    // mixes it with an equal-weight distractor ("fast"), so the gate
+    // proves the fit extracts real signal from a noisy feature rather
+    // than reading the label back (the synthetic corpus has no other
+    // learnable structure — lang/source are independent of content).
+    // The fit is an MLlib barrier; scoring and the AUC are one window
+    // + one aggregate. Scale: features are map-side; LBFGS aggregates
+    // are treeAggregate (driver holds only the 4-dim gradient).
+    "t_quality_clf" -> ((s, dir) => {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.feature.VectorAssembler
+      import org.apache.spark.ml.functions.vector_to_array
+      val d = documents(s, dir).select(col("doc_id"),
+        Text.tokens(Text.normalizeAz(col("text"))).as("toks"),
+        length(col("text")).cast("double").as("f_len"))
+      val f = d.select(col("doc_id"),
+        when(Text.countTokensIn(col("toks"), Seq("slow")) > 0, 1.0)
+          .otherwise(0.0).as("label"),
+        Text.countTokensIn(col("toks"), Seq("slow", "fast"))
+          .cast("double").as("f_marker"),
+        size(col("toks")).cast("double").as("f_toks"),
+        Text.wordSetRatio(col("toks"), Stop).as("f_stop"),
+        when(size(col("toks")) > 0,
+          col("f_len") / size(col("toks"))).otherwise(0.0).as("f_wlen"))
+      val assembled = new VectorAssembler()
+        .setInputCols(Array("f_marker", "f_toks", "f_stop", "f_wlen"))
+        .setOutputCol("features").transform(f)
+      val train = assembled.filter(col("doc_id") % 5 =!= 0)
+      val test = assembled.filter(col("doc_id") % 5 === 0)
+      val model = new LogisticRegression().setMaxIter(25)
+        .setRegParam(0.01).setLabelCol("label").fit(train)
+      val scored = model.transform(test)
+        .select(col("doc_id"), col("label"),
+          vector_to_array(col("probability")).getItem(1).as("score"))
+      // exact tie-broken rank-statistic AUC (the m14_auc formula):
+      // AUC = (Σ rank(pos) − P(P+1)/2) / (P·N). The global rank window
+      // is bounded by the held-out slice; at 100 TB bin the scores to
+      // a fixed lattice first (m15-style) and rank the bin aggregates.
+      val wr = Window.orderBy(col("score").asc, col("doc_id"))
+      val ranked = scored.withColumn("r", row_number().over(wr).cast("long"))
+      ranked.agg(
+          count(lit(1)).as("n_test"),
+          sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("label") === 1.0, col("r")).otherwise(0L)).as("rp"))
+        .select(col("n_test"), col("n_pos"),
+          ((col("rp") - col("n_pos") * (col("n_pos") + 1) / 2).cast("double") /
+            (col("n_pos") * (col("n_test") - col("n_pos"))).cast("double"))
+            .as("auc"))
+        .withColumn("beats_random", col("auc") > 0.55)
+    }),
+
+    // FP-Growth frequent itemsets over order baskets (items = part
+    // brands via the dim join) — distributed market-basket mining.
+    // Spark's minCount is ceil(minSupport · nTransactions); support
+    // counts are exact, so the size-≤2 slice oracles as plain SQL
+    // aggregates with the SAME ceil threshold (both engines compute
+    // ceil on the identical double product). Itemsets normalize to a
+    // sorted "a|b" key. Scale: FP-Growth's conditional trees
+    // partition by item suffix — the standard parallel recipe; the
+    // basket build is one distinct + collect_list groupBy.
+    "m26_fpgrowth" -> ((s, dir) => {
+      import org.apache.spark.ml.fpm.FPGrowth
+      val baskets = lineitem(s, dir)
+        .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+        .groupBy("l_orderkey")
+        .agg(collect_list(col("p_brand")).as("items"))
+      val model = new FPGrowth().setItemsCol("items")
+        .setMinSupport(0.05).setMinConfidence(0.5).fit(baskets)
+      model.freqItemsets
+        .filter(size(col("items")) <= 2)
+        .select(array_join(sort_array(col("items")), "|").as("itemset"),
+          col("freq"))
+    }))
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+
+    "m26_fpgrowth" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+        | FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS nt FROM ob),
+        |th AS (SELECT CAST(ceil(0.05 * nt) AS BIGINT) AS minc FROM n),
+        |singles AS (SELECT p_brand AS itemset, count(*)::BIGINT AS freq
+        | FROM ob GROUP BY 1),
+        |pairs AS (SELECT CASE WHEN a.p_brand < b.p_brand
+        |    THEN a.p_brand || '|' || b.p_brand
+        |    ELSE b.p_brand || '|' || a.p_brand END AS itemset,
+        |  count(*)::BIGINT AS freq
+        | FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |   AND a.p_brand < b.p_brand
+        | GROUP BY 1)
+        |SELECT itemset, freq FROM singles, th WHERE freq >= minc
+        |UNION ALL
+        |SELECT itemset, freq FROM pairs, th WHERE freq >= minc""".stripMargin)
+}

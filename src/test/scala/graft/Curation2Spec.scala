@@ -266,6 +266,37 @@ class Curation2Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("t_quality_clf: classifier learns the noisy marker well above random") {
+    val r = SparkEntry.queries("t_quality_clf")(spark, dir).head()
+    val auc = r.getDouble(2)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(auc > 0.6, s"the noisy marker feature must carry signal: auc=$auc")
+    assert(r.getBoolean(3) == (auc > 0.55))
+  }
+
+  test("m26_fpgrowth: itemset frequencies are exact support counts") {
+    val out = SparkEntry.queries("m26_fpgrowth")(spark, dir).cache()
+    assert(out.count() > 0)
+    // recompute one single-brand support directly
+    val single = out.filter(!col("itemset").contains("|"))
+      .orderBy(col("freq").desc).head()
+    val direct = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === single.getString(0))
+      .select("l_orderkey").distinct().count()
+    assert(direct == single.getLong(1),
+      s"${single.getString(0)}: direct=$direct vs ${single.getLong(1)}")
+    // every pair's support cannot exceed either member's support
+    val singles = out.filter(!col("itemset").contains("|"))
+      .select(col("itemset").as("m"), col("freq").as("fs"))
+    val pairs = out.filter(col("itemset").contains("|"))
+      .withColumn("m", explode(split(col("itemset"), "\\|")))
+    assert(pairs.join(singles, "m").filter(col("freq") > col("fs"))
+      .count() == 0, "pair support bounded by member support")
+    out.unpersist()
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
