@@ -56,9 +56,16 @@ object Curation6Q {
       val test = assembled.filter(col("doc_id") % 5 === 0)
       val model = new LogisticRegression().setMaxIter(25)
         .setRegParam(0.01).setLabelCol("label").fit(train)
-      val scored = model.transform(test)
-        .select(col("doc_id"), col("label"),
-          vector_to_array(col("probability")).getItem(1).as("score"))
+      // score via column math from the fitted coefficients: sigmoid of
+      // the linear form stays inside whole-stage codegen, and no model
+      // object (whose training summary pins the SparkSession) ever
+      // rides a task closure
+      val w = model.coefficients.toArray
+      val margin = Array("f_marker", "f_toks", "f_stop", "f_wlen")
+        .zip(w).map { case (c, wi) => col(c) * wi }
+        .reduce(_ + _) + model.intercept
+      val scored = test.select(col("doc_id"), col("label"),
+        (lit(1.0) / (lit(1.0) + exp(-margin))).as("score"))
       // exact tie-broken rank-statistic AUC (the m14_auc formula):
       // AUC = (Σ rank(pos) − P(P+1)/2) / (P·N). The global rank window
       // is bounded by the held-out slice; at 100 TB bin the scores to

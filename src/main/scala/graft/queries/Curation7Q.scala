@@ -102,10 +102,15 @@ object Curation7Q {
       val test = f.filter(col("doc_id") % 5 === 0).cache()
       val model = new LogisticRegression().setMaxIter(25)
         .setRegParam(0.01).setLabelCol("label").fit(asm.transform(train))
+      // score via column math from the fitted coefficients (see
+      // t_quality_clf): codegen'd, and no model object in any closure
+      val wts = model.coefficients.toArray
+      val intercept = model.intercept
       def auc(df: org.apache.spark.sql.DataFrame): Double = {
-        val scored = model.transform(asm.transform(df))
-          .select(col("doc_id"), col("label"),
-            vector_to_array(col("probability")).getItem(1).as("score"))
+        val margin = feats.zip(wts).map { case (c, wi) => col(c) * wi }
+          .reduce(_ + _) + intercept
+        val scored = df.select(col("doc_id"), col("label"),
+          (lit(1.0) / (lit(1.0) + exp(-margin))).as("score"))
         val wr = Window.orderBy(col("score").asc, col("doc_id"))
         scored.withColumn("r", row_number().over(wr).cast("long"))
           .agg(((sum(when(col("label") === 1.0, col("r")).otherwise(0L)) -

@@ -334,6 +334,39 @@ class Curation2Spec extends SparkSpec {
     assert(j.count() == 0, "cells partition the type totals")
   }
 
+  test("t_ccnet_buckets: terciles partition the corpus; head is most fluent") {
+    val out = SparkEntry.queries("t_ccnet_buckets")(spark, dir).cache()
+    val byB = out.groupBy("bucket").agg(count(lit(1)).as("n"),
+      avg(-col("sum_lp6").cast("double") / col("n_tok")).as("nll"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    val sizes = byB.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1, s"ntile balance: $byB")
+    assert(byB("head")._2 < byB("middle")._2 &&
+      byB("middle")._2 < byB("tail")._2,
+      s"mean NLL must increase head->tail: $byB")
+    out.unpersist()
+  }
+
+  test("w52_burst: flag matches the integer cross-product rule") {
+    val out = SparkEntry.queries("w52_burst")(spark, dir).cache()
+    assert(out.filter(col("n_prev") < 3 && col("is_burst").isNotNull)
+      .count() == 0, "no verdict without 3 prior active hours")
+    assert(out.filter(col("n_prev") >= 3 &&
+      col("is_burst") =!= (col("cnt") * 3 > col("sum_prev"))).count() == 0)
+    out.unpersist()
+  }
+
+  test("t_fertility: pieces never fewer than words; fertility >= 1") {
+    val rows = SparkEntry.queries("t_fertility")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3),
+        s"${r.getString(0)}: BPE-ish pieces can only split words")
+      assert(r.getDouble(4) >= 1.0)
+    }
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
