@@ -367,6 +367,42 @@ class Curation2Spec extends SparkSpec {
     }
   }
 
+  test("t_zipf_slope: natural-ish corpus slope is negative and sane") {
+    val r = SparkEntry.queries("t_zipf_slope")(spark, dir).head()
+    val slope = r.getDouble(3)
+    assert(slope < -0.1 && slope > -3.0,
+      s"Zipf slope should be a moderate negative number: $slope")
+  }
+
+  test("t_heaps: vocabulary growth is monotone non-decreasing in k") {
+    val rows = SparkEntry.queries("t_heaps")(spark, dir)
+      .orderBy("k").collect()
+    assert(rows.nonEmpty)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b },
+      s"vocab can only grow with more docs: ${sizes.toSeq}")
+  }
+
+  test("m28_best_f1: the winning threshold's F1 beats every other threshold") {
+    val best = SparkEntry.queries("m28_best_f1")(spark, dir).head()
+    val (tp, fp, fn) = (best.getLong(1), best.getLong(2), best.getLong(3))
+    val f1best = 2.0 * tp / (2 * tp + fp + fn)
+    // recompute F1 across all thresholds directly
+    val e = graft.io.Tables.eventsUs(spark, dir).select(
+      ((col("event_id") * 37) % 101).as("score"),
+      when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val posTotal = e.map(_._2).sum
+    val allF1 = e.map(_._1).distinct.map { th =>
+      val pred = e.filter(_._1 >= th)
+      val tp2 = pred.map(_._2).sum
+      val fp2 = pred.length - tp2
+      2.0 * tp2 / (2 * tp2 + fp2 + (posTotal - tp2))
+    }
+    assert(allF1.forall(_ <= f1best + 1e-12),
+      s"best F1 $f1best must dominate; max seen ${allF1.max}")
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
