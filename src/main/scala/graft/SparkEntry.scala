@@ -28,7 +28,8 @@ object SparkEntry {
       CorpusQ.queries ++ EventsQ.queries ++ GraphQ.queries ++
       CurationQ.queries ++ Curation2Q.queries ++ Curation3Q.queries ++
       Curation4Q.queries ++ Curation5Q.queries ++ Curation6Q.queries ++
-      Curation7Q.queries ++ Curation8Q.queries ++ Curation9Q.queries
+      Curation7Q.queries ++ Curation8Q.queries ++ Curation9Q.queries ++
+      Curation10Q.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       CorpusQ.oracle ++ EventsQ.oracle ++ GraphQ.oracle ++
       CurationQ.oracle ++ Curation2Q.oracle ++ Curation3Q.oracle ++
       Curation4Q.oracle ++ Curation5Q.oracle ++ Curation6Q.oracle ++
-      Curation7Q.oracle ++ Curation8Q.oracle ++ Curation9Q.oracle
+      Curation7Q.oracle ++ Curation8Q.oracle ++ Curation9Q.oracle ++
+      Curation10Q.oracle
 }

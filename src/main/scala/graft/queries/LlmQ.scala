@@ -731,7 +731,7 @@ object LlmQ {
 
   private val P = Text.P
   /** Normalized text. */
-  private val NormSql = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+  private[queries] val NormSql = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
   /** Whitespace tokens, empties dropped, of normalized text `t`. */
   private val ToksSql = "list_filter(string_split(t, ' '), w -> length(w) > 0)"
   private def inList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
@@ -766,7 +766,7 @@ object LlmQ {
        | (sel // 1048576)::BIGINT AS fingerprint
        |FROM ws)""".stripMargin
 
-  private val GramsSql =
+  private[queries] val GramsSql =
     s"""list_distinct(list_transform(
        | CASE WHEN length(t) >= 3
        |  THEN list_transform(range(1, length(t) - 1), i -> substr(t, i::INT, 3))
@@ -805,7 +805,7 @@ object LlmQ {
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   private val seeds = Dedup.seeds
-  private def slotSql(k: Int): String = {
+  private[queries] def slotSql(k: Int): String = {
     val (a, b) = seeds(k)
     s"coalesce(list_min(list_transform(grams, h -> ($a::BIGINT * h + $b) % $P)), $P)"
   }

@@ -403,6 +403,40 @@ class Curation2Spec extends SparkSpec {
       s"best F1 $f1best must dominate; max seen ${allF1.max}")
   }
 
+  test("a50_mannwhitney: U within exact bounds; z centered under the null") {
+    val rows = SparkEntry.queries("a50_mannwhitney")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, u2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(u2 >= 0 && u2 <= 2 * na * nb,
+        s"${r.getString(0)}: 2U=$u2 outside [0, ${2 * na * nb}]")
+      // arms are a user-parity split of the same distribution → |z| small
+      assert(math.abs(r.getDouble(4)) < 4.0,
+        s"${r.getString(0)}: null split should not reject hugely: ${r.getDouble(4)}")
+    }
+  }
+
+  test("d_minhash_err: 12-hash estimate tracks exact Jaccard") {
+    val out = SparkEntry.queries("d_minhash_err")(spark, dir).cache()
+    assert(out.filter(col("matches") < 0 || col("matches") > 12).count() == 0)
+    assert(out.filter(col("inter") > col("uni")).count() == 0)
+    // identical docs estimate exactly; on random pairs the mean error
+    // of a 12-hash sketch stays well under half
+    val meanErr = out.agg(avg(col("err_ppm"))).head().getDouble(0)
+    assert(meanErr < 400000.0, s"mean estimator error too large: $meanErr ppm")
+    out.unpersist()
+  }
+
+  test("w53_lttb: exactly one kept point per interior bucket") {
+    val out = SparkEntry.queries("w53_lttb")(spark, dir).cache()
+    val perBucket = out.groupBy("user_id", "bkt").agg(count(lit(1)).as("n"))
+    assert(perBucket.filter(col("n") =!= 1).count() == 0,
+      "LTTB keeps exactly one point per bucket")
+    // the kept point's bucket matches its rank range
+    assert(out.filter(expr("(rn - 1) DIV 10") =!= col("bkt")).count() == 0)
+    out.unpersist()
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
