@@ -437,6 +437,36 @@ class Curation2Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("a51_sprt: decisions only at threshold crossings; llr bounds consistent") {
+    val rows = SparkEntry.queries("a51_sprt")(spark, dir).collect()
+    val bound = math.round(1e6 * math.log(19.0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mx, mn, dec) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if (dec == 1) assert(mx >= bound, s"accept-H1 needs a +bound crossing")
+      if (dec == -1) assert(mn <= -bound, s"accept-H0 needs a -bound crossing")
+      if (dec == 0) assert(r.isNullAt(5), "undecided users have no decided_at")
+      else assert(!r.isNullAt(5))
+    }
+  }
+
+  test("m29_gbt_importance: simplex property and signal dominance") {
+    val rows = SparkEntry.queries("m29_gbt_importance")(spark, dir).collect()
+    assert(rows.length == 3)
+    val m = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(_ >= 0.0))
+    assert(math.abs(m.values.sum - 1.0) < 1e-9, s"importances sum to 1: $m")
+    assert(m("f_signal") > m("f_noise1") && m("f_signal") > m("f_noise2"),
+      s"the label-driving feature must dominate: $m")
+  }
+
+  test("w51_ohlc plan proof: no window sort — a single hash aggregate") {
+    val plan = SparkEntry.queries("w51_ohlc")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"OHLC must not need a window:\n$plan")
+    assert(plan.contains("HashAggregate"), "packed argmin/argmax aggregates")
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
