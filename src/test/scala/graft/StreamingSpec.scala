@@ -171,6 +171,34 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("foreachBatch idempotent upsert: a replayed batch leaves the sink unchanged") {
+    implicit val sq = spark.sqlContext
+    // the exactly-once sink recipe foreachBatch demands of its
+    // implementer: key-upsert + batchId ledger, so a retried batch
+    // (the at-least-once delivery case) is a no-op
+    val target = scala.collection.concurrent.TrieMap[Long, Double]()
+    val committed = scala.collection.concurrent.TrieMap[Long, Boolean]()
+    def upsert(df: org.apache.spark.sql.Dataset[Obs], batchId: Long): Unit =
+      if (committed.putIfAbsent(batchId, true).isEmpty)
+        df.collect().foreach(o => target(o.id) = o.value)
+    val feed = MemoryStream[Obs]
+    val q = feed.toDS().writeStream.foreachBatch(upsert _).start()
+    try {
+      feed.addData(Seq(Obs("a", 1, 1, 10.0), Obs("a", 2, 2, 20.0)))
+      q.processAllAvailable()
+      feed.addData(Seq(Obs("a", 3, 1, 11.0))) // upsert of key 1
+      q.processAllAvailable()
+      val snapshot = target.toMap
+      assert(snapshot == Map(1L -> 11.0, 2L -> 20.0),
+        s"upsert semantics: $snapshot")
+      // simulate the engine redelivering batch 0 after a failure
+      import spark.implicits._
+      upsert(Seq(Obs("a", 1, 1, 10.0), Obs("a", 2, 2, 20.0)).toDS(), 0L)
+      assert(target.toMap == snapshot,
+        "replaying a committed batchId must not change the sink")
+    } finally q.stop()
+  }
+
   test("streaming rolling mean keeps only k values of state") {
     implicit val sq = spark.sqlContext
     val feed = MemoryStream[Obs]
