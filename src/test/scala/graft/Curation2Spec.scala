@@ -467,6 +467,24 @@ class Curation2Spec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "packed argmin/argmax aggregates")
   }
 
+  test("c_curation: survivors pass every gate; split is the top half") {
+    val out = SparkEntry.queries("c_curation")(spark, dir).cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = out.count()
+    assert(n > 0)
+    // every survivor has >= 20 tokens and is its cluster's canonical
+    val joined = out.join(docs, "doc_id")
+    assert(joined.filter(col("nt") < 20).count() == 0)
+    val clusters = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("canon"))
+    val canonIds = clusters.select(col("canon").as("doc_id"))
+    assert(out.join(canonIds, Seq("doc_id"), "left_anti").count() == 0,
+      "every survivor is a canonical")
+    // shard assignment is total and bounded
+    assert(out.filter(col("shard") < 0 || col("shard") > 3).count() == 0)
+    out.unpersist()
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
