@@ -58,3 +58,44 @@ object StripAccents {
     ColumnBridge.column(StripAccents(ColumnBridge.expression(c)))
   }
 }
+
+/** NFC canonical composition as a native expression — the first step
+  * of any dedup/hash pipeline over real-world text: visually identical
+  * strings ("é" composed vs "e"+U+0301) must hash identically before
+  * any exact or MinHash comparison. Same ASCII fast path as
+  * [[StripAccents]]; DuckDB's `nfc_normalize` is the oracle twin
+  * (both implement Unicode canonical composition, so outputs are
+  * byte-identical).
+  */
+object NfcOps {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 128) ascii = false; i += 1 }
+    if (ascii) return s
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcOps.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcOps.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
+}

@@ -485,6 +485,35 @@ class Curation2Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("t_nfc: composition really folds the decomposed suffix") {
+    val out = SparkEntry.queries("t_nfc")(spark, dir).cache()
+    // every row carries the e+U+0301 suffix → every row changes and
+    // shrinks by exactly one byte (3-byte decomposed pair → 2-byte é)
+    assert(out.filter(!col("changed")).count() == 0)
+    assert(out.filter(col("len_raw") - col("len_nfc") =!= 1).count() == 0)
+    assert(out.filter(col("tail") =!= "café").count() == 0)
+    out.unpersist()
+  }
+
+  test("g9_assortativity: |r| <= 1 and moment sums are consistent") {
+    val r = SparkEntry.queries("g9_assortativity")(spark, dir).head()
+    assert(r.getLong(0) > 0)
+    if (!r.isNullAt(3))
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12)
+  }
+
+  test("w54_seqpattern: journeys bounded by min(views, purchases)") {
+    val out = SparkEntry.queries("w54_seqpattern")(spark, dir)
+    val e = graft.io.Tables.events(spark, dir)
+      .groupBy("user_id").agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+    val j = out.join(e, "user_id")
+      .filter(col("n_journeys") > least(col("nv"), col("np")))
+    assert(j.count() == 0,
+      "each journey consumes one view and one purchase")
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
