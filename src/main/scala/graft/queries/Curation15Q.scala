@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-5 batch 15: lakehouse publication mechanics — the
+  * write-audit-publish (WAP) pattern and whole-file document
+  * ingestion. Both round-trip through scratch storage, so the oracle
+  * aggregates the SOURCE table; exact equality proves the path
+  * lossless and the audit honest.
+  */
+object Curation15Q {
+
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // O20: write-audit-publish — the safe-publication discipline every
+    // production table write needs: stage the output, AUDIT it
+    // (row-count conservation + key non-null + no dup keys, the
+    // a24-style constraint set), and only then atomically promote the
+    // staging directory to the published path. A failed audit throws —
+    // downstream readers can never observe a bad snapshot. The audit
+    // aggregates are one pass over the staged files.
+    "o20_wap" -> ((s, dir) => {
+      val root = scratchDir("graft_wap")
+      val staging = s"$root/staging"
+      val published = s"$root/published"
+      val src = orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.write.mode("overwrite").parquet(staging)
+      // audit the STAGED data, not the source
+      val staged = s.read.parquet(staging)
+      val audit = staged.agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_keys"),
+        countDistinct("o_orderkey").as("distinct_keys")).head()
+      val srcN = src.count()
+      require(audit.getLong(0) == srcN, s"WAP audit: staged ${audit.getLong(0)} != source $srcN")
+      require(audit.getLong(1) == 0L, "WAP audit: null keys staged")
+      require(audit.getLong(2) == audit.getLong(0), "WAP audit: duplicate keys staged")
+      // atomic promote: a directory rename, the cheap O(1) publish
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(published))
+      s.read.parquet(published)
+        .groupBy(expr("o_orderkey % 7").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    }),
+
+    // S17: whole-file ingestion (wholetext) — one row per FILE, the
+    // shape a document corpus lands in when each crawl artifact is its
+    // own object. 20 docs written as individual text files, read back
+    // whole; per-doc byte counts prove no line-splitting happened.
+    "s17_wholetext" -> ((s, dir) => {
+      val base = scratchDir("graft_whole")
+      val docs = documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      docs.collect().foreach { r =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/${r.getLong(0)}.txt"),
+          r.getString(1))
+      }
+      s.read.option("wholetext", "true").text(base)
+        .select(length(col("value")).cast("long").as("n_chars"))
+        .groupBy("n_chars").agg(count(lit(1)).as("n_files"))
+    }))
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+
+    "o20_wap" ->
+      """SELECT o_orderkey % 7 AS bucket, count(*) AS n,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |   AS sum_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "s17_wholetext" ->
+      """SELECT length(text)::BIGINT AS n_chars, count(*) AS n_files
+        |FROM documents WHERE doc_id < 20 GROUP BY 1""".stripMargin)
+}
