@@ -48,6 +48,30 @@ object Curation15Q {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
     }),
 
+    // W55: inter-arrival cadence per user — the engagement-rhythm
+    // profile (median / p90 gap, all on the integer microsecond
+    // lattice with type-1 index rules; no float ever). One window
+    // exchange for the lag, one groupBy on the same key.
+    "w55_cadence" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = graft.io.Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sort_array(collect_list(col("gap"))).as("l"),
+          min("gap").as("min_gap_us"), max("gap").as("max_gap_us"))
+        .select(col("user_id"), col("n_gaps"),
+          element_at(col("l"), ((col("n_gaps") + 1) / 2).cast("int"))
+            .as("med_gap_us"),
+          element_at(col("l"),
+            greatest(lit(1L), (col("n_gaps") * 9 + 9) / 10).cast("int"))
+            .as("p90_gap_us"),
+          col("min_gap_us"), col("max_gap_us"))
+    }),
+
     // S17: whole-file ingestion (wholetext) — one row per FILE, the
     // shape a document corpus lands in when each crawl artifact is its
     // own object. 20 docs written as individual text files, read back
@@ -78,5 +102,24 @@ object Curation15Q {
 
     "s17_wholetext" ->
       """SELECT length(text)::BIGINT AS n_chars, count(*) AS n_files
-        |FROM documents WHERE doc_id < 20 GROUP BY 1""".stripMargin)
+        |FROM documents WHERE doc_id < 20 GROUP BY 1""".stripMargin,
+
+    "w55_cadence" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        | FROM events),
+        |g AS (SELECT user_id,
+        |  ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS gap
+        | FROM e),
+        |f AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |  list_sort(list(gap)) AS l,
+        |  min(gap)::BIGINT AS min_gap_us, max(gap)::BIGINT AS max_gap_us
+        | FROM f GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        | l[((n_gaps + 1) // 2)::INT]::BIGINT AS med_gap_us,
+        | l[(greatest(1, (n_gaps * 9 + 9) // 10))::INT]::BIGINT
+        |   AS p90_gap_us,
+        | min_gap_us, max_gap_us
+        |FROM a""".stripMargin)
 }
