@@ -94,12 +94,13 @@ object Curation6Q {
     // basket build is one distinct + collect_list groupBy.
     "m26_fpgrowth" -> ((s, dir) => {
       import org.apache.spark.ml.fpm.FPGrowth
+      // collect_set dedups inside the aggregate — one exchange where
+      // distinct + collect_list would pay two
       val baskets = lineitem(s, dir)
         .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand")).distinct()
         .groupBy("l_orderkey")
-        .agg(collect_list(col("p_brand")).as("items"))
+        .agg(collect_set(col("p_brand")).as("items"))
       val model = new FPGrowth().setItemsCol("items")
         .setMinSupport(0.05).setMinConfidence(0.5).fit(baskets)
       model.freqItemsets
