@@ -48,6 +48,10 @@ object Curation14Q {
         .select(col("o_custkey").cast("long").as("cust"),
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
+        // the edge table feeds several aggregates below; identical
+        // scan+distinct subtrees are NOT deduped across DataFrame
+        // reuse, so cache it once (the t_tfidf lesson)
+        .cache()
       val dc = edges.groupBy("cust").agg(count(lit(1)).as("dx"))
       val ds = edges.groupBy("supp").agg(count(lit(1)).as("dy"))
       val g = edges.join(dc, "cust").join(ds, "supp")

@@ -37,6 +37,10 @@ object Curation3Q {
         .select(col("o_custkey").cast("long").as("cust"),
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
+        // the edge table feeds several aggregates below; identical
+        // scan+distinct subtrees are NOT deduped across DataFrame
+        // reuse, so cache it once (the t_tfidf lesson)
+        .cache()
       val deg = edges.groupBy("cust").agg(count(lit(1)).as("dz"))
         .filter(col("dz") >= 2 && col("dz") <= 40)
         .withColumn("aa6",

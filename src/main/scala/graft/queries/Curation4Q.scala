@@ -32,6 +32,10 @@ object Curation4Q {
         .select(col("o_custkey").cast("long").as("cust"),
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
+        // the edge table feeds several aggregates below; identical
+        // scan+distinct subtrees are NOT deduped across DataFrame
+        // reuse, so cache it once (the t_tfidf lesson)
+        .cache()
       val h1 = edges.groupBy("cust").agg(count(lit(1)).as("h1"))
       val a1 = edges.join(h1, "cust")
         .groupBy("supp").agg(sum("h1").as("a1"))
