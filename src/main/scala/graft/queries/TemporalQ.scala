@@ -725,6 +725,28 @@ object TemporalQ {
     // through the file-source harness, complete mode (the memory sink
     // holds every finalized window). Hour buckets are epoch-aligned in
     // both engines.
+    // W56/streaming: UPDATE output mode — the third OutputMode
+    // (append: most queries here; complete: w12). Update emits only
+    // keys whose aggregate changed in the batch; the memory sink
+    // accumulates one row per (key, change), so the final state is
+    // the per-key MAX of the running count — identical to the batch
+    // aggregate whatever the file batching was (counts only grow).
+    "w56_stream_update" -> ((s, dir) => {
+      val stream = eventsStream(s, dir).select(col("event_type"), col("value"))
+      runStream(s, "w56_stream_update_sink",
+        stream.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents")),
+        mode = "update")
+        // latest update per key = the row with the highest running n
+        // (struct max carries its sum along — no only-grows assumption
+        // on the cent sum itself)
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("sum_cents"))).as("m"))
+        .select(col("event_type"), col("m.n").as("n"),
+          col("m.sum_cents").as("sum_cents"))
+    }),
+
     "w12_stream_window" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
         .select(col("user_id"), col("ts"), col("value"))
@@ -1631,6 +1653,11 @@ object TemporalQ {
 
     "w15_stream_dedup" ->
       "SELECT event_id, user_id, value FROM events",
+
+    "w56_stream_update" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "w16_sliding" ->
       """WITH c AS (SELECT value, ts,
