@@ -48,6 +48,38 @@ object Curation15Q {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
     }),
 
+    // P15: schema-declared JSON parsing (from_json) — the typed twin
+    // of get_json_object (p12): the parse happens ONCE into a struct
+    // whose fields project without re-parsing, the right shape when
+    // several fields come out of one payload at 100 TB. Corrupt
+    // payloads yield null structs (PERMISSIVE), not job failures.
+    "p15_from_json" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), schema).as("p"))
+        .select(col("event_id"), col("p.k").as("k"),
+          col("p").isNull.as("malformed"))
+    }),
+
+    // W57: VALUE-range window frame (rangeBetween on the cent
+    // magnitude — rows ✓ everywhere, event-time range ✓ w17; this
+    // completes the frame-type surface): for each event, how many of
+    // the user's events sit within ±500 cents, and their exact sum —
+    // the similar-magnitude neighborhood statistic.
+    "w57_valuerange" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("c").rangeBetween(-500L, 500L)
+      graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .select(col("event_id"), col("user_id"), col("c"),
+          count(lit(1)).over(w).as("n_near"),
+          sum("c").over(w).as("sum_near"))
+    }),
+
     // W55: inter-arrival cadence per user — the engagement-rhythm
     // profile (median / p90 gap, all on the integer microsecond
     // lattice with type-1 index rules; no float ever). One window
@@ -103,6 +135,24 @@ object Curation15Q {
     "s17_wholetext" ->
       """SELECT length(text)::BIGINT AS n_chars, count(*) AS n_files
         |FROM documents WHERE doc_id < 20 GROUP BY 1""".stripMargin,
+
+    "p15_from_json" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        | props IS NULL AS malformed
+        |FROM events""".stripMargin,
+
+    "w57_valuerange" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT event_id, user_id, c,
+        | count(*) OVER (PARTITION BY user_id ORDER BY c
+        |   RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)::BIGINT
+        |   AS n_near,
+        | sum(c) OVER (PARTITION BY user_id ORDER BY c
+        |   RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)::BIGINT
+        |   AS sum_near
+        |FROM e""".stripMargin,
 
     "w55_cadence" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
