@@ -514,6 +514,37 @@ class Curation2Spec extends SparkSpec {
       "each journey consumes one view and one purchase")
   }
 
+  test("w55_cadence: gap order statistics are ordered") {
+    val out = SparkEntry.queries("w55_cadence")(spark, dir).cache()
+    assert(out.filter(col("med_gap_us") > col("p90_gap_us")).count() == 0)
+    assert(out.filter(col("min_gap_us") > col("med_gap_us")).count() == 0)
+    assert(out.filter(col("p90_gap_us") > col("max_gap_us")).count() == 0)
+    out.unpersist()
+  }
+
+  test("w57_valuerange: every row is its own neighbor; sum bounded by the band") {
+    val out = SparkEntry.queries("w57_valuerange")(spark, dir).cache()
+    assert(out.filter(col("n_near") < 1).count() == 0)
+    assert(out.filter(col("sum_near") > col("n_near") * (col("c") + 500) ||
+      col("sum_near") < col("n_near") * (col("c") - 500)).count() == 0,
+      "neighborhood sum must stay inside the +-500 band")
+    out.unpersist()
+  }
+
+  test("p15_from_json: malformed payloads null out instead of failing") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val r = Seq("""{"k": 7}""", "not json at all", """{"k": "text"}""")
+      .toDF("props")
+      .select(from_json(col("props"), schema).as("p"))
+      .select(col("p.k")).collect()
+    assert(r(0).getLong(0) == 7L)
+    assert(r(1).isNullAt(0), "garbage parses to null, not an exception")
+    assert(r(2).isNullAt(0), "type mismatch parses to null")
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
