@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-5 batch 17: Kendall rank correlation and association-rule
+  * mining. Net-new vs the reference (SURVEY.md §2.11). Kendall's
+  * concordant/discordant counts are exact BIGINTs from a bounded
+  * within-group pair join; rule confidence is one division of exact
+  * support counts.
+  */
+object Curation17Q {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // Kendall's tau-a per user (value vs time): concordant minus
+    // discordant pairs over n(n−1)/2 — the third rank-correlation
+    // lens (Pearson a18 linear, Spearman a46 monotone, Kendall pure
+    // pair order; it reacts differently to ties and outliers). The
+    // pair join is WITHIN-group (i<j on the time rank), so its size
+    // is Σ n_g² — fine for bounded per-user histories; switch to the
+    // O(n log n) merge inversion count before running on unbounded
+    // groups. All counts exact; tau is one division.
+    "a56_kendall" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val e = graft.io.Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .withColumn("i", row_number().over(w).cast("long"))
+      val a = e.select(col("user_id"), col("i").as("ia"), col("c").as("ca"))
+      val b = e.select(col("user_id"), col("i").as("ib"), col("c").as("cb"))
+      val pairs = a.join(b, "user_id").filter(col("ib") > col("ia"))
+      val g = pairs.groupBy("user_id").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cb") > col("ca"), 1L).otherwise(0L)).as("conc"),
+        sum(when(col("cb") < col("ca"), 1L).otherwise(0L)).as("disc"))
+      g.select(col("user_id"), col("n_pairs"), col("conc"), col("disc"),
+        ((col("conc") - col("disc")).cast("double") / col("n_pairs"))
+          .as("tau_a"))
+    }),
+
+    // Association rules (1→1) over the m26 order baskets: confidence
+    // = support(a,b)/support(a), lift·10⁶ kept on the integer lattice
+    // via cross-multiplied counts. The actionable layer on top of
+    // frequent itemsets — emitted only for pairs above the same
+    // ceil(0.01·n) support threshold, rules with confidence ≥ 0.1
+    // (integer cross-product decision).
+    "m30_assoc_rules" -> ((s, dir) => {
+      val ob = lineitem(s, dir)
+        .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+        .cache()
+      val nTx = ob.select("l_orderkey").distinct().count()
+      val minc = math.ceil(0.01 * nTx).toLong
+      val singles = ob.groupBy("p_brand").agg(count(lit(1)).as("fa"))
+      val pairs = ob.select(col("l_orderkey"), col("p_brand").as("ba"))
+        .join(ob.select(col("l_orderkey"), col("p_brand").as("bb")),
+          "l_orderkey")
+        .filter(col("ba") =!= col("bb"))
+        .groupBy("ba", "bb").agg(count(lit(1)).as("fab"))
+        .filter(col("fab") >= minc)
+      pairs
+        .join(singles.select(col("p_brand").as("ba"), col("fa")), "ba")
+        .join(singles.select(col("p_brand").as("bb"),
+          col("fa").as("fb")), "bb")
+        .filter(col("fab") * 10 >= col("fa")) // confidence >= 0.1
+        .select(col("ba").as("antecedent"), col("bb").as("consequent"),
+          col("fab"), col("fa"), col("fb"),
+          (col("fab").cast("double") / col("fa")).as("confidence"),
+          expr(s"fab * $nTx * 1000000 DIV (fa * fb)").as("lift_ppm"))
+    }))
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+
+    "a56_kendall" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT user_id, c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    ::BIGINT AS i
+        | FROM e),
+        |p AS (SELECT a.user_id, a.c AS ca, b.c AS cb
+        | FROM r a JOIN r b ON b.user_id = a.user_id AND b.i > a.i),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n_pairs,
+        |  sum(CASE WHEN cb > ca THEN 1 ELSE 0 END)::BIGINT AS conc,
+        |  sum(CASE WHEN cb < ca THEN 1 ELSE 0 END)::BIGINT AS disc
+        | FROM p GROUP BY user_id)
+        |SELECT user_id, n_pairs, conc, disc,
+        | (conc - disc)::DOUBLE / n_pairs AS tau_a
+        |FROM g""".stripMargin,
+
+    "m30_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+        | FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS nt FROM ob),
+        |th AS (SELECT CAST(ceil(0.01 * nt) AS BIGINT) AS minc, nt FROM n),
+        |s AS (SELECT p_brand, count(*)::BIGINT AS fa FROM ob GROUP BY 1),
+        |pr AS (SELECT a.p_brand AS ba, b.p_brand AS bb,
+        |  count(*)::BIGINT AS fab
+        | FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |   AND a.p_brand != b.p_brand
+        | GROUP BY 1, 2),
+        |k AS (SELECT ba, bb, fab FROM pr, th WHERE fab >= minc)
+        |SELECT ba AS antecedent, bb AS consequent, fab,
+        | sa.fa AS fa, sb.fa AS fb,
+        | fab::DOUBLE / sa.fa AS confidence,
+        | fab * th.nt * 1000000 // (sa.fa * sb.fa) AS lift_ppm
+        |FROM k JOIN s sa ON sa.p_brand = k.ba
+        | JOIN s sb ON sb.p_brand = k.bb
+        | CROSS JOIN th
+        |WHERE fab * 10 >= sa.fa""".stripMargin)
+}
