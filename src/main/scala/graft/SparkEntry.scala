@@ -29,7 +29,7 @@ object SparkEntry {
       CurationQ.queries ++ Curation2Q.queries ++ Curation3Q.queries ++
       Curation4Q.queries ++ Curation5Q.queries ++ Curation6Q.queries ++
       Curation7Q.queries ++ Curation8Q.queries ++ Curation9Q.queries ++
-      Curation10Q.queries ++ Curation11Q.queries ++ Curation12Q.queries ++ Curation13Q.queries ++ Curation14Q.queries ++ Curation15Q.queries ++ Curation16Q.queries ++ Curation17Q.queries
+      Curation10Q.queries ++ Curation11Q.queries ++ Curation12Q.queries ++ Curation13Q.queries ++ Curation14Q.queries ++ Curation15Q.queries ++ Curation16Q.queries ++ Curation17Q.queries ++ Curation17Q.queries2
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

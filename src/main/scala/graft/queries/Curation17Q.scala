@@ -72,6 +72,38 @@ object Curation17Q {
           expr(s"fab * $nTx * 1000000 DIV (fa * fb)").as("lift_ppm"))
     }))
 
+  val queries2: Map[String, QueryFn] = Map(
+
+    // KMV (k-minimum-values) distinct-count sketch: hash every key
+    // onto the polynomial lattice, keep the k=64 smallest per group,
+    // estimate distinct = (k−1)·P DIV h_k — the order-statistics
+    // alternative to HLL (a11/a30), mergeable by keeping the k
+    // smallest of a union. Everything is integer (deterministic
+    // hash, window rank, one integer DIV), so unlike HLL the sketch
+    // itself is engine-exact; the accuracy gate is the a30-style
+    // integer-decided ±25% band vs the exact count.
+    "a57_kmv" -> ((s, dir) => {
+      val P = graft.functions.Text.P
+      val h = pmod(col("l_partkey") * 2654435761L + 104729L, lit(P))
+      val keys = lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .select(col("l_returnflag"), col("l_partkey"), h.as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("h"), col("l_partkey"))
+      val kth = keys.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 64)
+        .select(col("l_returnflag"), col("h").as("hk"))
+      val exact = keys.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("exact_nd"))
+      exact.join(kth, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("exact_nd"),
+          when(col("hk").isNotNull, expr(s"63 * ${P}L DIV hk"))
+            .otherwise(col("exact_nd")).as("kmv_est"))
+        .withColumn("within_25pct",
+          col("kmv_est") * 4 >= col("exact_nd") * 3 &&
+            col("kmv_est") * 4 <= col("exact_nd") * 5)
+    }))
+
   // ---- oracle SQL ----------------------------------------------------
 
   val oracle: Map[String, String] = Map(
@@ -92,6 +124,28 @@ object Curation17Q {
         |SELECT user_id, n_pairs, conc, disc,
         | (conc - disc)::DOUBLE / n_pairs AS tau_a
         |FROM g""".stripMargin,
+
+    "a57_kmv" -> {
+      val P = graft.functions.Text.P
+      s"""WITH keys AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+         |hh AS (SELECT l_returnflag, l_partkey,
+         |  (l_partkey * 2654435761 + 104729) % $P AS h FROM keys),
+         |r AS (SELECT l_returnflag, h,
+         |  row_number() OVER (PARTITION BY l_returnflag
+         |    ORDER BY h, l_partkey) AS rk FROM hh),
+         |k AS (SELECT l_returnflag, h AS hk FROM r WHERE rk = 64),
+         |e AS (SELECT l_returnflag,
+         |  count(DISTINCT l_partkey)::BIGINT AS exact_nd
+         | FROM keys GROUP BY 1),
+         |j AS (SELECT e.l_returnflag, exact_nd,
+         |  (CASE WHEN hk IS NOT NULL THEN 63::BIGINT * $P // hk
+         |        ELSE exact_nd END)::BIGINT AS kmv_est
+         | FROM e LEFT JOIN k USING (l_returnflag))
+         |SELECT l_returnflag, exact_nd, kmv_est,
+         | kmv_est * 4 >= exact_nd * 3 AND kmv_est * 4 <= exact_nd * 5
+         |   AS within_25pct
+         |FROM j""".stripMargin
+    },
 
     "m30_assoc_rules" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
