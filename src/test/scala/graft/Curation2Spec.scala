@@ -545,6 +545,39 @@ class Curation2Spec extends SparkSpec {
     assert(r(2).isNullAt(0), "type mismatch parses to null")
   }
 
+  test("m31_mcc: bounded in [-1,1]; confusion cells partition the rows") {
+    val rows = SparkEntry.queries("m31_mcc")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) +
+      r.getLong(3) + r.getLong(4)).sum
+    val nEvents = graft.io.Tables.events(spark, dir).count()
+    assert(total == nEvents, s"cells must partition: $total vs $nEvents")
+    rows.filter(!_.isNullAt(5)).foreach { r =>
+      assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("a58_theilsen: median slope bounded by min/max pairwise slope") {
+    val out = SparkEntry.queries("a58_theilsen")(spark, dir)
+    // sanity on one user: recompute the pairwise slopes directly
+    val u = out.head()
+    val uid = u.getLong(0)
+    val pts = graft.io.Tables.eventsUs(spark, dir)
+      .filter(col("user_id") === uid)
+      .select(col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .orderBy("ts_us", "event_id").collect()
+      .map(_.getLong(2)).zipWithIndex
+    val slopes = for {
+      (ca, ia) <- pts; (cb, ib) <- pts if ib > ia
+    } yield (cb - ca).toDouble / (ib - ia)
+    assert(u.getLong(1) == slopes.length)
+    val sorted = slopes.sorted
+    val med = sorted((slopes.length + 1) / 2 - 1)
+    assert(u.getDouble(2) == med,
+      s"user $uid: ${u.getDouble(2)} vs recomputed $med")
+  }
+
   test("mm_vad: analytic recompute of one doc; segment invariants") {
     val out = SparkEntry.queries("mm_vad")(spark, dir).cache()
     assert(out.filter(col("n_voiced") > col("n_frames")).count() == 0)
