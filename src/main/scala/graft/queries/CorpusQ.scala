@@ -230,21 +230,32 @@ object CorpusQ {
     }),
 
     // Inverted-index build: per term, document frequency + the first
-    // 50 postings "doc:tf" in doc order. The posting-list cap bounds
-    // row width; at real scale the list would be range-bucketed per
-    // term instead of capped (documented, not silent: df carries the
-    // true total).
+    // 50 postings "doc:tf" in doc order. The cap is applied BEFORE
+    // any collect: a row_number window ranks postings per term and
+    // only rn<=50 survivors reach the collect_list, so the agg
+    // buffer holds at most 50 structs even for a stopword-grade term
+    // (df = corpus size). The full per-term sort happens in the
+    // window operator, which is a spillable external sort — not an
+    // in-memory aggregation buffer. df is a count over the SAME
+    // term-partitioned window (shared exchange, and the final
+    // groupBy(term) reuses that hash partitioning — one shuffle
+    // total), so df still carries the TRUE total, not the capped one
+    // (no silent caps rule).
     "t_postings" -> ((s, dir) => {
       val tf = documents(s, dir).select(col("doc_id"),
           explode(Text.tokens(Text.normalizeAz(col("text")))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      tf.groupBy("term").agg(
-        count(lit(1)).as("df"),
-        array_join(
-          transform(
-            slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))), 1, 50),
-            s => concat_ws(":", s.getField("doc_id"), s.getField("tf"))),
-          " ").as("postings"))
+      val byTerm = Window.partitionBy("term")
+      tf.withColumn("df", count(lit(1)).over(byTerm))
+        .withColumn("rn", row_number().over(byTerm.orderBy("doc_id")))
+        .filter(col("rn") <= 50)
+        .groupBy("term").agg(
+          max("df").as("df"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              s => concat_ws(":", s.getField("doc_id"), s.getField("tf"))),
+            " ").as("postings"))
     }),
 
     // Tokenizer-vocabulary build: top-V tokens by corpus frequency

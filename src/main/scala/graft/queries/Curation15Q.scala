@@ -53,15 +53,19 @@ object Curation15Q {
     // whose fields project without re-parsing, the right shape when
     // several fields come out of one payload at 100 TB. Corrupt
     // payloads yield null structs (PERMISSIVE), not job failures.
+    // `malformed` means exactly that: a NON-NULL payload the parser
+    // rejected (null payloads are absent, not malformed) — mirrored
+    // in the oracle via json_valid(), so the column keeps its
+    // advertised meaning on genuinely corrupt inputs too.
     "p15_from_json" -> ((s, dir) => {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.LongType)))
       graft.io.Tables.eventsUs(s, dir)
-        .select(col("event_id"),
+        .select(col("event_id"), col("props"),
           from_json(col("props"), schema).as("p"))
         .select(col("event_id"), col("p.k").as("k"),
-          col("p").isNull.as("malformed"))
+          (col("props").isNotNull && col("p").isNull).as("malformed"))
     }),
 
     // W57: VALUE-range window frame (rangeBetween on the cent
@@ -82,26 +86,38 @@ object Curation15Q {
 
     // W55: inter-arrival cadence per user — the engagement-rhythm
     // profile (median / p90 gap, all on the integer microsecond
-    // lattice with type-1 index rules; no float ever). One window
-    // exchange for the lag, one groupBy on the same key.
+    // lattice with type-1 index rules; no float ever). The order
+    // statistics are RANK-based, not array-based: a second window
+    // over the same user_id partition assigns row_number in gap
+    // order, and the type-1 median/p90 are picked with conditional
+    // aggregation (max(when(rn === idx))) — no collect_list, so per
+    // -key state is O(1) in the aggregate and the per-user sort is
+    // the window operator's spillable external sort. Unbounded-key
+    // safe at 100 TB, unlike the whole-group sort_array it replaces.
     "w55_cadence" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
       val gaps = graft.io.Tables.eventsUs(s, dir)
         .select(col("user_id"), col("ts_us"), col("event_id"))
         .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
         .filter(col("gap").isNotNull)
-      gaps.groupBy("user_id")
-        .agg(count(lit(1)).as("n_gaps"),
-          sort_array(collect_list(col("gap"))).as("l"),
-          min("gap").as("min_gap_us"), max("gap").as("max_gap_us"))
-        .select(col("user_id"), col("n_gaps"),
-          element_at(col("l"), ((col("n_gaps") + 1) / 2).cast("int"))
+      // Same exchange for both windows (user_id hash), and the final
+      // groupBy reuses it — one shuffle total, as before.
+      gaps
+        .withColumn("n_gaps", count(lit(1)).over(wu))
+        .withColumn("rn", row_number().over(wu.orderBy("gap")))
+        .withColumn("med_idx", expr("(n_gaps + 1) DIV 2"))
+        .withColumn("p90_idx",
+          greatest(lit(1L), expr("(n_gaps * 9 + 9) DIV 10")))
+        .groupBy("user_id")
+        .agg(max("n_gaps").as("n_gaps"),
+          max(when(col("rn") === col("med_idx"), col("gap")))
             .as("med_gap_us"),
-          element_at(col("l"),
-            greatest(lit(1L), (col("n_gaps") * 9 + 9) / 10).cast("int"))
+          max(when(col("rn") === col("p90_idx"), col("gap")))
             .as("p90_gap_us"),
-          col("min_gap_us"), col("max_gap_us"))
+          min("gap").as("min_gap_us"), max("gap").as("max_gap_us"))
     }),
 
     // S17: whole-file ingestion (wholetext) — one row per FILE, the
@@ -139,7 +155,7 @@ object Curation15Q {
     "p15_from_json" ->
       """SELECT event_id,
         | CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-        | props IS NULL AS malformed
+        | props IS NOT NULL AND NOT json_valid(props) AS malformed
         |FROM events""".stripMargin,
 
     "w57_valuerange" ->

@@ -17,28 +17,14 @@ object Curation17Q {
     // discordant pairs over n(n−1)/2 — the third rank-correlation
     // lens (Pearson a18 linear, Spearman a46 monotone, Kendall pure
     // pair order; it reacts differently to ties and outliers). The
-    // pair join is WITHIN-group (i<j on the time rank), so its size
-    // is Σ n_g² — fine for bounded per-user histories; switch to the
-    // O(n log n) merge inversion count before running on unbounded
-    // groups. All counts exact; tau is one division.
-    "a56_kendall" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts_us", "event_id")
-      val e = graft.io.Tables.eventsUs(s, dir)
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          round(col("value") * 100).cast("long").as("c"))
-        .withColumn("i", row_number().over(w).cast("long"))
-      val a = e.select(col("user_id"), col("i").as("ia"), col("c").as("ca"))
-      val b = e.select(col("user_id"), col("i").as("ib"), col("c").as("cb"))
-      val pairs = a.join(b, "user_id").filter(col("ib") > col("ia"))
-      val g = pairs.groupBy("user_id").agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(col("cb") > col("ca"), 1L).otherwise(0L)).as("conc"),
-        sum(when(col("cb") < col("ca"), 1L).otherwise(0L)).as("disc"))
-      g.select(col("user_id"), col("n_pairs"), col("conc"), col("disc"),
-        ((col("conc") - col("disc")).cast("double") / col("n_pairs"))
-          .as("tau_a"))
-    }),
+    // pair join is WITHIN-group (i<j on the time rank); groups whose
+    // full pair count exceeds maxPairs are deterministically
+    // downsampled (same xxhash64 millionth-lattice rule as
+    // a58_theilsen) with the `sampled` flag in-band — tau over a
+    // uniform pair sample is the standard unbiased estimator. The
+    // default budget sits far above testdata sizes, so the oracle
+    // (always exhaustive) matches.
+    "a56_kendall" -> ((s, dir) => kendall(s, dir, 1000000L)),
 
     // Association rules (1→1) over the m26 order baskets: confidence
     // = support(a,b)/support(a), lift·10⁶ kept on the integer lattice
@@ -104,6 +90,44 @@ object Curation17Q {
             col("kmv_est") * 4 <= col("exact_nd") * 5)
     }))
 
+  /** Kendall tau-a core with an explicit per-group pair budget —
+    * the a58_theilsen sampling rule: pairs in groups whose total
+    * n·(n−1)/2 exceeds maxPairs survive iff
+    * xxhash64(user, ia, ib) mod 10⁶ < (maxPairs·10⁶) DIV total,
+    * deterministic across runs/partitionings; n_pairs then counts
+    * the SAMPLED pairs (tau's denominator) and sampled=true rides
+    * the output row (no silent caps).
+    */
+  def kendall(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxPairs: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+    val e = graft.io.Tables.eventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n_obs", count(lit(1)).over(wu))
+    val a = e.select(col("user_id"), col("n_obs"),
+      col("i").as("ia"), col("c").as("ca"))
+    val b = e.select(col("user_id"), col("i").as("ib"), col("c").as("cb"))
+    val pairs = a.join(b, "user_id").filter(col("ib") > col("ia"))
+      .withColumn("tot_pairs", expr("(n_obs * (n_obs - 1)) DIV 2"))
+      .withColumn("sampled", col("tot_pairs") > maxPairs)
+      .filter(!col("sampled") ||
+        pmod(xxhash64(col("user_id"), col("ia"), col("ib")),
+          lit(1000000L)) < expr(s"(${maxPairs}L * 1000000) DIV tot_pairs"))
+    val g = pairs.groupBy("user_id").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("cb") > col("ca"), 1L).otherwise(0L)).as("conc"),
+      sum(when(col("cb") < col("ca"), 1L).otherwise(0L)).as("disc"),
+      max("sampled").as("sampled"))
+    g.select(col("user_id"), col("n_pairs"), col("conc"), col("disc"),
+      ((col("conc") - col("disc")).cast("double") / col("n_pairs"))
+        .as("tau_a"), col("sampled"))
+  }
+
   // ---- oracle SQL ----------------------------------------------------
 
   val oracle: Map[String, String] = Map(
@@ -122,7 +146,8 @@ object Curation17Q {
         |  sum(CASE WHEN cb < ca THEN 1 ELSE 0 END)::BIGINT AS disc
         | FROM p GROUP BY user_id)
         |SELECT user_id, n_pairs, conc, disc,
-        | (conc - disc)::DOUBLE / n_pairs AS tau_a
+        | (conc - disc)::DOUBLE / n_pairs AS tau_a,
+        | n_pairs > 1000000 AS sampled
         |FROM g""".stripMargin,
 
     "a57_kmv" -> {

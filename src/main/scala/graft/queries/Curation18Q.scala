@@ -38,8 +38,12 @@ object Curation18Q {
           (col("tp") + col("fn")).cast("double") *
           (col("tn") + col("fp")).cast("double") *
           (col("tn") + col("fn")).cast("double"))
+      // Each factor is guarded INDIVIDUALLY (no product in the guard):
+      // the BIGINT triple product would overflow 2^63 at ~2M rows per
+      // cell — Spark (non-ANSI) wraps silently while DuckDB raises, so
+      // the guard itself would break query/oracle parity at scale.
       g.select(col("event_type"), col("tp"), col("fp"), col("tn"), col("fn"),
-        when((col("tp") + col("fp")) * (col("tp") + col("fn")) *
+        when((col("tp") + col("fp")) =!= 0 && (col("tp") + col("fn")) =!= 0 &&
           (col("tn") + col("fp")) =!= 0 && (col("tn") + col("fn")) =!= 0,
           num / den).otherwise(lit(null).cast("double")).as("mcc"))
     }),
@@ -48,30 +52,52 @@ object Curation18Q {
     // pairwise slopes (dy/dx over time-rank pairs) — immune to the
     // outliers that bend the w33 OLS slope. Each slope is one IEEE
     // division of exact integers (identical doubles on both engines),
-    // the median is a type-1 pick on the total (slope, ia, ib) order,
-    // and the pair join is within-group (the a56_kendall budget:
-    // bounded histories; sample pairs first at unbounded scale).
-    "a58_theilsen" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val e = graft.io.Tables.eventsUs(s, dir)
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          round(col("value") * 100).cast("long").as("c"))
-        .withColumn("i", row_number().over(w).cast("long"))
-      val a = e.select(col("user_id"), col("i").as("ia"), col("c").as("ca"))
-      val b = e.select(col("user_id"), col("i").as("ib"), col("c").as("cb"))
-      val slopes = a.join(b, "user_id").filter(col("ib") > col("ia"))
-        .select(col("user_id"), col("ia"), col("ib"),
-          ((col("cb") - col("ca")).cast("double") /
-            (col("ib") - col("ia")).cast("double")).as("slope"))
-      val wm = Window.partitionBy("user_id")
-        .orderBy(col("slope"), col("ia"), col("ib"))
-      val ranked = slopes
-        .withColumn("rk", row_number().over(wm).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
-      ranked.filter(col("rk") === expr("(n + 1) DIV 2"))
-        .select(col("user_id"), col("n").as("n_pairs"),
-          col("slope").as("ts_slope"))
-    }))
+    // the median is a type-1 pick on the total (slope, ia, ib) order.
+    // Groups whose full pair count exceeds maxPairs are DOWNSAMPLED
+    // deterministically (xxhash64 on the pair identity), and the
+    // `sampled` flag rides the output row — no silent caps. The
+    // default threshold sits far above the testdata group sizes, so
+    // the oracle (which always enumerates all pairs) still matches.
+    "a58_theilsen" -> ((s, dir) => theilSen(s, dir, 1000000L)))
+
+  /** Theil–Sen core with an explicit per-group pair budget. When a
+    * user's n·(n−1)/2 exceeds maxPairs, pairs are kept with
+    * probability ≈ maxPairs/total via an integer-decided xxhash64
+    * draw (u < (maxPairs·10⁶) DIV total on the millionth lattice) —
+    * deterministic across runs and partitionings, and the slope
+    * median is then computed over the sampled multiset (the standard
+    * randomized Theil–Sen estimator). Sampled groups carry
+    * sampled=true in-band.
+    */
+  def theilSen(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxPairs: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wu = Window.partitionBy("user_id")
+    val e = graft.io.Tables.eventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n_obs", count(lit(1)).over(wu))
+    val a = e.select(col("user_id"), col("n_obs"),
+      col("i").as("ia"), col("c").as("ca"))
+    val b = e.select(col("user_id"), col("i").as("ib"), col("c").as("cb"))
+    val slopes = a.join(b, "user_id").filter(col("ib") > col("ia"))
+      .withColumn("tot_pairs", expr("(n_obs * (n_obs - 1)) DIV 2"))
+      .withColumn("sampled", col("tot_pairs") > maxPairs)
+      .filter(!col("sampled") ||
+        pmod(xxhash64(col("user_id"), col("ia"), col("ib")),
+          lit(1000000L)) < expr(s"(${maxPairs}L * 1000000) DIV tot_pairs"))
+      .select(col("user_id"), col("sampled"), col("ia"), col("ib"),
+        ((col("cb") - col("ca")).cast("double") /
+          (col("ib") - col("ia")).cast("double")).as("slope"))
+    val wm = wu.orderBy(col("slope"), col("ia"), col("ib"))
+    val ranked = slopes
+      .withColumn("rk", row_number().over(wm).cast("long"))
+      .withColumn("n", count(lit(1)).over(wu))
+    ranked.filter(col("rk") === expr("(n + 1) DIV 2"))
+      .select(col("user_id"), col("n").as("n_pairs"),
+        col("slope").as("ts_slope"), col("sampled"))
+  }
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -90,8 +116,8 @@ object Curation18Q {
         |  sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS fn
         | FROM e GROUP BY 1)
         |SELECT event_type, tp, fp, tn, fn,
-        | CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) != 0
-        |   AND (tn + fn) != 0 THEN
+        | CASE WHEN (tp + fp) != 0 AND (tp + fn) != 0
+        |   AND (tn + fp) != 0 AND (tn + fn) != 0 THEN
         |  (tp * tn - fp * fn)::DOUBLE
         |   / sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
         |       * (tn + fp)::DOUBLE * (tn + fn)::DOUBLE)
@@ -113,6 +139,7 @@ object Curation18Q {
         |    ORDER BY slope, ia, ib) AS rk,
         |  count(*) OVER (PARTITION BY user_id) AS n
         | FROM p)
-        |SELECT user_id, n::BIGINT AS n_pairs, slope AS ts_slope
+        |SELECT user_id, n::BIGINT AS n_pairs, slope AS ts_slope,
+        | n > 1000000 AS sampled
         |FROM k WHERE rk = (n + 1) // 2""".stripMargin)
 }

@@ -125,21 +125,27 @@ object Curation2Q {
     }),
 
     // Robust scaling (x−median)/IQR per group — the outlier-tolerant
-    // twin of m6_scaler. Median and quartiles are type-1 (index into
-    // the sorted window list, ceil rule), entirely on the integer cent
-    // lattice; the scaled value is ONE division of exact integers.
+    // twin of m6_scaler. Median and quartiles are type-1 (ceil-index
+    // rule), entirely on the integer cent lattice; the scaled value
+    // is ONE division of exact integers. The order statistics are
+    // RANK-based: row_number in c order + conditional max over the
+    // same partition pick the indexed values — no collect_list, O(1)
+    // aggregate state per key, the per-group sort is the window
+    // operator's spillable sort (unbounded-key safe at 100 TB).
     "m24_robust" -> ((s, dir) => {
       val wg = Window.partitionBy("user_id")
       val e = graft.io.Tables.eventsUs(s, dir)
         .select(col("event_id"), col("user_id"),
           round(col("value") * 100).cast("long").as("c"))
-      val l = sort_array(collect_list(col("c")).over(wg))
-      val n = count(lit(1)).over(wg)
-      def at(idx: org.apache.spark.sql.Column) = element_at(l, idx.cast("int"))
-      val med = at((n + 1) / 2)
-      val q1 = at((n + 3) / 4)
-      val q3 = at((n * 3 + 3) / 4)
-      e.select(col("event_id"), col("user_id"), col("c"),
+      val ranked = e
+        .withColumn("__n", count(lit(1)).over(wg))
+        .withColumn("__rnc", row_number().over(wg.orderBy("c")))
+      def pick(idx: org.apache.spark.sql.Column) =
+        max(when(col("__rnc") === idx.cast("int"), col("c"))).over(wg)
+      val med = pick((col("__n") + 1) / 2)
+      val q1 = pick((col("__n") + 3) / 4)
+      val q3 = pick((col("__n") * 3 + 3) / 4)
+      ranked.select(col("event_id"), col("user_id"), col("c"),
           med.as("med"), (q3 - q1).as("iqr"))
         .select(col("event_id"), col("user_id"), col("c"), col("med"),
           col("iqr"),

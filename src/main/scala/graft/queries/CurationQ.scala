@@ -416,9 +416,19 @@ object CurationQ {
           round(col("value") * 100).cast("long").as("c"))
       val wMed = Window.partitionBy("user_id")
       val wSeq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val med = element_at(sort_array(collect_list(col("c")).over(wMed)),
-        floor((count(lit(1)).over(wMed) + 1) / 2).cast("int"))
-      val marked = e.withColumn("above", (col("c") > med).cast("long"))
+      // Rank-based type-1 lower median (row_number + conditional max
+      // over the same partition, staged so no window nests inside
+      // another) — no collect_list, O(1) aggregate state per key;
+      // the per-user sort is the window operator's spillable sort,
+      // so the split survives unbounded key sizes.
+      val marked = e
+        .withColumn("__n", count(lit(1)).over(wMed))
+        .withColumn("__rnc", row_number().over(wMed.orderBy("c")))
+        .withColumn("__med", max(when(
+          col("__rnc") === floor((col("__n") + 1) / 2).cast("int"),
+          col("c"))).over(wMed))
+        .withColumn("above", (col("c") > col("__med")).cast("long"))
+        .drop("__n", "__rnc", "__med")
       val runs = marked
         .withColumn("brk",
           when(lag(col("above"), 1).over(wSeq).isNull ||

@@ -167,7 +167,17 @@ class SessionTimerProcessor(gapUs: Long)
           out += SessTimerOut(key, sess.first, sess.n, sess.sum)
           cur = Some(SessTimerState(r.id, 1L, c, r.ts))
         case Some(sess) =>
-          cur = Some(SessTimerState(sess.first, sess.n + 1L, sess.sum + c, r.ts))
+          // max() keeps `last` MONOTONE: a row arriving in a later
+          // micro-batch with ts earlier than the stored session's
+          // last (cross-batch disorder) is folded into the session
+          // but cannot move its timeout backwards. Full batching-
+          // invariance of session BOUNDARIES still assumes per-key
+          // ts-ordered arrival across batches (the harness writes
+          // ts-ordered files, the w37 pattern); this guard bounds
+          // the failure mode to "late row joins the open session"
+          // rather than "session timeout regresses".
+          cur = Some(SessTimerState(sess.first, sess.n + 1L, sess.sum + c,
+            math.max(sess.last, r.ts)))
         case None =>
           cur = Some(SessTimerState(r.id, 1L, c, r.ts))
       }

@@ -31,9 +31,7 @@ object Explain {
             if (summary) {
               val flags = List(
                 "CartesianProduct" -> plan.contains("CartesianProduct"),
-                "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoop"),
-                "ExchangeCount" -> false,
-                "SingelPartWindow" -> false)
+                "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoop"))
               val nEx = "Exchange".r.findAllIn(plan).length
               val globalWin = plan.contains("Window") &&
                 plan.contains("SinglePartition")
@@ -46,7 +44,10 @@ object Explain {
               df.explain("formatted")
             }
           } catch { case e: Throwable =>
-            println(s"== $n: ERROR ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+            // getMessage is null for e.g. NPEs — String.valueOf keeps
+            // the audit loop alive instead of NPE-ing the reporter.
+            println(s"== $n: ERROR ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(120))
           }
       }
     }
