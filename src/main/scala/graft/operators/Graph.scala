@@ -33,6 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lineage-truncation point for the iterative algorithms. With no
+    * checkpoint dir: `localCheckpoint` (executor-local blocks, fast —
+    * the right default for a healthy cluster; lost with a lost
+    * executor, in which case the job recomputes from scratch). With a
+    * dir: RELIABLE `checkpoint()` — eager write to the fault-tolerant
+    * store (HDFS/S3 on a real cluster), which survives executor loss
+    * and bounds executor storage — the production setting for huge
+    * graphs where a multi-hour CC/PageRank job must not restart on
+    * one lost node. The dir is installed via
+    * `sparkContext.setCheckpointDir` once per session.
+    */
+  private def truncate(df: DataFrame,
+                       checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Connected components of an undirected graph given as an edge list
     * with BIGINT-comparable columns `a`, `b` (self-loops ignored).
     * Returns (node, component) for every node that appears in an edge;
@@ -42,26 +63,28 @@ object Graph {
     * @param maxIter safety bound; the algorithm provably converges in
     *   O(log n) rounds, so 25 covers any graph that fits in storage.
     *   Throws if the bound is hit (a correctness guard, not a budget).
+    * @param checkpointDir when set, per-round state is RELIABLY
+    *   checkpointed there (see [[truncate]]) instead of
+    *   executor-locally.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // Each round substitutes `cur` into largeStar/smallStar several
     // times, so the LOGICAL plan would grow ~9x per round — after a
-    // handful of rounds planning itself stack-overflows. localCheckpoint
-    // truncates lineage to the materialized partitions (the standard
-    // iterative-algorithm pattern; a production cluster would configure
-    // a reliable checkpoint dir and use checkpoint() for fault
-    // tolerance). Superseded rounds are dropped by reference — Spark's
-    // ContextCleaner reclaims unreferenced checkpoint RDDs.
-    var cur = edges
+    // handful of rounds planning itself stack-overflows. The truncate
+    // point cuts lineage to the materialized partitions (the standard
+    // iterative-algorithm pattern). Superseded rounds are dropped by
+    // reference — Spark's ContextCleaner reclaims unreferenced
+    // checkpoint RDDs.
+    var cur = truncate(edges
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), checkpointDir)
     var curCount = cur.count()
     var converged = curCount == 0
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = truncate(smallStar(largeStar(cur)), checkpointDir)
       val nextCount = next.count()
       // Exact set equality on two distinct sets: same count and no
       // element of next outside cur.
@@ -140,16 +163,16 @@ object Graph {
     * HUGEINT) must cast back before the multiply.
     */
   def pageRank(edges: DataFrame, iters: Int,
-               scale: Long = 1000000L): DataFrame = {
+               scale: Long = 1000000L,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && scale >= 100)
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().cache()
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    val nodes = truncate(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     val base = lit(15L * scale / 100L)
     var r = nodes.withColumn("r", lit(scale))
     for (_ <- 1 to iters) {
@@ -158,15 +181,15 @@ object Graph {
       val inc = e.join(shares, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__share")).as("__in"))
-      r = nodes.join(inc, Seq("node"), "left")
+      // Measured (sf0.1, local[32]): materializing each round beats
+      // pipelining several rounds into one deep job (5.4 s vs 8.5 s
+      // warm) — each round's exchange then feeds AQE a concrete
+      // size, and the deep chained-join alternative re-plans the
+      // whole prefix per action.
+      r = truncate(nodes.join(inc, Seq("node"), "left")
         .select(col("node"),
-          (base + expr("85 * coalesce(__in, 0L) DIV 100")).as("r"))
-        // Measured (sf0.1, local[32]): materializing each round beats
-        // pipelining several rounds into one deep job (5.4 s vs 8.5 s
-        // warm) — each round's exchange then feeds AQE a concrete
-        // size, and the deep chained-join alternative re-plans the
-        // whole prefix per action.
-        .localCheckpoint()
+          (base + expr("85 * coalesce(__in, 0L) DIV 100")).as("r")),
+        checkpointDir)
     }
     e.unpersist(); deg.unpersist()
     r
@@ -233,11 +256,12 @@ object Graph {
     * dropping the larger side of each raw pair. */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double,
-                  bandRows: Int = Dedup.DefaultBandRows): DataFrame = {
+                  bandRows: Int = Dedup.DefaultBandRows,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val pairs = Dedup
       .nearDuplicates(df, idCol, textCol, threshold, bandRows)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponents(pairs, checkpointDir = checkpointDir)
     val labeled = df.select(col(idCol).cast("long").as("node"))
       .join(comp, Seq("node"), "left")
       .select(col("node").as(idCol),

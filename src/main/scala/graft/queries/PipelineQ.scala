@@ -173,6 +173,49 @@ object PipelineQ {
             lit(0.0), (a, x) => a + x)).as("dist_center_sum"))
     }),
 
+    // M8 with a REAL trained model behind the seam: a tanh-MLP fit
+    // offline (driver-side, deterministic pure-Scala GD over the
+    // bounded entity-level training set — the reference's torch
+    // boundary) on even-game residuals, applied FROZEN via the
+    // mapPartitions seam to the held-out odd games, gated on the
+    // reference's own only-checkable NN contract (docs/raw_nn.log V6:
+    // the sequence model beats the physics floor). Integer-decided
+    // like e1_rmse_gate, so the row is oracle-able.
+    "m8_nn_gate" -> ((s, dir) => {
+      import s.implicits._
+      val frames = cappedFrames(s, dir, cap = 20)
+      val rows = TreeEnsemblePipeline
+        .trainingRows(frames, syntheticTruth(frames))
+        .filter(col("frame_id_out") === 1)
+        .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y"))
+        .select(col("game_id"), col("play_id"), col("nfl_id"),
+          col("phys_x"), col("phys_y"), col("x_true"), col("y_true"),
+          col("res_x"), col("res_y"))
+      val joined = SequenceFeaturePipeline.build(frames)
+        .join(rows, Seq("game_id", "play_id", "nfl_id")).cache()
+      val nF = SequenceFeaturePipeline.SeqFeatures.length
+      val data = graft.ml.MlpSeq.collectTraining(
+        joined.filter(col("game_id") % 2 === 0), "seq",
+        "res_x", "res_y", 8, nF)
+      val m = graft.ml.MlpSeq.train(data, 8,
+        SequenceFeaturePipeline.SeqFeatures,
+        hidden = 24, epochs = 800, lr = 0.05)
+      val scored = graft.ml.MlpSeq
+        .score(joined.filter(col("game_id") % 2 === 1), "seq", m)
+        .withColumn("pred_x", col("phys_x") + col("nn_x"))
+        .withColumn("pred_y", col("phys_y") + col("nn_y"))
+      val r = scored.agg(
+        sqrt((avg(pow(col("x_true") - col("pred_x"), 2)) +
+          avg(pow(col("y_true") - col("pred_y"), 2))) / 2).as("rmse_nn"),
+        sqrt((avg(pow(col("x_true") - col("phys_x"), 2)) +
+          avg(pow(col("y_true") - col("phys_y"), 2))) / 2).as("rmse_phys"))
+        .collect()(0)
+      joined.unpersist()
+      Seq((if (r.getDouble(0) < r.getDouble(1)) 1L else 0L,
+        if (r.getDouble(1) > 0.0) 1L else 0L))
+        .toDF("nn_beats_physics", "physics_rmse_positive")
+    }),
+
     // M8: frozen external scorer applied map-side over the tensors.
     "m8_scorer" -> ((s, dir) => {
       val seqs = SequenceFeaturePipeline.build(cappedFrames(s, dir))
@@ -195,6 +238,12 @@ object PipelineQ {
     // one seed-stable outcome (model beats physics) as a constant row.
     "e1_rmse_gate" ->
       """SELECT CAST(1 AS BIGINT) AS model_beats_physics,
+        | CAST(1 AS BIGINT) AS physics_rmse_positive""".stripMargin,
+
+    // Same pattern: the seed-stable outcome (trained MLP beats the
+    // physics floor on held-out games) IS the content.
+    "m8_nn_gate" ->
+      """SELECT CAST(1 AS BIGINT) AS nn_beats_physics,
         | CAST(1 AS BIGINT) AS physics_rmse_positive""".stripMargin,
 
     "m5_ridge_closed" ->

@@ -222,6 +222,20 @@ class Curation2Spec extends SparkSpec {
     assert(cal.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("m25_isotonic: MLlib PAV equals the oracled minimax closed form") {
+    // Both compute THE unique L2 projection onto the monotone cone;
+    // MLlib pools means incrementally while the twin takes one exact
+    // division per interval, so agreement is to float tolerance (the
+    // twin's values are the oracle-hashed ground truth).
+    val pav = SparkEntry.queries("m25_isotonic")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val closed = SparkEntry.queries("m25_isotonic_closed")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pav.keySet == closed.keySet, "same score lattice")
+    val worst = pav.map { case (s, v) => math.abs(v - closed(s)) }.max
+    assert(worst < 1e-9, s"PAV vs minimax max diff $worst")
+  }
+
   test("t_readability: ratios recompute from the exact counts") {
     val out = SparkEntry.queries("t_readability")(spark, dir).cache()
     assert(out.filter(col("n_sents") < 1).count() == 0)
