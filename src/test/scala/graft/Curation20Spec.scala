@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-6 batch-20 operators. The driver's
+  * DuckDB gate covers value parity; these pin meaning: the Hilbert
+  * adjacency property (the reason to prefer it over Morton), KM
+  * survival-curve invariants, bootstrap weight calibration, and
+  * attribution correctness against a driver-side replay.
+  */
+class Curation20Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hilbert: bijection and grid-adjacency on the full 32x32 grid") {
+    import spark.implicits._
+    val n = 32
+    val grid = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+      .toDF("px", "py")
+    val h = graft.functions.Hilbert
+      .withHilbert(grid, col("px"), col("py"), 5, "hval")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.map(_._3).distinct.length == n * n, "bijection")
+    assert(h.map(_._3).min == 0L && h.map(_._3).max == (n * n - 1).toLong)
+    val byD = h.sortBy(_._3)
+    // THE Hilbert property: consecutive indices are grid neighbors —
+    // every step is Manhattan distance exactly 1 (Morton fails this
+    // at every Z-jump).
+    byD.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // Morton on the same grid has jumps — the distinction is real.
+    val morton = grid.select(col("px"), col("py"),
+        graft.functions.ZOrder.zOrder2(col("px"), col("py"), 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    val jumps = morton.sliding(2).count {
+      case Array((x1, y1, _), (x2, y2, _)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    }
+    assert(jumps > 0, "Morton should have Z-jumps on this grid")
+  }
+
+  test("a60_kaplan_meier: monotone, bounded, recomputes from factors") {
+    val rows = SparkEntry.queries("a60_kaplan_meier")(spark, dir)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    var prev = 1.0
+    var prod = 1.0
+    rows.foreach { r =>
+      val (n, d, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d >= 0 && d <= n, "events bounded by at-risk")
+      prod *= 1.0 - d.toDouble / n.toDouble
+      assert(s == prod, "surv must equal the exact running product")
+      assert(s >= 0.0 && s <= prev + 1e-15, "non-increasing in [0,1]")
+      prev = s
+    }
+    // at-risk counts strictly decrease over days
+    val risks = rows.map(_.getLong(1))
+    assert(risks.zip(risks.tail).forall { case (a, b) => b < a })
+  }
+
+  test("a61_bootstrap: weights calibrated, replicates deterministic") {
+    val get = () => SparkEntry.queries("a61_bootstrap")(spark, dir)
+      .orderBy("replicate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val a = get()
+    assert(a.length == 32)
+    assert(a.sameElements(get()), "hash-driven bootstrap is deterministic")
+    val nRows = graft.io.Tables.eventsUs(spark, dir).count()
+    a.foreach { case (_, nEff, _, mean) =>
+      // Poisson(1) weights: E[n_eff] = n, sd = sqrt(n) -> 5 sigma band
+      assert(math.abs(nEff - nRows) < 5 * math.sqrt(nRows.toDouble),
+        s"n_eff $nEff vs n $nRows outside calibration band")
+      assert(mean > 0.0 && mean < 56021.0)
+    }
+    // replicate means must actually vary (it is a resample, not a copy)
+    assert(a.map(_._4).distinct.length > 16)
+  }
+
+  test("w58_attribution: matches a driver-side replay") {
+    val got = SparkEntry.queries("w58_attribution")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val ev = graft.io.Tables.eventsUs(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "ts_us", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, u, ts, _) =>
+      val clicks = ev.filter(e => e._4 == "click" && e._2 == u &&
+        (e._3 < ts || (e._3 == ts && e._1 < pid)))
+      pid -> (if (clicks.isEmpty) -1L
+              else clicks.maxBy(e => (e._3, e._1))._1)
+    }.toMap
+    assert(got == expected, "last preceding click per purchase")
+  }
+}
