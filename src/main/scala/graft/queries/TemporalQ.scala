@@ -456,6 +456,28 @@ object TemporalQ {
         .select(col("id").as("event_id"), col("cents"), col("cusum"))
     }),
 
+    // W58/streaming: last-touch attribution as an always-on stream —
+    // O(1) last-click state per user via flatMapGroupsWithState,
+    // continued across micro-batches. Oracle = the batch w58 SQL:
+    // hash-equality IS the batch-parity proof.
+    "w59_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val src = eventsStream(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").cast("string").as("key"),
+          unix_micros(col("ts")).as("ts"),
+          col("event_id").cast("long").as("id"),
+          col("event_type").as("typ"))
+        .as[graft.streaming.AttrObs]
+      runStream(s, "w59_stream_attribution_sink",
+        graft.streaming.StreamingTemporal
+          .attributionStream(src, 7L * 86400L * 1000000L))
+        .select(col("purchase_id"), col("key").cast("long").as("user_id"),
+          col("ts").as("ts_us"), col("click_id"),
+          col("click_ts").as("click_ts_us"),
+          (col("ts") - col("click_ts")).as("gap_us"), col("attributed"))
+    }),
+
     // W2/streaming: the trailing rolling mean through the same
     // streaming harness. The state is bounded to k values per key; the
     // in-state sum folds oldest-first so it is bitwise identical to
@@ -1495,6 +1517,10 @@ object TemporalQ {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |   (acc, v) -> greatest(0::BIGINT, acc + v)) AS cusum
          |FROM e""".stripMargin,
+
+    // Batch-parity: the streaming attribution answers the batch
+    // w58 question exactly.
+    "w59_stream_attribution" -> Curation20Q.oracle("w58_attribution"),
 
     "w3_diff" ->
       s"SELECT event_id, value - lag(value, 1) $over) AS d1 FROM events",

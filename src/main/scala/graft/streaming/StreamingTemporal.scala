@@ -31,6 +31,11 @@ case class KeyStats(key: String, n: Long, max_value: Double)
 case class TopKOut(key: String, id: Long, value: Double, rnk: Int)
 case class TypedObs(key: String, typ: String, id: Long)
 case class TypeCount(key: String, typ: String, n: Long)
+case class AttrObs(key: String, ts: Long, id: Long, typ: String)
+case class AttrOut(key: String, purchase_id: Long, ts: Long,
+                   click_id: Option[Long], click_ts: Option[Long],
+                   attributed: Boolean)
+case class ClickState(cts: Long, cid: Long)
 case class SessTimerOut(key: String, session_first: Long, n_events: Long,
                         sum_cents: Long)
 case class SessTimerState(first: Long, n: Long, sum: Long, last: Long)
@@ -217,6 +222,34 @@ object StreamingTemporal {
             EmaOut(key, r.ts, r.id, r.value, ema.get)
           }
           ema.foreach(e => state.update(EmaState(e)))
+          out.iterator
+      }
+  }
+
+  /** Streaming last-touch attribution (the batch w58 shape as an
+    * always-on stream): O(1) state per user — the most recent click
+    * (ts, id) — updated on clicks, read on purchases, continued
+    * across micro-batches. The online form of the ad-attribution
+    * join every event pipeline runs; state never grows with history,
+    * which is what makes it run forever. Exact integers end-to-end,
+    * so stream output ≡ batch output row-for-row (the oracle IS the
+    * batch SQL — hash-equality is the batch-parity proof). Same
+    * in-order-arrival assumption as [[emaStream]]. */
+  def attributionStream(ds: Dataset[AttrObs],
+                        windowUs: Long): Dataset[AttrOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[ClickState, AttrOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[AttrObs], state: GroupState[ClickState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.id))
+          var lc = state.getOption
+          val out = sorted.flatMap { r =>
+            if (r.typ == "click") { lc = Some(ClickState(r.ts, r.id)); None }
+            else Some(AttrOut(key, r.id, r.ts, lc.map(_.cid), lc.map(_.cts),
+              lc.exists(c => r.ts - c.cts <= windowUs)))
+          }
+          lc.foreach(state.update)
           out.iterator
       }
   }
