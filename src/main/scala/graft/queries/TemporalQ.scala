@@ -830,6 +830,53 @@ object TemporalQ {
           col("c_user").as("user_id"))
     }),
 
+    // Stream-stream LEFT OUTER interval join — completes the
+    // streaming join-mode surface (inner ✓ w14): clicks with no
+    // purchase inside [c_ts, c_ts + 1h] emit null-padded once the
+    // watermark passes their interval. Outer results near stream end
+    // only flush when the watermark moves past them, so a far-future
+    // sentinel row rides BOTH sides (the w37 graceful-flush pattern)
+    // and is filtered from the output by id sign. State eviction is
+    // exactly the interval + watermark — the property that lets this
+    // run forever at scale.
+    "w60_stream_left_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val flushDir = java.nio.file.Files.createTempDirectory(
+        "graft_w60_flush").toString
+      ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + expr("INTERVAL 5 HOURS")).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .write.mode("overwrite").parquet(flushDir)
+      val schema = ev.schema
+      def side(types: Seq[String], tag: String) = {
+        val base = eventsStream(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"))
+          .union(s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet").parquet(flushDir)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts")))
+          .filter(col("event_type").isin(types: _*))
+        base.select(col("event_id").as(s"${tag}_id"),
+          col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
+          .withWatermark(s"${tag}_ts", "10 seconds")
+      }
+      val clicks = side(Seq("click", "flush"), "c")
+      val purchases = side(Seq("purchase", "flush"), "p")
+      runStream(s, "w60_stream_left_join_sink",
+        clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter"))
+        .filter(col("c_id") >= 0)
+        .select(col("c_id").as("click_id"),
+          col("c_user").as("user_id"),
+          col("p_id").as("purchase_id"))
+    }),
+
     // J7/net-new: as-of join — each event picks up the latest
     // earlier-or-equal purchase by the same user (point-in-time
     // lookup). Times are micro-second timestamps on both sides —
@@ -1521,6 +1568,15 @@ object TemporalQ {
     // Batch-parity: the streaming attribution answers the batch
     // w58 question exactly.
     "w59_stream_attribution" -> Curation20Q.oracle("w58_attribution"),
+
+    "w60_stream_left_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts
+        | FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, c.user_id, purchase_id
+        |FROM c LEFT JOIN p ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "w3_diff" ->
       s"SELECT event_id, value - lag(value, 1) $over) AS d1 FROM events",
