@@ -219,15 +219,25 @@ object AggQ {
 
     // A4: group-mean imputation (`nn/nn-mps.py:573-629`).
     "a4_impute" -> ((s, dir) => {
+      // The group mean is computed EXACTLY on the cent lattice
+      // (Σcents as BIGINT, ONE division by 100·n) and emitted raw:
+      // a float avg() + round(...,6) put 32-in-a-million rows on a
+      // rounding tick at the 10x scale step, where the engines'
+      // different summation orders flipped the 6th decimal. Exact
+      // integer sums have no order sensitivity and one correctly-
+      // rounded division is bitwise identical everywhere.
       val w = Window.partitionBy("user_id")
       val masked = when(col("event_type") === "error", lit(null))
         .otherwise(col("value"))
+      val cents = when(col("event_type") =!= "error",
+        round(col("value") * 100).cast("long"))
       events(s, dir)
         .withColumn("masked", masked)
-        .select(
-          col("event_id"),
-          r6(coalesce(col("masked"), avg(col("masked")).over(w)))
-            .as("imputed"))
+        .withColumn("gmean",
+          sum(cents).over(w).cast("double") /
+            (count(cents).over(w) * 100).cast("double"))
+        .select(col("event_id"),
+          coalesce(col("masked"), col("gmean")).as("imputed"))
     }),
 
     // A5: circular mean of angles per group
@@ -1339,11 +1349,15 @@ object AggQ {
 
     "a4_impute" ->
       """WITH t AS (SELECT event_id, user_id,
-        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked,
+        |  CASE WHEN event_type != 'error'
+        |    THEN CAST(round(value * 100) AS BIGINT) END AS cents
         | FROM events)
         |SELECT event_id,
-        | round(coalesce(masked, avg(masked) OVER (PARTITION BY user_id)), 6) AS imputed
-        |FROM t""".stripMargin,
+        | coalesce(masked,
+        |   (sum(cents) OVER w)::DOUBLE
+        |     / ((count(cents) OVER w) * 100)::DOUBLE) AS imputed
+        |FROM t WINDOW w AS (PARTITION BY user_id)""".stripMargin,
 
     "a5_circmean" ->
       """SELECT user_id,

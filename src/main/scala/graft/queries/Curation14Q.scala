@@ -60,13 +60,17 @@ object Curation14Q {
           sum(col("dx") * col("dx")).as("sxx"),
           sum(col("dy") * col("dy")).as("syy"),
           sum(col("dx") * col("dy")).as("sxy"))
-      val num = col("m") * col("sxy") - col("sx") * col("sy")
-      val d1 = col("m") * col("sxx") - col("sx") * col("sx")
-      val d2 = col("m") * col("syy") - col("sy") * col("sy")
+      // The cross products multiply as DOUBLES in a pinned order (the
+      // m31_mcc rule): m·sxy reaches ~1.3e19 at the 10x scale step —
+      // past 2^63 — where Spark (non-ANSI) wraps silently and DuckDB
+      // raises. Double products of exact ints are correctly rounded
+      // and identical in both engines.
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val num = d(col("m")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val d1 = d(col("m")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val d2 = d(col("m")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
       g.select(col("m"), col("sx"), col("sy"),
-        when(d1 > 0 && d2 > 0,
-          num.cast("double") /
-            (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+        when(d1 > 0.0 && d2 > 0.0, num / (sqrt(d1) * sqrt(d2)))
           .otherwise(lit(null).cast("double")).as("assortativity"))
     }),
 
@@ -122,10 +126,11 @@ object Curation14Q {
         |  sum(dx * dy)::BIGINT AS sxy
         | FROM edges JOIN dc USING (cust) JOIN ds USING (supp))
         |SELECT m, sx, sy,
-        | CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
-        |  (m * sxy - sx * sy)::DOUBLE
-        |   / (sqrt((m * sxx - sx * sx)::DOUBLE)
-        |      * sqrt((m * syy - sy * sy)::DOUBLE))
+        | CASE WHEN m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+        |   AND m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0 THEN
+        |  (m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |   / (sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
         | END AS assortativity
         |FROM g""".stripMargin,
 
