@@ -17,7 +17,7 @@ import Q._
   */
 object GraphQ {
 
-  private val SuppOffset = 1000000000L
+  private[queries] val SuppOffset = 1000000000L
 
   val queries: Map[String, QueryFn] = Map(
     // G5/net-new: k-core decomposition (k=34) by iterative peeling —
