@@ -52,45 +52,18 @@ object Curation24Q {
     // interval-algebra census (before/meets/overlaps/starts/during/
     // finishes/equals) over pairs of DIFFERENT users' sessions that
     // start the same day. Sessions come from the w20 gap rule
-    // (30-minute idle split); day blocking bounds the pair join and
-    // the output is the tiny (day, relation) count table. Every
-    // comparison is on the integer micros lattice.
-    "j22_allen" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val gapUs = 1800L * 1000000L
-      val sess = graft.io.Tables.eventsUs(s, dir)
-        .select(col("user_id"), col("ts_us"), col("event_id"))
-        .withColumn("new_s",
-          when(lag("ts_us", 1).over(w).isNull ||
-            col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L)
-            .otherwise(0L))
-        .withColumn("sid", sum("new_s")
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "sid")
-        .agg(min("ts_us").as("st"), max("ts_us").as("en"))
-        .withColumn("day", expr("st DIV 86400000000"))
-      val a = sess.select(col("day"), col("user_id").as("ua"),
-        col("st").as("sa"), col("en").as("ea"))
-      val b = sess.select(col("day"), col("user_id").as("ub"),
-        col("st").as("sb"), col("en").as("eb"))
-      val rel = when(col("ea") < col("sb"), "before")
-        .when(col("ea") === col("sb"), "meets")
-        .when(col("sa") === col("sb") && col("ea") === col("eb"), "equals")
-        .when(col("sa") === col("sb"), "starts")
-        .when(col("ea") === col("eb"), "finishes")
-        .when(col("sa") > col("sb") && col("ea") < col("eb"), "during")
-        .when(col("sa") < col("sb") && col("ea") > col("sb"), "overlaps")
-        .otherwise("other")
-      // both orientations enter the join; exactly one survives the
-      // canonical-orientation filter (earlier start, user tiebreak),
-      // so every unordered pair is classified once, from the
-      // earlier-starting interval's point of view
-      a.join(b, Seq("day")).filter(col("ua") =!= col("ub"))
-        .filter(col("sa") < col("sb") ||
-          (col("sa") === col("sb") && col("ua") < col("ub")))
-        .groupBy(col("day"), rel.as("relation"))
-        .agg(count(lit(1)).as("n_pairs"))
-    }),
+    // (30-minute idle split); the output is the tiny (day, relation)
+    // count table. The census is inherently quadratic in per-day
+    // session density, so each day's sessions split into
+    // DENSITY-ADAPTIVE sub-blocks (count = max(1, n/500), membership
+    // by a public integer LCG — mirrorable in any engine, unlike a
+    // random draw) and pairs form only within a block: coverage is
+    // the deterministic block-diagonal 1/n_blocks fraction, reported
+    // in-band via the n_blocks column, and total pair work is
+    // ~n·500·days — LINEAR in n (the exhaustive census measured 20x
+    // wall at the 10x scale step). Every comparison is on the
+    // integer micros lattice; the oracle reproduces the same blocks.
+    "j22_allen" -> ((s, dir) => allenCensus(s, dir, 500L)),
 
     // A68: Neyman optimal sampling allocation — "how many samples
     // per stratum" ∝ N_h·S_h, THE stratified-sampling design rule.
@@ -110,6 +83,56 @@ object Curation24Q {
               (col("s").cast("double") / col("n").cast("double"))) *
             col("n").cast("double")).as("alloc_weight"))
     }))
+
+  /** Allen census core with a per-block session target: each day's
+    * sessions split into max(1, n_day/target) sub-blocks by a public
+    * LCG on (user, sid) — deterministic, engine-mirrorable — and
+    * only within-block pairs are classified. Coverage = 1/n_blocks
+    * of the day's cross pairs (block-diagonal), reported in-band;
+    * per-day pair work ≈ n_day·target instead of n_day². */
+  def allenCensus(s: org.apache.spark.sql.SparkSession, dir: String,
+      blockTarget: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wd = Window.partitionBy("day")
+    val gapUs = 1800L * 1000000L
+    val sess = graft.io.Tables.eventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("new_s",
+        when(lag("ts_us", 1).over(w).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("st"), max("ts_us").as("en"))
+      .withColumn("day", expr("st DIV 86400000000"))
+      .withColumn("n_blocks", greatest(lit(1L),
+        expr(s"(count(1) OVER (PARTITION BY day)) DIV $blockTarget")))
+      .withColumn("blk", pmod(
+        col("user_id") * 2654435761L + col("sid") * 104729L,
+        col("n_blocks")))
+    val a = sess.select(col("day"), col("blk"), col("n_blocks"),
+      col("user_id").as("ua"), col("st").as("sa"), col("en").as("ea"))
+    val b = sess.select(col("day"), col("blk"), col("user_id").as("ub"),
+      col("st").as("sb"), col("en").as("eb"))
+    val rel = when(col("ea") < col("sb"), "before")
+      .when(col("ea") === col("sb"), "meets")
+      .when(col("sa") === col("sb") && col("ea") === col("eb"), "equals")
+      .when(col("sa") === col("sb"), "starts")
+      .when(col("ea") === col("eb"), "finishes")
+      .when(col("sa") > col("sb") && col("ea") < col("eb"), "during")
+      .when(col("sa") < col("sb") && col("ea") > col("sb"), "overlaps")
+      .otherwise("other")
+    // both orientations enter the join; exactly one survives the
+    // canonical-orientation filter (earlier start, user tiebreak),
+    // so every unordered pair is classified once, from the
+    // earlier-starting interval's point of view
+    a.join(b, Seq("day", "blk")).filter(col("ua") =!= col("ub"))
+      .filter(col("sa") < col("sb") ||
+        (col("sa") === col("sb") && col("ua") < col("ub")))
+      .groupBy(col("day"), rel.as("relation"))
+      .agg(count(lit(1)).as("n_pairs"), max("n_blocks").as("n_blocks"))
+  }
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -148,12 +171,19 @@ object Curation24Q {
         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         | FROM m),
-        |sess AS (SELECT user_id, sid, min(ts_us) AS st, max(ts_us) AS en,
+        |sess0 AS (SELECT user_id, sid, min(ts_us) AS st, max(ts_us) AS en,
         |  min(ts_us) // 86400000000 AS day
         | FROM g GROUP BY user_id, sid),
-        |pairs AS (SELECT a.day, a.user_id AS ua, a.st AS sa, a.en AS ea,
-        |  b.user_id AS ub, b.st AS sb, b.en AS eb
-        | FROM sess a JOIN sess b ON a.day = b.day AND a.user_id != b.user_id
+        |sess AS (SELECT *,
+        |  greatest(1, (count(*) OVER (PARTITION BY day)) // 500)
+        |    AS n_blocks,
+        |  (user_id * 2654435761::BIGINT + sid * 104729) %
+        |    greatest(1, (count(*) OVER (PARTITION BY day)) // 500) AS blk
+        | FROM sess0),
+        |pairs AS (SELECT a.day, a.n_blocks, a.user_id AS ua,
+        |  a.st AS sa, a.en AS ea, b.user_id AS ub, b.st AS sb, b.en AS eb
+        | FROM sess a JOIN sess b ON a.day = b.day AND a.blk = b.blk
+        |   AND a.user_id != b.user_id
         | WHERE a.st < b.st OR (a.st = b.st AND a.user_id < b.user_id))
         |SELECT day,
         | CASE WHEN ea < sb THEN 'before'
@@ -164,7 +194,8 @@ object Curation24Q {
         |      WHEN sa > sb AND ea < eb THEN 'during'
         |      WHEN sa < sb AND ea > sb THEN 'overlaps'
         |      ELSE 'other' END AS relation,
-        | count(*)::BIGINT AS n_pairs
+        | count(*)::BIGINT AS n_pairs,
+        | max(n_blocks)::BIGINT AS n_blocks
         |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     "a68_neyman" ->

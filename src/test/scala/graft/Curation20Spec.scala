@@ -144,6 +144,31 @@ class Curation20Spec extends SparkSpec {
     assert(merged == direct, "bottom-k must be mergeable")
   }
 
+  test("j22_allen: block-diagonal census — blocks partition, census subsets") {
+    import spark.implicits._
+    // With a tiny block target the day splits into many blocks; the
+    // blocked census must classify a SUBSET of the exhaustive pairs
+    // per (day, relation), with n_blocks reported in-band.
+    val full = graft.queries.Curation24Q.allenCensus(spark, dir, 1000000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val blocked = graft.queries.Curation24Q.allenCensus(spark, dir, 3L)
+      .collect()
+    assert(blocked.nonEmpty)
+    blocked.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      assert(r.getLong(3) > 1, "tiny target must create multiple blocks")
+      assert(r.getLong(2) <= full.getOrElse(key, 0L),
+        s"blocked census must be a subset at $key")
+    }
+    // determinism: the LCG blocking is stable across runs
+    val again = graft.queries.Curation24Q.allenCensus(spark, dir, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(again == blocked.map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+  }
+
   test("w58_attribution: matches a driver-side replay") {
     val got = SparkEntry.queries("w58_attribution")(spark, dir)
       .collect()
