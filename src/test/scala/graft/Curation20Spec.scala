@@ -169,6 +169,42 @@ class Curation20Spec extends SparkSpec {
       (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
   }
 
+  test("o23_timetravel: snapshot algebra — adds accumulate, removes retire") {
+    val rows = SparkEntry.queries("o23_timetravel")(spark, dir)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 50)
+    // closed form of the synthetic log: v+1 adds minus the removes
+    // fired at versions 10,15,...,<=v
+    rows.foreach { case (v, live, _) =>
+      val removed = if (v < 10) 0L else (v - 10) / 5 + 1
+      assert(live == v + 1 - removed, s"version $v: live $live")
+    }
+    // total_rows non-negative and bounded by the full table
+    val total = graft.queries.Q.lineitem(spark, dir).count()
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= total))
+  }
+
+  test("o24_skew_audit: order statistics are consistent") {
+    val r = SparkEntry.queries("o24_skew_audit")(spark, dir).collect()(0)
+    val (nKeys, nRows, mx, p50, p99) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nKeys > 0 && nRows > 0)
+    assert(p50 <= p99 && p99 <= mx, s"p50 $p50 <= p99 $p99 <= max $mx")
+    assert(mx * nKeys >= nRows, "max*keys bounds total")
+  }
+
+  test("w64_period_detect: r bounded, at most one detected period") {
+    val rows = SparkEntry.queries("w64_period_detect")(spark, dir)
+      .collect()
+    assert(rows.length == 48)
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12, s"r $v out of range")
+    }
+    assert(rows.count(_.getBoolean(3)) <= 1)
+  }
+
   test("w58_attribution: matches a driver-side replay") {
     val got = SparkEntry.queries("w58_attribution")(spark, dir)
       .collect()
