@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.DistRank
+
+/** DistRank must be bitwise-equal to the single-partition window
+  * plans it replaces: every test pits the distributed two-pass
+  * against Spark's own `Window.orderBy(...)` on the same frame. */
+class DistRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 999 rows, deliberately skewed + tie-heavy key (k = id % 7 has
+  // ~143 rows per distinct value, so bucket boundaries MUST respect
+  // tie groups), unique tiebreaker id.
+  private lazy val base = spark.range(0, 999)
+    .select(col("id"), (col("id") % 7).as("k"),
+      ((col("id") * 37) % 101).as("v"))
+
+  test("global row_number matches single-partition window") {
+    val expect = base.withColumn("r",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    val got = DistRank.rowNumber(base, col("k"), Seq(col("k"), col("id")),
+      "r", parts = 4)
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("descending order via negated bucket key") {
+    val ord = Seq(col("v").desc, col("id"))
+    val expect = base.withColumn("r",
+      row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    val got = DistRank.rowNumber(base, -col("v"), ord, "r", parts = 4)
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("inclusive and exclusive cumsum + literal grand totals") {
+    val wIn = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wEx = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = base
+      .withColumn("ci", sum("v").over(wIn))
+      .withColumn("ce", coalesce(sum("v").over(wEx), lit(0L)))
+      .select("id", "ci", "ce").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val gotIn = DistRank.cumsum(base, col("k"), Seq(col("k"), col("id")),
+      Seq((col("v"), "ci")), inclusive = true,
+      totalsSuffix = Some("_tot"), parts = 4)
+    val gotEx = DistRank.cumsum(base, col("k"), Seq(col("k"), col("id")),
+      Seq((col("v"), "ce")), inclusive = false, parts = 4)
+    val gi = gotIn.select("id", "ci", "ci_tot").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val ge = gotEx.select("id", "ce").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vTot = base.agg(sum("v")).head().getLong(0)
+    base.select("id").collect().map(_.getLong(0)).foreach { id =>
+      assert(gi(id)._1 == expect(id)._1, s"inclusive at $id")
+      assert(gi(id)._2 == vTot, s"total at $id")
+      assert(ge(id) == expect(id)._2, s"exclusive at $id")
+    }
+  }
+
+  test("ntileOf matches Spark ntile for every bucket count 1..9") {
+    // also at N not divisible by n, and on a 3-row frame (N < n)
+    (1 to 9).foreach { n =>
+      val ord = Seq(col("v"), col("id"))
+      val expect = base.withColumn("t",
+        ntile(n).over(Window.orderBy(ord: _*)).cast("long"))
+        .select("id", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val ranked = DistRank.rowNumber(base, col("v"), ord, "r",
+        totalAs = Some("nn"), parts = 4)
+      val got = ranked
+        .select(col("id"), DistRank.ntileOf(col("r"), col("nn"), n).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expect, s"ntile($n)")
+    }
+    val tiny = spark.range(0, 3).select(col("id"), col("id").as("v"))
+    val expect = tiny.withColumn("t",
+      ntile(5).over(Window.orderBy("v", "id")).cast("long"))
+      .select("id", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = DistRank.rowNumber(tiny, col("v"), Seq(col("v"), col("id")),
+      "r", totalAs = Some("nn"), parts = 4)
+      .select(col("id"), DistRank.ntileOf(col("r"), col("nn"), 5).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect, "ntile(5) with N < n")
+  }
+
+  test("empty input yields empty output") {
+    val empty = base.filter(col("id") < 0)
+    assert(DistRank.rowNumber(empty, col("k"), Seq(col("k"), col("id")),
+      "r", parts = 4).count() == 0L)
+  }
+
+  test("plan has no single-partition window") {
+    val plan = DistRank.rowNumber(base, col("k"),
+      Seq(col("k"), col("id")), "r", parts = 4)
+      .queryExecution.executedPlan.toString
+    assert(!(plan.contains("Window") && plan.contains("SinglePartition")),
+      "distributed rank must not plan a global window")
+  }
+}
