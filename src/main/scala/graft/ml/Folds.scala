@@ -20,17 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Folds {
 
-  /** Scale-safe rank fold: dense_rank runs over the DISTINCT group keys
-    * only (distinct keys << rows — the global sort touches thousands of
-    * keys, not billions of rows), then joins the assignment back.
-    * A naive `dense_rank over Window.orderBy(key)` on the full frame
-    * would funnel every row through one partition. */
+  /** Scale-safe rank fold: the rank runs over the DISTINCT group keys
+    * only (distinct keys << rows), and through DistRank's bucketed
+    * two-pass — dense_rank on a distinct-key frame equals row_number,
+    * and even an unbounded key domain never funnels into one task
+    * (the old `dense_rank over Window.orderBy(key)` was a
+    * single-partition sort of the key table). */
   def withRankFold(df: DataFrame, groupCols: Seq[String], k: Int,
                    foldCol: String = "fold"): DataFrame = {
-    val keys = df.select(groupCols.map(col): _*).distinct()
-      .withColumn(foldCol,
-        ((dense_rank().over(Window.orderBy(groupCols.map(col): _*)) - 1) % k)
-          .cast("int"))
+    val lead = df.schema(groupCols.head).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        graft.operators.DistRank.stringKey(col(groupCols.head))
+      case _ => col(groupCols.head).cast("double")
+    }
+    val keys = graft.operators.DistRank.rowNumber(
+        df.select(groupCols.map(col): _*).distinct(), lead,
+        groupCols.map(col), "__rn")
+      .withColumn(foldCol, ((col("__rn") - 1L) % k).cast("int"))
+      .drop("__rn")
     // Null-safe join: a plain equi-join would silently DROP rows whose
     // group key contains a null (null != null) instead of folding them.
     val renamed = groupCols.foldLeft(keys)((d, c) =>

@@ -115,11 +115,12 @@ object Aggregations {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= den))
     val counted = df.select(c.as("v")).where(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("cnt"))
-    val cum = counted.select(col("v"),
-      sum(col("cnt")).over(
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
-        .as("cum"),
-      sum(col("cnt")).over(Window.partitionBy()).as("n"))
+    // distributed cumsum over the distinct-value lattice (DistRank's
+    // bucketed two-pass; total rides along as a literal) — the value
+    // domain is unbounded on a real column, so no global window
+    val cum = DistRank.cumsum(counted, col("v"), Seq(col("v")),
+        Seq((col("cnt"), "cum")), totalsSuffix = Some("__t"))
+      .withColumnRenamed("cum__t", "n")
     // cum >= ceil(n·p/den)  ⟺  cum·den >= n·p  (exact integers)
     val cuts = probs.zipWithIndex.map { case (p, i) =>
       min(when(col("cum") * den >= col("n") * p, col("v")))

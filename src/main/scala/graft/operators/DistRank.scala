@@ -44,6 +44,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object DistRank {
 
+  /** Order-congruent numeric bucket key for STRING sort columns: the
+    * first 6 UTF-8 bytes left-justified into a 48-bit integer.
+    * UTF-8 byte order equals Spark's UTF8String binary order, and the
+    * left-justification (missing bytes = 0) keeps prefixes sorting
+    * BELOW their extensions, so the mapping is monotone; strings
+    * sharing a 6-byte prefix share a bucket, which only concentrates
+    * load, never misorders (the in-bucket window sorts the rest). */
+  def stringKey(c: Column): Column = {
+    val b = substring(encode(c, "UTF-8"), 1, 6)
+    coalesce(conv(hex(b), 16, 10).cast("double") *
+      pow(lit(2.0), (lit(6) - length(b)) * lit(8)), lit(0.0))
+  }
+
   /** Exact floor division of two positive LONG columns without the
     * double-typed `/`: (a - a % b) / b is an exact double (the
     * numerator is divisible by b) for quotients below 2^53 — far past

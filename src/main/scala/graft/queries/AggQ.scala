@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.metrics.Score
-import graft.operators.Aggregations
+import graft.operators.{Aggregations, DistRank}
 import Q._
 
 /** Registered queries for the aggregation/join/set operators (SURVEY
@@ -146,11 +146,13 @@ object AggQ {
         .agg(count(lit(1)).as("n_cell"))
       val wType = Window.partitionBy("event_type")
       val wBin = Window.partitionBy("bin")
-      val wAll = Window.partitionBy()
-      cells.select(col("event_type"), col("bin"), col("n_cell"),
-        r6(log((col("n_cell") * sum("n_cell").over(wAll)).cast("double") /
-          (sum("n_cell").over(wType) * sum("n_cell").over(wBin))))
-          .as("pmi"))
+      // grand total as a broadcast scalar, not a partitionBy() window
+      val tot = cells.agg(sum("n_cell").as("__tot"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("bin"), col("n_cell"),
+          r6(log((col("n_cell") * col("__tot")).cast("double") /
+            (sum("n_cell").over(wType) * sum("n_cell").over(wBin))))
+            .as("pmi"))
     }),
 
     // M12/net-new: chi-square association between two categoricals,
@@ -168,12 +170,14 @@ object AggQ {
         .agg(count(lit(1)).as("obs"))
       val wS = Window.partitionBy("status")
       val wP = Window.partitionBy("priority")
-      val wAll = Window.partitionBy()
+      // grand total as a broadcast scalar, not a partitionBy() window
+      val tot = cells.agg(sum("obs").as("__tot"))
       val e = (sum("obs").over(wS) * sum("obs").over(wP)).cast("double") /
-        sum("obs").over(wAll).cast("double")
+        col("__tot").cast("double")
       val dev = col("obs").cast("double") - e
-      cells.select(col("status"), col("priority"), col("obs"),
-        e.as("expected"), (dev * dev / e).as("chi_term"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("status"), col("priority"), col("obs"),
+          e.as("expected"), (dev * dev / e).as("chi_term"))
     }),
 
     // A28/net-new: Benford first-digit profile (fraud/quality screen
@@ -182,12 +186,15 @@ object AggQ {
     // correctly rounded and can misbucket exact powers of ten.
     "a28_benford" -> ((s, dir) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
-      lineitem(s, dir)
+      val d = lineitem(s, dir)
         .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
+      // total as a broadcast scalar, not a partitionBy() window
+      val tot = d.agg(sum("n").as("__tot"))
+      d.crossJoin(broadcast(tot))
         .select(col("digit"), col("n"),
-          (col("n").cast("double") /
-            sum("n").over(Window.partitionBy()).cast("double")).as("share"))
+          (col("n").cast("double") / col("__tot").cast("double"))
+            .as("share"))
     }),
 
     // A3: grouped transform — group stats broadcast back to rows via
@@ -606,16 +613,17 @@ object AggQ {
     }),
 
     // O12/net-new: surrogate-key assignment — dense ids from the
-    // natural key's total order (dense_rank over a tiny DISTINCT key
-    // table, broadcast back). Engine-portable unlike hash/monotonic
-    // ids; the ranked table is keys-only so the global window is
-    // bounded by key cardinality, not row count.
+    // natural key's total order, broadcast back. Engine-portable
+    // unlike hash/monotonic ids. The keys are DISTINCT, so dense_rank
+    // over them equals row_number — computed by DistRank's bucketed
+    // two-pass (string sort keys bucket on their 6-byte UTF-8 prefix)
+    // so even an unbounded key domain never funnels into one task.
     "o12_surrogate" -> ((s, dir) => {
       val keys = customer(s, dir)
         .select(col("c_mktsegment"), col("c_nationkey")).distinct()
-      val sk = keys.withColumn("segment_nation_sk",
-        dense_rank().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("c_mktsegment"), col("c_nationkey"))).cast("long"))
+      val sk = DistRank.rowNumber(keys,
+        DistRank.stringKey(col("c_mktsegment")),
+        Seq(col("c_mktsegment"), col("c_nationkey")), "segment_nation_sk")
       customer(s, dir).join(broadcast(sk), Seq("c_mktsegment", "c_nationkey"))
         .select(col("c_custkey"), col("c_mktsegment"),
           col("c_nationkey"), col("segment_nation_sk"))
@@ -695,12 +703,15 @@ object AggQ {
           (col("event_type") === "view").cast("long").as("isA"))
       val g = e.groupBy("c").agg(sum(col("isA")).as("ca"),
         sum(lit(1L) - col("isA")).as("cb"))
-      val wCum = Window.orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wAll = Window.partitionBy()
-      val cum = g.select(col("c"),
-        sum("ca").over(wCum).as("cumA"), sum("cb").over(wCum).as("cumB"),
-        sum("ca").over(wAll).as("na"), sum("cb").over(wAll).as("nb"))
+      // distributed CDF: DistRank two-pass cumsum over the value
+      // lattice (c is unique post-agg, so a total order) — no
+      // single-partition window even if the lattice is unbounded;
+      // grand totals ride along as literals instead of a global
+      // partitionBy() window.
+      val cum = DistRank.cumsum(g, col("c"), Seq(col("c")),
+          Seq((col("ca"), "cumA"), (col("cb"), "cumB")),
+          totalsSuffix = Some("_t"))
+        .withColumnRenamed("cumA_t", "na").withColumnRenamed("cumB_t", "nb")
       cum.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
           max(abs(col("cumA") * col("nb") - col("cumB") * col("na")))
             .as("d_num"))
@@ -723,13 +734,11 @@ object AggQ {
       val g = e.groupBy("score").agg(count(lit(1)).as("cnt"),
         sum(col("y")).as("pos"))
       // The global cumsum runs over the per-SCORE aggregate (distinct
-      // score values, not rows) — bounded by the score lattice, the
-      // same contract as the exact-quantile path; range-partition it
-      // if the score domain is unbounded.
-      val wOrd = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = g.withColumn("before",
-        coalesce(sum("cnt").over(wOrd), lit(0L)))
+      // score values, not rows) and through DistRank's two-pass
+      // bucketed plan, so even an unbounded score domain never funnels
+      // into one sort task.
+      val ranked = DistRank.cumsum(g, col("score"), Seq(col("score")),
+        Seq((col("cnt"), "before")), inclusive = false)
       val agg = ranked.agg(
         sum(col("pos") * (lit(2L) * col("before") + col("cnt") + 1)).as("r2"),
         sum(col("pos")).as("np"), sum(col("cnt") - col("pos")).as("nn"))
@@ -773,14 +782,14 @@ object AggQ {
         col("event_type").isin("purchase", "signup").cast("long").as("y"))
       val g = e.groupBy("score").agg(count(lit(1)).as("cnt"),
         sum(col("y")).as("pos"))
-      val wCum = Window.orderBy(col("score").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wAll = Window.partitionBy()
-      g.select(col("score"),
-          sum("cnt").over(wCum).as("cum_n"),
-          sum("pos").over(wCum).as("cum_pos"),
-          sum("cnt").over(wAll).as("n"),
-          sum("pos").over(wAll).as("tot_pos"))
+      // descending cumsum distributes via a negated bucket key; the
+      // grand totals (n, tot_pos) are DistRank literals, not a
+      // global-partition window.
+      DistRank.cumsum(g, -col("score"), Seq(col("score").desc),
+          Seq((col("cnt"), "cum_n"), (col("pos"), "cum_pos")),
+          totalsSuffix = Some("_t"))
+        .withColumnRenamed("cum_n_t", "n")
+        .withColumnRenamed("cum_pos_t", "tot_pos")
         .select(col("score"), col("cum_n"), col("cum_pos"),
           (col("cum_pos").cast("double") / col("tot_pos").cast("double"))
             .as("capture_rate"),
@@ -812,9 +821,13 @@ object AggQ {
     "m18_stringindex" -> ((s, dir) => {
       val cnt = events(s, dir).groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))
-      val idx = cnt.select(col("event_type"), col("cnt"),
-        (row_number().over(Window.orderBy(col("cnt").desc,
-          col("event_type"))) - 1).cast("long").as("type_idx"))
+      // fit ranks the label-count aggregate with DistRank (the label
+      // domain is corpus-unbounded on a real categorical column —
+      // never a one-task sort), frequencyDesc + lexicographic ties.
+      val idx = DistRank.rowNumber(cnt, -col("cnt"),
+          Seq(col("cnt").desc, col("event_type")), "__rn")
+        .select(col("event_type"), col("cnt"),
+          (col("__rn") - 1L).as("type_idx"))
       events(s, dir).select("event_id", "event_type")
         .join(broadcast(idx), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("type_idx"))

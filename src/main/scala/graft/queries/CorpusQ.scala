@@ -260,19 +260,19 @@ object CorpusQ {
 
     // Tokenizer-vocabulary build: top-V tokens by corpus frequency
     // with dense ids, ties broken lexicographically so the id
-    // assignment is total-order deterministic. The global row_number
-    // runs on the AGGREGATED vocab (tiny), never the token stream.
+    // assignment is total-order deterministic. Ranks run on the
+    // AGGREGATED vocab through DistRank's bucketed two-pass — a real
+    // corpus vocabulary is millions of types, too big for the old
+    // single-task row_number window.
     "t_vocab" -> ((s, dir) => {
       val counts = documents(s, dir)
         .select(explode(Text.tokens(Text.normalizeAz(col("text"))))
           .as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
-      counts.select(col("token"), col("n"),
-          row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("n").desc, col("token")))
-            .cast("long").as("token_id"))
+      graft.operators.DistRank.rowNumber(counts, -col("n"),
+          Seq(col("n").desc, col("token")), "token_id")
         .filter(col("token_id") <= 200)
+        .select(col("token"), col("n"), col("token_id"))
     }),
 
     // CCNet-style frequency scoring: per doc, the mean corpus

@@ -66,9 +66,13 @@ object Curation13Q {
         // so the ordering is unchanged)
         .withColumn("ptok6", expr("(dsir6 + 100000000 * nt) DIV nt"))
 
-      // 4. keep the top half by per-token importance, then shard
-      val wNt = Window.orderBy(col("ptok6").desc, col("doc_id"))
-      weighted.withColumn("half", ntile(2).over(wNt))
+      // 4. keep the top half by per-token importance (DistRank rank —
+      // doc grain is row-scale, no global ntile window), then shard
+      val rankedW = graft.operators.DistRank.rowNumber(weighted,
+        -col("ptok6"), Seq(col("ptok6").desc, col("doc_id")), "__r",
+        totalAs = Some("__n"))
+      rankedW.withColumn("half", graft.operators.DistRank
+          .ntileOf(col("__r"), col("__n"), 2))
         .filter(col("half") === 1)
         .select(col("doc_id"), col("nt"), col("dsir6"),
           pmod(col("doc_id") * 2654435761L, lit(4L)).as("shard"))

@@ -33,14 +33,16 @@ object Curation24Q {
           .as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("r"))
       val coc = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
-      val wr = Window.orderBy("r")
-      coc
-        .withColumn("r_next", lead("r", 1).over(wr))
-        .withColumn("n_r_next", lead("n_r", 1).over(wr))
-        .filter(col("r") <= 10)
+      // N_{r+1} is a key-shifted SELF-JOIN, not a lead() over a global
+      // window: the spectrum has O(sqrt(corpus tokens)) distinct
+      // counts — small, but unbounded — and the join distributes while
+      // lead()'s empty partition spec funnels into one task.
+      val succ = coc.select((col("r") - 1L).as("r"),
+        col("n_r").as("__nr1"))
+      coc.filter(col("r") <= 10)
+        .join(succ, Seq("r"), "left")
         .select(col("r"), col("n_r"),
-          when(col("r_next") === col("r") + 1, col("n_r_next"))
-            .otherwise(lit(0L)).as("n_r1"))
+          coalesce(col("__nr1"), lit(0L)).as("n_r1"))
         .withColumn("r_star",
           when(col("n_r1") > 0,
             ((col("r") + 1) * col("n_r1")).cast("double") /

@@ -22,11 +22,11 @@ object Curation27Q {
     "o24_skew_audit" -> ((s, dir) => {
       val counts = lineitem(s, dir).groupBy("l_suppkey")
         .agg(count(lit(1)).as("n"))
-      val wAll = Window.partitionBy(lit(1))
-      val ranked = counts
-        .withColumn("nk", count(lit(1)).over(wAll))
-        .withColumn("rn", row_number().over(
-          wAll.orderBy(col("n"), col("l_suppkey"))))
+      // the key-count lattice is as unbounded as the key domain —
+      // rank it with DistRank's bucketed two-pass, key count as the
+      // literal total
+      val ranked = graft.operators.DistRank.rowNumber(counts, col("n"),
+        Seq(col("n"), col("l_suppkey")), "rn", totalAs = Some("nk"))
       ranked.groupBy(col("nk").as("n_keys"))
         .agg(sum("n").as("n_rows"), max("n").as("max_rows"),
           max(when(col("rn") === expr("(nk + 1) DIV 2"), col("n")))

@@ -49,18 +49,18 @@ object Curation28Q {
     // prequential error profile — learning-curve monitoring with no
     // holdout set. One time-ordered window pass.
     "m33_prequential" -> ((s, dir) => {
-      val w = Window.orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
       val e = graft.io.Tables.eventsUs(s, dir)
         .select(col("event_id"), col("ts_us"),
           when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("y"))
-      // global time-ordered pass: the protocol is inherently
-      // sequential; the single-partition window runs over the
-      // (ts, id)-sorted stream ONCE (spillable sort, O(1) state) —
-      // the same shape a streaming implementation would use.
-      val scored = e
-        .withColumn("n_prev", count(lit(1)).over(w))
-        .withColumn("pos_prev", coalesce(sum("y").over(w), lit(0L)))
+      // the protocol is inherently sequential, but its running counts
+      // are PREFIX SUMS — DistRank's time-bucketed two-pass computes
+      // them p-way parallel (each bucket sorts its own time slice,
+      // earlier-slice totals arrive as broadcast offsets), so the
+      // stream never funnels into one sort task.
+      val scored = graft.operators.DistRank.cumsum(e, col("ts_us"),
+        Seq(col("ts_us"), col("event_id")),
+        Seq((lit(1L), "n_prev"), (col("y"), "pos_prev")),
+        inclusive = false)
         // majority vote; ties and cold start predict 0
         .withColumn("pred",
           when(col("pos_prev") * 2 > col("n_prev"), 1L).otherwise(0L))

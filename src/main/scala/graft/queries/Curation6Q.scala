@@ -67,11 +67,11 @@ object Curation6Q {
       val scored = test.select(col("doc_id"), col("label"),
         (lit(1.0) / (lit(1.0) + exp(-margin))).as("score"))
       // exact tie-broken rank-statistic AUC (the m14_auc formula):
-      // AUC = (Σ rank(pos) − P(P+1)/2) / (P·N). The global rank window
-      // is bounded by the held-out slice; at 100 TB bin the scores to
-      // a fixed lattice first (m15-style) and rank the bin aggregates.
-      val wr = Window.orderBy(col("score").asc, col("doc_id"))
-      val ranked = scored.withColumn("r", row_number().over(wr).cast("long"))
+      // AUC = (Σ rank(pos) − P(P+1)/2) / (P·N). Ranks come from
+      // DistRank's bucketed two-pass, so the held-out slice can be
+      // arbitrarily large without a one-task sort.
+      val ranked = graft.operators.DistRank.rowNumber(scored,
+        col("score"), Seq(col("score").asc, col("doc_id")), "r")
       ranked.agg(
           count(lit(1)).as("n_test"),
           sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos"),

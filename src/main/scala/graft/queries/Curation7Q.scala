@@ -111,8 +111,9 @@ object Curation7Q {
           .reduce(_ + _) + intercept
         val scored = df.select(col("doc_id"), col("label"),
           (lit(1.0) / (lit(1.0) + exp(-margin))).as("score"))
-        val wr = Window.orderBy(col("score").asc, col("doc_id"))
-        scored.withColumn("r", row_number().over(wr).cast("long"))
+        // ranks via DistRank's bucketed two-pass (see t_quality_clf)
+        graft.operators.DistRank.rowNumber(scored, col("score"),
+            Seq(col("score").asc, col("doc_id")), "r")
           .agg(((sum(when(col("label") === 1.0, col("r")).otherwise(0L)) -
             sum(when(col("label") === 1.0, 1L).otherwise(0L)) *
               (sum(when(col("label") === 1.0, 1L).otherwise(0L)) + 1) / 2)
@@ -125,8 +126,11 @@ object Curation7Q {
       val base = auc(test)
       // permute feature k by joining it back on a hash-rotated id:
       // every doc gets SOME doc's value, none (w.h.p.) its own
-      val ids = test.select(col("doc_id")).withColumn("rnk",
-        row_number().over(Window.orderBy(xxhash64(col("doc_id")))).cast("long"))
+      // hash-order rank distributes the same way (bucketed on the
+      // hash value; doc_id breaks the astronomically-unlikely hash tie)
+      val ids = graft.operators.DistRank.rowNumber(
+        test.select(col("doc_id")), xxhash64(col("doc_id")),
+        Seq(xxhash64(col("doc_id")), col("doc_id")), "rnk")
       val nTest = test.count()
       val rows = feats.map { ft =>
         // cyclic shift by 1 in hash order: rank r receives rank r-1's

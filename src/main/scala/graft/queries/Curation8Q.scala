@@ -35,8 +35,13 @@ object Curation8Q {
         .agg(count(lit(1)).as("n_tok"), sum(lp6).as("sum_lp6"))
         .withColumn("mean_nll",
           -col("sum_lp6").cast("double") / (col("n_tok") * lit(1000000L)))
-      val w = Window.orderBy(col("mean_nll").asc, col("doc_id"))
-      perDoc.withColumn("tercile", ntile(3).over(w).cast("long"))
+      // terciles via the DistRank distributed rank — doc grain is
+      // row-scale, so the old global ntile window was a one-task sort
+      val ranked = graft.operators.DistRank.rowNumber(perDoc,
+        col("mean_nll"), Seq(col("mean_nll").asc, col("doc_id")),
+        "__r", totalAs = Some("__n"))
+      ranked.withColumn("tercile", graft.operators.DistRank
+          .ntileOf(col("__r"), col("__n"), 3))
         .select(col("doc_id"), col("n_tok"), col("sum_lp6"),
           when(col("tercile") === 1, "head")
             .when(col("tercile") === 2, "middle")

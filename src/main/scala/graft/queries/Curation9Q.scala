@@ -28,8 +28,10 @@ object Curation9Q {
       val vocab = documents(s, dir)
         .select(explode(Text.tokens(Text.normalizeAz(col("text")))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("f"))
-      val wr = Window.orderBy(col("f").desc, col("tok"))
-      val ranked = vocab.withColumn("r", row_number().over(wr).cast("long"))
+      // vocab is corpus-unbounded — rank via DistRank's bucketed
+      // two-pass, then keep the head
+      val ranked = graft.operators.DistRank.rowNumber(vocab, -col("f"),
+          Seq(col("f").desc, col("tok")), "r")
         .filter(col("r") <= 1000)
         .select(
           round(lit(1e6) * log(col("r").cast("double"))).cast("long").as("x6"),
@@ -75,13 +77,13 @@ object Curation9Q {
         when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("y"))
       val byScore = e.groupBy("score")
         .agg(count(lit(1)).as("n"), sum("y").as("np"))
-      val wDesc = Window.orderBy(col("score").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
       val tot = byScore.agg(sum("np").as("pos_total"))
-      // predict positive when score >= threshold
-      val cum = byScore.select(col("score"),
-          sum("n").over(wDesc).as("n_pred"),
-          sum("np").over(wDesc).as("tp"))
+      // predict positive when score >= threshold; the descending
+      // cumsums distribute via DistRank (negated bucket key) even on
+      // an unbounded score lattice
+      val cum = graft.operators.DistRank.cumsum(byScore, -col("score"),
+          Seq(col("score").desc),
+          Seq((col("n"), "n_pred"), (col("np"), "tp")))
         .crossJoin(broadcast(tot))
         .select(col("score"), col("tp"),
           (col("n_pred") - col("tp")).as("fp"),

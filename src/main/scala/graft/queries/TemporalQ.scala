@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators.Temporal
@@ -1082,25 +1083,38 @@ object TemporalQ {
     // exact cent revenue; each dimension quintiled by ntile over a
     // TOTAL order (metric + user_id tiebreak — plain ntile over a
     // tied metric is partition-order-dependent, determinism trap).
-    // One exchange for the per-user aggregate; the quintile windows
-    // ride the tiny user-grain result.
+    // One exchange for the per-user aggregate; each quintile is a
+    // DistRank distributed rank (user grain is row-scale on a real
+    // corpus — three orderings need three sorts, but each is p-way
+    // bucketed, never a one-task global window; the reference anchor,
+    // max event time, is a scalar agg broadcast, not a partitionBy()
+    // window) joined back on the user key.
     "m19_rfm" -> ((s, dir) => {
       val e = eventsRawUs(s, dir)
       val g = e.groupBy("user_id").agg(
         max(col("ts_us")).as("last_us"),
         count(lit(1)).as("freq"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-      val gm = g.select(col("user_id"),
-        (max(col("last_us")).over(Window.partitionBy()) - col("last_us"))
-          .as("recency_us"),
+      val mx = g.agg(max(col("last_us")).as("__mx"))
+      val gm = g.crossJoin(broadcast(mx)).select(col("user_id"),
+        (col("__mx") - col("last_us")).as("recency_us"),
         col("freq"), col("cents"))
-      gm.select(col("user_id"), col("recency_us"), col("freq"), col("cents"),
-        ntile(5).over(Window.orderBy(col("recency_us"), col("user_id")))
-          .cast("long").as("r_score"),
-        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
-          .cast("long").as("f_score"),
-        ntile(5).over(Window.orderBy(col("cents").desc, col("user_id")))
-          .cast("long").as("m_score"))
+      def quintile(metric: Column, bucketKey: Column,
+          ord: Seq[Column], as: String) = {
+        val r = graft.operators.DistRank.rowNumber(
+          gm.select(col("user_id"), metric.as("__m")), bucketKey,
+          ord, "__r", totalAs = Some("__n"))
+        r.select(col("user_id"), graft.operators.DistRank
+          .ntileOf(col("__r"), col("__n"), 5).as(as))
+      }
+      gm.join(quintile(col("recency_us"), col("__m"),
+          Seq(col("__m"), col("user_id")), "r_score"), "user_id")
+        .join(quintile(col("freq"), -col("__m"),
+          Seq(col("__m").desc, col("user_id")), "f_score"), "user_id")
+        .join(quintile(col("cents"), -col("__m"),
+          Seq(col("__m").desc, col("user_id")), "m_score"), "user_id")
+        .select(col("user_id"), col("recency_us"), col("freq"),
+          col("cents"), col("r_score"), col("f_score"), col("m_score"))
     }),
 
     // M17/net-new: group-wise min-max normalization — the per-entity

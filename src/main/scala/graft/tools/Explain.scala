@@ -11,6 +11,10 @@ object Explain {
     val summary = args.headOption.contains("-s")
     val names = (if (summary) args.drop(1) else args).toList
     val spark = SparkSession.builder().master("local[4]")
+      // AQE wraps the plan in AdaptiveSparkPlanExec, whose tree
+      // traversal does NOT descend into the inner plan — the audit
+      // needs the static plan to walk Window nodes
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -27,14 +31,22 @@ object Explain {
         case Some(fn) =>
           try {
             val df = fn(spark, dir)
-            val plan = df.queryExecution.executedPlan.toString
+            val exec = df.queryExecution.executedPlan
+            val plan = exec.toString
             if (summary) {
               val flags = List(
                 "CartesianProduct" -> plan.contains("CartesianProduct"),
                 "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoop"))
               val nEx = "Exchange".r.findAllIn(plan).length
-              val globalWin = plan.contains("Window") &&
-                plan.contains("SinglePartition")
+              // a window is global only when ITS OWN partition spec is
+              // empty (one task sorts everything) — a scalar .agg()'s
+              // SinglePartition exchange elsewhere in the plan is fine
+              val globalWin = exec.collect {
+                case w: org.apache.spark.sql.execution.window.WindowExec
+                  if w.partitionSpec.isEmpty => w
+                case w: org.apache.spark.sql.execution.window
+                  .WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+              }.nonEmpty
               val hit = flags.filter(_._2).map(_._1) ++
                 (if (globalWin) Seq("global-window") else Nil)
               println(f"== $n%-24s exchanges=$nEx%-3d " +
