@@ -31,25 +31,10 @@ object Explain {
         case Some(fn) =>
           try {
             val df = fn(spark, dir)
-            val exec = df.queryExecution.executedPlan
-            val plan = exec.toString
             if (summary) {
-              val flags = List(
-                "CartesianProduct" -> plan.contains("CartesianProduct"),
-                "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoop"))
-              val nEx = "Exchange".r.findAllIn(plan).length
-              // a window is global only when ITS OWN partition spec is
-              // empty (one task sorts everything) — a scalar .agg()'s
-              // SinglePartition exchange elsewhere in the plan is fine
-              val globalWin = exec.collect {
-                case w: org.apache.spark.sql.execution.window.WindowExec
-                  if w.partitionSpec.isEmpty => w
-                case w: org.apache.spark.sql.execution.window
-                  .WindowGroupLimitExec if w.partitionSpec.isEmpty => w
-              }.nonEmpty
-              val hit = flags.filter(_._2).map(_._1) ++
-                (if (globalWin) Seq("global-window") else Nil)
-              println(f"== $n%-24s exchanges=$nEx%-3d " +
+              val f = PlanAudit.audit(df)
+              val hit = f.names
+              println(f"== $n%-24s exchanges=${f.exchanges}%-3d " +
                 (if (hit.isEmpty) "ok" else hit.mkString(",")))
             } else {
               println(s"\n==== $n ====")

@@ -1,0 +1,85 @@
+package graft
+
+import graft.tools.PlanAudit
+
+/** CI gate over every registered query's physical plan: the
+  * scale-killing shapes (cartesian products, single-partition
+  * windows) can never silently regress, and broadcast nested-loop
+  * joins stay confined to the documented tiny-frame exceptions.
+  *
+  * A failure here means either (a) a new query planned a shape that
+  * does not survive 100 TB — fix the plan (DistRank for global
+  * ranks, broadcast/equi-join for cartesians), or (b) a new
+  * INTENTIONAL bounded-frame exception — add it to the allow-list
+  * below WITH a justification comment.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries allowed to plan a window with an empty partition spec:
+    * each one's input frame is bounded by CONSTRUCTION (a fixed
+    * lattice/domain), not by the data volume, so the one-task sort
+    * touches O(domain) rows at any scale. */
+  private val globalWindowAllowed = Set(
+    // per-day survival curve: the day lattice is the output grain,
+    // and the survival product is an IEEE-ordered fold that a
+    // distributed regroup would change bitwise
+    "a60_kaplan_meier",
+    // bottom-k sketch MERGE: at most 64 rows per scope survive the
+    // per-scope (partitioned) stage; the constant-scope merge frame
+    // is <= 64 * |scopes|
+    "a62_bottomk_quantiles",
+    // the closed-form isotonic twin is BY DESIGN an O(m^3) exact
+    // oracle over a <= 101-value score lattice (score = id % 101);
+    // the scale path is MLlib PAV in m25_isotonic
+    "m25_isotonic_closed",
+    // top-20 BPE merge candidates over char-bigram counts: the pair
+    // domain is bounded by the alphabet squared (<= ~27^2 rows)
+    "t_bpe_learn",
+    // autocorrelation peak over a FIXED 48-lag frame
+    "w64_period_detect")
+
+  /** Queries allowed to plan a BroadcastNestedLoopJoin: every entry
+    * is an intentional crossJoin(broadcast(x)) of a scalar/parameter
+    * frame (grand totals, fitted cut points, centroids, thresholds)
+    * or a documented bounded recall-oracle. */
+  private val bnlAllowed = Set(
+    "a17_binning", "a24_constraints", "a27_psi", "a28_benford",
+    "a34_cms", "a41_jsd", "a48_cuped", "c_curation", "d_dupstats",
+    "d_embdup", "e2_seqfeatures", "j19_entity_res", "j24_bitemporal",
+    "m11_pmi", "m12_chisq", "m15_cooccur", "m19_rfm", "m20_infogain",
+    "m25_isotonic_closed", "m28_best_f1", "m4_residual", "m6_scaler",
+    "m8_scorer", "o23_timetravel", "s_ivf_recall", "s_ivf_topk",
+    "s_kmeans_ivf", "s_knn_join", "t_bigram_rare", "t_bpe_merges",
+    "t_ccnet_buckets", "t_dsir", "t_heaps", "t_keyphrase", "t_mixture",
+    "t_stopword_discovery", "t_tfidf", "t_time_split", "t_unigram_lp",
+    "t_upsample", "w62_ewma_chart", "w64_period_detect")
+
+  test("no cartesian, no unlisted global window or BNL, all plans build") {
+    // the window detector needs the static plan; restore AQE after
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val failures = scala.collection.mutable.ArrayBuffer[String]()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val flags =
+          try PlanAudit.audit(fn(spark, dir))
+          catch { case e: Throwable =>
+            failures += s"$name: plan build failed: " +
+              s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(120)
+            PlanAudit.Flags(cartesian = false, bnl = false,
+              globalWindow = false, exchanges = 0)
+          }
+        if (flags.cartesian)
+          failures += s"$name: CartesianProduct (never allowed)"
+        if (flags.globalWindow && !globalWindowAllowed(name))
+          failures += s"$name: single-partition window not in allow-list"
+        if (flags.bnl && !bnlAllowed(name))
+          failures += s"$name: BroadcastNestedLoopJoin not in allow-list"
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
