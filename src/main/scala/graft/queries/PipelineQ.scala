@@ -193,12 +193,12 @@ object PipelineQ {
           col("res_x"), col("res_y"))
       val joined = SequenceFeaturePipeline.build(frames)
         .join(rows, Seq("game_id", "play_id", "nfl_id")).cache()
-      val nF = SequenceFeaturePipeline.SeqFeatures.length
-      val data = graft.ml.MlpSeq.collectTraining(
+      // distributed fit: per-epoch gradients are exact fixed-point
+      // treeAggregate-style partition sums (only p × ~2k-long
+      // accumulators reach the driver, never training rows)
+      val m = graft.ml.MlpSeq.trainDistributed(
         joined.filter(col("game_id") % 2 === 0), "seq",
-        "res_x", "res_y", 8, nF)
-      val m = graft.ml.MlpSeq.train(data, 8,
-        SequenceFeaturePipeline.SeqFeatures,
+        "res_x", "res_y", 8, SequenceFeaturePipeline.SeqFeatures,
         hidden = 24, epochs = 800, lr = 0.05)
       val scored = graft.ml.MlpSeq
         .score(joined.filter(col("game_id") % 2 === 1), "seq", m)

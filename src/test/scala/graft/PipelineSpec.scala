@@ -81,17 +81,39 @@ class PipelineSpec extends SparkSpec {
     val joined = graft.pipeline.SequenceFeaturePipeline.build(frames)
       .join(rows, Seq("game_id", "play_id", "nfl_id")).cache()
     val nF = graft.pipeline.SequenceFeaturePipeline.SeqFeatures.length
-    val data = graft.ml.MlpSeq.collectTraining(
-      joined.filter(col("game_id") % 2 === 0), "seq", "res_x", "res_y", 8, nF)
-    def fit() = graft.ml.MlpSeq.train(data, 8,
+    val trainDf = joined.filter(col("game_id") % 2 === 0)
+    // Driver twin parity AT 300 EPOCHS (cheap mechanism proof):
+    // collecting the same rows in ANY order — here descending entity
+    // order — and running the in-memory trainer must give the SAME
+    // bits, proving the fixed-point accumulation is order- and
+    // partitioning-independent. Since both trainers share the same
+    // per-row/update code verbatim, the equality extends to any epoch
+    // count, so the 3000-epoch quality fit below can run on the fast
+    // driver twin without weakening the distributed claim.
+    val mDist = graft.ml.MlpSeq.trainDistributed(trainDf, "seq",
+      "res_x", "res_y", 8,
+      graft.pipeline.SequenceFeaturePipeline.SeqFeatures,
+      hidden = 24, epochs = 300, lr = 0.05)
+    val seqI = trainDf.schema.fieldIndex("seq")
+    val txI = trainDf.schema.fieldIndex("res_x")
+    val tyI = trainDf.schema.fieldIndex("res_y")
+    val data = trainDf
+      .orderBy(col("game_id").desc, col("play_id").desc, col("nfl_id").desc)
+      .collect().map { r =>
+        (graft.ml.MlpSeq.flatten(r.getSeq[org.apache.spark.sql.Row](seqI),
+          8, nF), r.getDouble(txI), r.getDouble(tyI))
+      }
+    val mDrv300 = graft.ml.MlpSeq.train(data, 8,
+      graft.pipeline.SequenceFeaturePipeline.SeqFeatures,
+      hidden = 24, epochs = 300, lr = 0.05)
+    assert(java.util.Arrays.equals(mDist.w1, mDrv300.w1) &&
+      java.util.Arrays.equals(mDist.inMean, mDrv300.inMean) &&
+      java.util.Arrays.equals(mDist.inStd, mDrv300.inStd) &&
+      mDist.bx == mDrv300.bx && mDist.by == mDrv300.by,
+      "distributed and driver trainers must agree bitwise")
+    val m = graft.ml.MlpSeq.train(data, 8,
       graft.pipeline.SequenceFeaturePipeline.SeqFeatures,
       hidden = 24, epochs = 3000, lr = 0.05)
-    val m = fit()
-    // Bitwise determinism: same data + seed -> identical weights.
-    val m2 = fit()
-    assert(java.util.Arrays.equals(m.w1, m2.w1) &&
-      java.util.Arrays.equals(m.w2x, m2.w2x) && m.bx == m2.bx,
-      "training must be bitwise deterministic")
     val scored = graft.ml.MlpSeq
       .score(joined.filter(col("game_id") % 2 === 1), "seq", m)
       .select(col("x_true"), col("y_true"),
