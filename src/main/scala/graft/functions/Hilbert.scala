@@ -58,26 +58,51 @@ object Hilbert {
     cur.withColumnRenamed("__hd", out).drop("__hx", "__hy")
   }
 
-  /** The matching DuckDB SQL: an unrolled CTE chain over (x, y, d),
-    * one round per bit, mirroring [[withHilbert]] token for token.
-    * `baseCte` must expose the key columns plus `x` and `y`. */
+  /** The matching DuckDB SQL: an unrolled CTE chain, one round per
+    * bit, mirroring [[withHilbert]] token for token.
+    *
+    * CONTRACT (the caller writes the base CTE and the final select):
+    *  - the base CTE MUST be named `h0` and expose the `keyCols`
+    *    plus `x`, `y` (the grid coords, already in [0, 2^bits)) and
+    *    `d` = 0::BIGINT (the accumulator seed);
+    *  - this fragment defines CTEs h1..h$bits / g1..g$bits; the
+    *    FINAL CTE `g$bits` exposes `keyCols` and the Hilbert index
+    *    as `d` — select from it;
+    *  - `keyCols` must not collide with x/y/d, rx/ry, or the
+    *    per-round names x1../y1../d1.. below.
+    *
+    * Every round writes its outputs under round-unique names
+    * (x$r/y$r/d$r) and reads the PREVIOUS round's names, so no
+    * SELECT ever aliases an output over one of its own inputs —
+    * correctness cannot hinge on the engine's column-vs-lateral-
+    * alias resolution order (DuckDB prefers the FROM column today,
+    * but that is a precedence rule, not a contract). Coordinates
+    * stay in [0, 2^i) in round i — `(s-1) - y` is applied only when
+    * that round's bit is clear — so no intermediate goes negative
+    * and `&` never touches a negative operand. */
   def hilbertSql(bits: Int, keyCols: Seq[String]): String = {
     val keys = keyCols.mkString(", ")
     ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, rIdx) =>
       val s = 1L << i
       val r = rIdx + 1
       val prev = if (r == 1) "h0" else s"g${r - 1}"
+      val (xi, yi, di) =
+        if (r == 1) ("x", "y", "d")
+        else (s"x${r - 1}", s"y${r - 1}", s"d${r - 1}")
+      val (xo, yo, dOut) =
+        if (r == bits) (s"x$bits", s"y$bits", "d")
+        else (s"x$r", s"y$r", s"d$r")
       s"""h$r AS (SELECT $keys,
-         |  CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
-         |  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry,
-         |  x, y, d FROM $prev),
+         |  CASE WHEN ($xi & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |  CASE WHEN ($yi & $s) > 0 THEN 1 ELSE 0 END AS ry,
+         |  $xi, $yi, $di FROM $prev),
          |g$r AS (SELECT $keys,
-         |  CASE WHEN ry = 1 THEN x
-         |       WHEN rx = 1 THEN ${s - 1} - y ELSE y END AS x,
-         |  CASE WHEN ry = 1 THEN y
-         |       WHEN rx = 1 THEN ${s - 1} - x ELSE x END AS y,
-         |  d + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
-         |    WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS d
+         |  CASE WHEN ry = 1 THEN $xi
+         |       WHEN rx = 1 THEN ${s - 1} - $yi ELSE $yi END AS $xo,
+         |  CASE WHEN ry = 1 THEN $yi
+         |       WHEN rx = 1 THEN ${s - 1} - $xi ELSE $xi END AS $yo,
+         |  $di + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |    WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS $dOut
          | FROM h$r)""".stripMargin
     }.mkString(",\n")
   }

@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes:
   *  - each round's state is ONE (src, dst) edge table; superseded
-  *    rounds are reclaimed by Spark's ContextCleaner once the driver
-  *    drops the reference (deferred, GC-paced — a production run on a
-  *    huge graph should configure a reliable checkpoint dir and use
-  *    checkpoint(), which also bounds executor storage directly);
+  *    localCheckpoint blocks are reclaimed by Spark's ContextCleaner
+  *    once the driver drops the reference (deferred, GC-paced). With
+  *    a RELIABLE checkpoint dir the files are only auto-deleted when
+  *    the session was LAUNCHED with
+  *    spark.cleaner.referenceTracking.cleanCheckpoints=true (default
+  *    false, and read at SparkContext construction — a library
+  *    cannot flip it later); otherwise one directory per round
+  *    accumulates until the dir is cleaned externally, which a
+  *    multi-hour production run must budget for;
   *  - the convergence check is an exact set comparison (two left-anti
   *    counts) on the cached tables — no driver-side data movement;
   *  - hot nodes (a component min with millions of members) appear only
@@ -42,7 +47,11 @@ object Graph {
     * and bounds executor storage — the production setting for huge
     * graphs where a multi-hour CC/PageRank job must not restart on
     * one lost node. The dir is installed via
-    * `sparkContext.setCheckpointDir` once per session.
+    * `sparkContext.setCheckpointDir` once per session. NOTE: the
+    * checkpoint FILES themselves accumulate one dir per round unless
+    * the session was launched with
+    * spark.cleaner.referenceTracking.cleanCheckpoints=true (see the
+    * class doc) — plan dir cleanup accordingly.
     */
   private def truncate(df: DataFrame,
                        checkpointDir: Option[String]): DataFrame =
@@ -73,9 +82,11 @@ object Graph {
     // times, so the LOGICAL plan would grow ~9x per round — after a
     // handful of rounds planning itself stack-overflows. The truncate
     // point cuts lineage to the materialized partitions (the standard
-    // iterative-algorithm pattern). Superseded rounds are dropped by
-    // reference — Spark's ContextCleaner reclaims unreferenced
-    // checkpoint RDDs.
+    // iterative-algorithm pattern). Superseded LOCAL checkpoints are
+    // dropped by reference (ContextCleaner); RELIABLE checkpoint
+    // files persist unless the session was launched with
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — see
+    // the class doc's scale notes.
     var cur = truncate(edges
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))

@@ -52,20 +52,49 @@ object Curation15Q {
     // of get_json_object (p12): the parse happens ONCE into a struct
     // whose fields project without re-parsing, the right shape when
     // several fields come out of one payload at 100 TB. Corrupt
-    // payloads yield null structs (PERMISSIVE), not job failures.
-    // `malformed` means exactly that: a NON-NULL payload the parser
-    // rejected (null payloads are absent, not malformed) — mirrored
-    // in the oracle via json_valid(), so the column keeps its
-    // advertised meaning on genuinely corrupt inputs too.
+    // payloads yield all-null fields (PERMISSIVE), not job failures.
+    // `malformed` = a NON-NULL payload the parser rejected: invalid
+    // JSON, a valid non-object root ('123', '[1,2]', 'null' — Spark 4
+    // PERMISSIVE mode fills fields with null but flags the row via
+    // columnNameOfCorruptRecord, the only in-plan rejection signal;
+    // a null STRUCT never appears for non-null input), or a k that
+    // is not a JSON integer/null. The oracle mirrors each branch
+    // with json_valid/json_type (sequential CASE — OR doesn't
+    // short-circuit in SQL and json_type throws on invalid JSON),
+    // and a fixture union exercises every branch on both engines
+    // (the generator's props are always valid objects).
     "p15_from_json" -> ((s, dir) => {
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.LongType)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("_corrupt", StringType)))
+      val fxSchema = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("props", StringType, nullable = true)))
+      val fx = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, "123"),
+          org.apache.spark.sql.Row(-2L, "\"x\""),
+          org.apache.spark.sql.Row(-3L, "[1,2]"),
+          org.apache.spark.sql.Row(-4L, "{bad"),
+          org.apache.spark.sql.Row(-5L, "null"),
+          org.apache.spark.sql.Row(-6L, "{\"k\":7}"),
+          org.apache.spark.sql.Row(-7L, null),
+          org.apache.spark.sql.Row(-8L, "{\"k\":null}"),
+          org.apache.spark.sql.Row(-9L, "{\"k\":1.5}"),
+          org.apache.spark.sql.Row(-10L, "{\"k\":-5}"),
+          org.apache.spark.sql.Row(-11L, "{}"),
+          org.apache.spark.sql.Row(-12L, "{\"k\":\"str\"}")),
+        fxSchema)
       graft.io.Tables.eventsUs(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("props"))
+        .unionByName(fx)
         .select(col("event_id"), col("props"),
-          from_json(col("props"), schema).as("p"))
+          from_json(col("props"), schema,
+            Map("columnNameOfCorruptRecord" -> "_corrupt")).as("p"))
         .select(col("event_id"), col("p.k").as("k"),
-          (col("props").isNotNull && col("p").isNull).as("malformed"))
+          col("p._corrupt").isNotNull.as("malformed"))
     }),
 
     // W57: VALUE-range window frame (rangeBetween on the cent
@@ -152,11 +181,33 @@ object Curation15Q {
       """SELECT length(text)::BIGINT AS n_chars, count(*) AS n_files
         |FROM documents WHERE doc_id < 20 GROUP BY 1""".stripMargin,
 
+    // Branch-sequential CASE (OR does not short-circuit; json_type
+    // throws on invalid JSON). Allowed k types mirror Spark's long
+    // parse: JSON integers (BIGINT/UBIGINT) and JSON null; doubles,
+    // bools, strings mark the row corrupt. TRY_CAST is masked by
+    // `malformed` so e.g. {"k":1.5} yields NULL, not 2.
     "p15_from_json" ->
-      """SELECT event_id,
-        | CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-        | props IS NOT NULL AND NOT json_valid(props) AS malformed
-        |FROM events""".stripMargin,
+      """WITH fx(event_id, props) AS (VALUES
+        |  (-1, '123'), (-2, '"x"'), (-3, '[1,2]'), (-4, '{bad'),
+        |  (-5, 'null'), (-6, '{"k":7}'), (-7, NULL),
+        |  (-8, '{"k":null}'), (-9, '{"k":1.5}'), (-10, '{"k":-5}'),
+        |  (-11, '{}'), (-12, '{"k":"str"}')),
+        |src AS (SELECT event_id::BIGINT AS event_id, props FROM events
+        | UNION ALL SELECT event_id::BIGINT, props::VARCHAR FROM fx),
+        |m AS (SELECT event_id, props,
+        |  props IS NOT NULL AND CASE
+        |   WHEN NOT json_valid(props) THEN true
+        |   WHEN json_type(props) != 'OBJECT' THEN true
+        |   WHEN json_extract(props, '$.k') IS NULL THEN false
+        |   ELSE json_type(props, '$.k')
+        |     NOT IN ('BIGINT', 'UBIGINT', 'NULL') END AS malformed
+        | FROM src)
+        |SELECT event_id,
+        | CASE WHEN NOT malformed
+        |   THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+        | END AS k,
+        | malformed
+        |FROM m""".stripMargin,
 
     "w57_valuerange" ->
       """WITH e AS (SELECT event_id, user_id,

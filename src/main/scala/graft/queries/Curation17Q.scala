@@ -11,6 +11,19 @@ import Q._
   */
 object Curation17Q {
 
+  /** Shared per-group pair budget for a56_kendall / a58_theilsen —
+    * ONE constant feeds both the Spark sampling rule and the oracle
+    * SQL's `sampled` expression so the two cannot drift. Divergence
+    * threshold: a group samples once n·(n−1)/2 > budget, i.e. at
+    * n ≥ 1415 observations for 10⁶ — the DuckDB oracle always
+    * enumerates ALL pairs (it has no xxhash64), so n_pairs/tau/slope
+    * intentionally diverge for such groups and the gate relies on
+    * every testdata SF staying below the threshold (sf1's max user
+    * group is ~600 events; a larger SF must raise the budget or
+    * accept rows-only checks on these two).
+    */
+  val PairBudget = 1000000L
+
   val queries: Map[String, QueryFn] = Map(
 
     // Kendall's tau-a per user (value vs time): concordant minus
@@ -24,7 +37,7 @@ object Curation17Q {
     // uniform pair sample is the standard unbiased estimator. The
     // default budget sits far above testdata sizes, so the oracle
     // (always exhaustive) matches.
-    "a56_kendall" -> ((s, dir) => kendall(s, dir, 1000000L)),
+    "a56_kendall" -> ((s, dir) => kendall(s, dir, PairBudget)),
 
     // Association rules (1→1) over the m26 order baskets: confidence
     // = support(a,b)/support(a), lift·10⁶ kept on the integer lattice
@@ -132,8 +145,10 @@ object Curation17Q {
 
   val oracle: Map[String, String] = Map(
 
+    // Oracle is ALWAYS exhaustive: valid only while every group sits
+    // under PairBudget pairs (n < 1415 obs) — see PairBudget doc.
     "a56_kendall" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
         |r AS (SELECT user_id, c,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -147,7 +162,7 @@ object Curation17Q {
         | FROM p GROUP BY user_id)
         |SELECT user_id, n_pairs, conc, disc,
         | (conc - disc)::DOUBLE / n_pairs AS tau_a,
-        | n_pairs > 1000000 AS sampled
+        | n_pairs > $PairBudget AS sampled
         |FROM g""".stripMargin,
 
     "a57_kmv" -> {

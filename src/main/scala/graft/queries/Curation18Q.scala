@@ -58,7 +58,8 @@ object Curation18Q {
     // `sampled` flag rides the output row — no silent caps. The
     // default threshold sits far above the testdata group sizes, so
     // the oracle (which always enumerates all pairs) still matches.
-    "a58_theilsen" -> ((s, dir) => theilSen(s, dir, 1000000L)))
+    "a58_theilsen" -> ((s, dir) =>
+      theilSen(s, dir, Curation17Q.PairBudget)))
 
   /** Theil–Sen core with an explicit per-group pair budget. When a
     * user's n·(n−1)/2 exceeds maxPairs, pairs are kept with
@@ -124,8 +125,11 @@ object Curation18Q {
         | END AS mcc
         |FROM g""".stripMargin,
 
+    // Oracle is ALWAYS exhaustive — valid only below
+    // Curation17Q.PairBudget pairs per group (n < 1415 obs); see
+    // the PairBudget doc for the divergence contract.
     "a58_theilsen" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
         |r AS (SELECT user_id, c,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -140,6 +144,6 @@ object Curation18Q {
         |  count(*) OVER (PARTITION BY user_id) AS n
         | FROM p)
         |SELECT user_id, n::BIGINT AS n_pairs, slope AS ts_slope,
-        | n > 1000000 AS sampled
+        | n > ${Curation17Q.PairBudget} AS sampled
         |FROM k WHERE rk = (n + 1) // 2""".stripMargin)
 }
