@@ -713,17 +713,25 @@ object LlmQ {
           (col("n_hits") * 10L).as("recall_pct"))
     }),
 
-    // IVF with LEARNED centroids (MLlib KMeans — the centroid-quality
-    // seam the fixed-centroid queries take as given). Rows-only: the
-    // fit's float reductions are not engine-mirrorable; quality is
-    // asserted in ScalaTest (learned centroids >= naive recall).
+    // IVF with LEARNED centroids — 3 chained EXACT Lloyd rounds on
+    // the milli-lattice from deterministic seeds (vectors 0..7), the
+    // multi-round generalization of m32_lloyd_step: every distance
+    // is an exact BIGINT and each round's means are rounded back
+    // onto the lattice with a portable shifted floor division, so
+    // the whole fit (not just one step) is hash-checkable against
+    // the generated DuckDB CTE chain (ExactLloyd.sql). The float
+    // MLlib seam (k-means|| at scale) stays available as
+    // ml.IvfCentroids, quality-asserted in ScalaTest.
     "s_kmeans_ivf" -> ((s, dir) => {
-      val e = embeddings(s, dir)
-      val cents = graft.ml.IvfCentroids.learn(e, "embedding", k = 8,
-        seed = 42L, maxIter = 5)
-      Similarity.ivfAssign(e, "vec_id", "embedding",
-          cents, "centroid_id", "centroid")
-        .groupBy("centroid_id")
+      val comps = embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("x").cast("double") * 1000).cast("long").as("q"))
+        .cache()
+      val cents = graft.ml.ExactLloyd.centroids(comps, k = 8, iters = 3)
+      graft.ml.ExactLloyd.assign(comps, cents, 8)
+        .groupBy(col("cid").as("centroid_id"))
         .agg(count(lit(1)).as("n_vecs"))
     }))
 
@@ -1399,6 +1407,19 @@ object LlmQ {
          |SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hits,
          | (count(*) * 10)::BIGINT AS recall_pct
          |FROM brute JOIN ivf USING (vec_id)""".stripMargin,
+
+    // 3 exact Lloyd rounds + final assignment — the generated CTE
+    // chain mirrors ml.ExactLloyd token for token (comps contract:
+    // (vec_id, dim, q) on the milli-lattice; final assignment = a4).
+    "s_kmeans_ivf" ->
+      s"""WITH L AS (SELECT vec_id,
+         |  unnest(list_transform(range(1, len(embedding) + 1),
+         |    i -> {'d': i - 1, 'x': embedding[i]})) AS s FROM embeddings),
+         |comps AS (SELECT vec_id, s.d::BIGINT AS dim,
+         |  CAST(round(s.x::DOUBLE * 1000) AS BIGINT) AS q FROM L),
+         |${graft.ml.ExactLloyd.sql(k = 8, iters = 3)}
+         |SELECT cid AS centroid_id, count(*)::BIGINT AS n_vecs
+         |FROM a4 GROUP BY cid""".stripMargin,
 
     "s_ivf_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

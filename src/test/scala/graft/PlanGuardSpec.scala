@@ -51,7 +51,7 @@ class PlanGuardSpec extends SparkSpec {
     "m11_pmi", "m12_chisq", "m15_cooccur", "m19_rfm", "m20_infogain",
     "m25_isotonic_closed", "m28_best_f1", "m4_residual", "m6_scaler",
     "m8_scorer", "o23_timetravel", "s_ivf_recall", "s_ivf_topk",
-    "s_kmeans_ivf", "s_knn_join", "t_bigram_rare", "t_bpe_merges",
+    "s_knn_join", "t_bigram_rare", "t_bpe_merges",
     "t_ccnet_buckets", "t_dsir", "t_heaps", "t_keyphrase", "t_mixture",
     "t_stopword_discovery", "t_tfidf", "t_time_split", "t_unigram_lp",
     "t_upsample", "w62_ewma_chart", "w64_period_detect")

@@ -196,4 +196,30 @@ class TextVectorsSpec extends SparkSpec {
       .count()
     assert(n == 0L)
   }
+
+  test("ExactLloyd: 3 rounds shrink total within-cluster d2, counts conserved") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val comps = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000).cast("long").as("q"))
+      .cache()
+    def totalD2(cents: org.apache.spark.sql.DataFrame): Long =
+      comps.join(broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("best"))
+        .agg(sum("best")).head().getLong(0)
+    val c0 = comps.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("dim"), col("q").as("cq"))
+    val c3 = graft.ml.ExactLloyd.centroids(comps, k = 8, iters = 3)
+    // the Lloyd objective is monotone per round; lattice re-rounding
+    // perturbs means by <= half a milli-tick, far below the seed gap
+    assert(totalD2(c3) <= totalD2(c0),
+      "3 Lloyd rounds must not worsen the k-means objective")
+    val asn = graft.ml.ExactLloyd.assign(comps, c3, 8)
+    assert(asn.count() == e.count(), "every vector assigned exactly once")
+    val r = asn.agg(min("cid"), max("cid")).head()
+    assert(r.getLong(0) >= 0L && r.getLong(1) < 8L)
+  }
 }
