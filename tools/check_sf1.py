@@ -23,11 +23,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def compare_one(sf_dir, out_dir, name):
     import duckdb
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
-    exp = con.sql(sql).df()
+    import pyoracle
+    if name in pyoracle.ORACLES:
+        # non-SQL oracle: union-find / linear numpy folds where the
+        # SQL mirror (recursive closure, substr-per-char) is
+        # intractable at sf1; same compare path below
+        exp = pyoracle.compute(name, sf_dir)
+    else:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+        exp = con.sql(sql).df()
     got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
     if sorted(exp.columns) != sorted(got.columns):
         return f"cols exp={sorted(exp.columns)} got={sorted(got.columns)}"
@@ -69,11 +77,16 @@ def main():
     names = sorted(only if only else oracle.keys())
     n_pass = n_fail = n_to = 0
     timeouts, fails = [], []
+    # the python-oracle queries recompute minhash/union-find from
+    # scratch — slower than a SQL probe, still bounded; give them a
+    # floor so the default 120 s SQL budget doesn't clip them
+    py_names = {"d_neardup", "d_components", "d_embclusters", "c_corpus"}
     for name in names:
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--one", sf_dir, out_dir, name],
-                capture_output=True, text=True, timeout=budget)
+                capture_output=True, text=True,
+                timeout=max(budget, 900) if name in py_names else budget)
             if r.returncode == 0:
                 n_pass += 1
             else:

@@ -1,0 +1,270 @@
+#!/usr/bin/env python3
+"""Dev-only NON-SQL oracles for the four queries whose DuckDB SQL is
+intractable at sf1 (recursive transitive closures / O(len^2) char
+folds): d_components, d_neardup, d_embclusters, c_corpus.
+
+Each function recomputes the query INDEPENDENTLY in Python/numpy —
+union-find instead of a recursive CTE, linear numpy char folds
+instead of substr-per-char — mirroring the same published algorithm
+the Spark side implements (MinHash-LSH banding per Broder; CCNet-ish
+quality gate), with the engine-portability rules the repo pins
+everywhere: sequential left-fold float accumulation (matching
+Vectors.dot / DuckDB list_reduce), Decimal HALF_UP rounding
+(matching Spark's BigDecimal round), and exact integer gates.
+
+Used by tools/check_sf1.py; check.py keeps the pure-SQL oracles at
+the graded SFs, so at sf0.01/sf0.1 BOTH oracles must agree with
+Spark — a three-way pin. Dev tooling only; the shipped library is
+pure Scala/Spark.
+"""
+from decimal import Decimal, ROUND_HALF_UP
+
+import numpy as np
+import pandas as pd
+
+P = 1000000007
+NUM_HASHES = 12
+SEEDS = [(((2 * k + 1) * 104729) % P, (k * 15485863 + 32452843) % P)
+         for k in range(NUM_HASHES)]
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+MAX_BUCKET = 1000
+# 31^j % P for the chunked Horner fold (block size 512)
+_POW31 = [1]
+for _ in range(512):
+    _POW31.append((_POW31[-1] * 31) % P)
+_POW31 = np.array(_POW31, dtype=np.int64)
+
+
+def _norm_az(text):
+    """Text.normalizeAz: lower + strip everything outside [a-z ]."""
+    import re
+    return re.sub(r"[^a-z ]", "", text.lower())
+
+
+def _gram_hashes(t):
+    """Distinct char-3-gram poly-hashes (fold mult 31 mod P) of a
+    normalized text, sorted. ((c0*31+c1)%P*31+c2)%P == the plain
+    integer c0*961+c1*31+c2 because it never reaches P."""
+    if len(t) < 3:
+        return np.empty(0, dtype=np.int64)
+    a = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    return np.unique(a[:-2] * 961 + a[1:-1] * 31 + a[2:])
+
+
+def _minhash_sig(grams):
+    """12-slot MinHash signature of a non-empty gram-hash set."""
+    return [int(np.min((a * grams + b) % P)) for (a, b) in SEEDS]
+
+
+def _poly_hash(t):
+    """Text.polyHash: h = (h*31 + ascii(c)) % P over ALL chars, init 0
+    — chunked Horner so it's linear, not substr-per-char."""
+    h = 0
+    a = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    for i in range(0, len(a), 512):
+        blk = a[i:i + 512]
+        k = len(blk)
+        h = (h * int(_POW31[k]) + int(np.sum(blk * _POW31[:k][::-1]))) % P
+    return h
+
+
+def _round6(x):
+    """Spark round(x, 6): HALF_UP on the double's exact expansion."""
+    return float(Decimal(x).quantize(Decimal("0.000001"),
+                                     rounding=ROUND_HALF_UP))
+
+
+def _lsh_pairs(doc_grams):
+    """MinHash-LSH candidate pairs (2 bands x 6 rows, bucket cap
+    1000) then exact hash-gram Jaccard — returns {(a, b): jaccard}
+    for verified pairs >= threshold handled by the caller."""
+    sigs = {d: _minhash_sig(g) for d, g in doc_grams.items() if len(g) > 0}
+    blocks = {}
+    for d, m in sigs.items():
+        for band in (0, 1):
+            bk = "_".join(str(v) for v in m[band * 6:(band + 1) * 6])
+            blocks.setdefault((band, bk), []).append(d)
+    cands = set()
+    for ids in blocks.values():
+        if len(ids) > MAX_BUCKET:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    out = {}
+    for (da, db) in cands:
+        ga, gb = doc_grams[da], doc_grams[db]
+        inter = len(np.intersect1d(ga, gb, assume_unique=True))
+        uni = len(ga) + len(gb) - inter
+        out[(da, db)] = (inter / uni) if uni > 0 else 0.0
+    return out
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        p = self.p
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # keep the SMALLER id as the root: component = min id
+            if ra > rb:
+                ra, rb = rb, ra
+            self.p[rb] = ra
+
+
+def _docs(sf_dir):
+    import duckdb
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet'"
+    ).df()
+
+
+def d_neardup(sf_dir):
+    df = _docs(sf_dir)
+    grams = {int(r.doc_id): _gram_hashes(_norm_az(r.text))
+             for r in df.itertuples()}
+    pairs = _lsh_pairs(grams)
+    rows = [(a, b, _round6(j)) for (a, b), j in sorted(pairs.items())
+            if j >= 0.6]
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
+        .astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+
+
+def _components(ids, edges):
+    """(id -> min-id-of-component) for every id, plus sizes."""
+    uf = _UF()
+    for a, b in edges:
+        uf.union(a, b)
+    rep = {i: uf.find(i) for i in ids}
+    sizes = {}
+    for r in rep.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    return rep, sizes
+
+
+def d_components(sf_dir):
+    df = _docs(sf_dir)
+    grams = {int(r.doc_id): _gram_hashes(_norm_az(r.text))
+             for r in df.itertuples()}
+    edges = [p for p, j in _lsh_pairs(grams).items() if j >= 0.6]
+    ids = [int(d) for d in df.doc_id]
+    rep, sizes = _components(ids, edges)
+    rows = [(i, rep[i], sizes[rep[i]]) for i in ids]
+    return pd.DataFrame(rows,
+                        columns=["doc_id", "cluster_rep", "cluster_size"]) \
+        .astype("int64")
+
+
+def c_corpus(sf_dir):
+    df = _docs(sf_dir)
+    meta = {}
+    for r in df.itertuples():
+        t = _norm_az(r.text)
+        toks = [w for w in t.split(" ") if w]
+        n = len(toks)
+        st = sum(1 for w in toks if w in STOPWORDS)
+        meta[int(r.doc_id)] = (r.text, r.lang, t, len(r.text), len(t), n, st)
+    # integer quality gate: len_norm*(2*st+n) >= max(n,50)*len_raw
+    gated = [d for d, (_, _, _, lr, ln, n, st) in meta.items()
+             if ln * (2 * st + n) >= max(n, 50) * lr]
+    # exact dedup: keep min doc_id per identical raw text
+    first = {}
+    for d in sorted(gated):
+        txt = meta[d][0]
+        if txt not in first:
+            first[txt] = d
+    keep1 = sorted(first.values())
+    grams = {d: _gram_hashes(meta[d][2]) for d in keep1}
+    dropped = {b for (a, b), j in _lsh_pairs(grams).items() if j >= 0.6}
+    rows = []
+    for d in keep1:
+        if d in dropped:
+            continue
+        _, lang, t, lr, ln, n, st = meta[d]
+        q = min(1.0, n / 50.0) * (1.0 - (lr - ln) / lr) * (0.5 + st / n)
+        bucket = _poly_hash(t) % 100
+        split = "train" if bucket < 80 else ("val" if bucket < 90 else "test")
+        rows.append((d, lang, n, _round6(q), split))
+    return pd.DataFrame(rows,
+                        columns=["doc_id", "lang", "n_tokens", "quality",
+                                 "split"]) \
+        .astype({"doc_id": "int64", "n_tokens": "int64",
+                 "quality": "float64"})
+
+
+def _seq_dot(A, B):
+    """Row-wise dot with SEQUENTIAL left-fold over dims (matches
+    Vectors.dot / list_reduce exactly; np.dot's pairwise order
+    would differ in the last ulps)."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
+def d_embclusters(sf_dir):
+    import duckdb
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id").df()
+    ids = df.vec_id.to_numpy().astype(np.int64)
+    E = np.stack([np.asarray(e, dtype=np.float64) for e in df.embedding])
+    norms = np.sqrt(_seq_dot(E, E))
+    cent_rows = np.flatnonzero(ids < 8)
+    cent_ids = ids[cent_rows]
+    # assignment: max cosine, ties to the LOWER cid (strict > while
+    # scanning cids in ascending order)
+    best_cos = np.full(len(ids), -np.inf)
+    best_cid = np.zeros(len(ids), dtype=np.int64)
+    for row, cid in sorted(zip(cent_rows, cent_ids), key=lambda x: x[1]):
+        c = E[row]
+        nc = norms[row]
+        dot = _seq_dot(E, np.broadcast_to(c, E.shape))
+        denom = norms * nc
+        cos = np.where(denom > 0.0, dot / np.where(denom == 0, 1, denom), 0.0)
+        take = cos > best_cos
+        best_cos[take] = cos[take]
+        best_cid[take] = cid
+    edges = []
+    for cid in np.unique(best_cid):
+        member = np.flatnonzero(best_cid == cid)
+        if len(member) < 2:
+            continue
+        ii, jj = np.triu_indices(len(member), k=1)
+        # chunk the pair verify to bound memory
+        for s in range(0, len(ii), 2_000_000):
+            a, b = member[ii[s:s + 2_000_000]], member[jj[s:s + 2_000_000]]
+            dot = _seq_dot(E[a], E[b])
+            denom = norms[a] * norms[b]
+            cos = np.where(denom > 0.0,
+                           dot / np.where(denom == 0, 1, denom), 0.0)
+            hit = cos >= 0.35
+            edges.extend(zip(ids[a[hit]].tolist(), ids[b[hit]].tolist()))
+    rep, sizes = _components(ids.tolist(), edges)
+    rows = [(int(i), rep[int(i)], sizes[rep[int(i)]]) for i in ids]
+    return pd.DataFrame(rows,
+                        columns=["vec_id", "cluster_rep", "cluster_size"]) \
+        .astype("int64")
+
+
+ORACLES = {
+    "d_neardup": d_neardup,
+    "d_components": d_components,
+    "d_embclusters": d_embclusters,
+    "c_corpus": c_corpus,
+}
+
+
+def compute(name, sf_dir):
+    return ORACLES[name](sf_dir)
