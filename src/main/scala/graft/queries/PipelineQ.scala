@@ -199,7 +199,7 @@ object PipelineQ {
       val m = graft.ml.MlpSeq.trainDistributed(
         joined.filter(col("game_id") % 2 === 0), "seq",
         "res_x", "res_y", 8, SequenceFeaturePipeline.SeqFeatures,
-        hidden = 24, epochs = 800, lr = 0.05)
+        hidden = 24, epochs = 400, lr = 0.05)
       val scored = graft.ml.MlpSeq
         .score(joined.filter(col("game_id") % 2 === 1), "seq", m)
         .withColumn("pred_x", col("phys_x") + col("nn_x"))

@@ -90,10 +90,13 @@ class PipelineSpec extends SparkSpec {
     // per-row/update code verbatim, the equality extends to any epoch
     // count, so the 3000-epoch quality fit below can run on the fast
     // driver twin without weakening the distributed claim.
+    // localThreshold = 0 forces the DISTRIBUTED epoch loop even on
+    // this small fixture — the parity below is what licenses the
+    // bounded small-input fast path as a pure scheduling choice
     val mDist = graft.ml.MlpSeq.trainDistributed(trainDf, "seq",
       "res_x", "res_y", 8,
       graft.pipeline.SequenceFeaturePipeline.SeqFeatures,
-      hidden = 24, epochs = 300, lr = 0.05)
+      hidden = 24, epochs = 300, lr = 0.05, localThreshold = 0L)
     val seqI = trainDf.schema.fieldIndex("seq")
     val txI = trainDf.schema.fieldIndex("res_x")
     val tyI = trainDf.schema.fieldIndex("res_y")
@@ -111,6 +114,14 @@ class PipelineSpec extends SparkSpec {
       java.util.Arrays.equals(mDist.inStd, mDrv300.inStd) &&
       mDist.bx == mDrv300.bx && mDist.by == mDrv300.by,
       "distributed and driver trainers must agree bitwise")
+    // and the small-input fast path (default threshold) is the same bits
+    val mFast = graft.ml.MlpSeq.trainDistributed(trainDf, "seq",
+      "res_x", "res_y", 8,
+      graft.pipeline.SequenceFeaturePipeline.SeqFeatures,
+      hidden = 24, epochs = 300, lr = 0.05)
+    assert(java.util.Arrays.equals(mFast.w1, mDist.w1) &&
+      mFast.bx == mDist.bx && mFast.by == mDist.by,
+      "fast-path and distributed trainers must agree bitwise")
     val m = graft.ml.MlpSeq.train(data, 8,
       graft.pipeline.SequenceFeaturePipeline.SeqFeatures,
       hidden = 24, epochs = 3000, lr = 0.05)
