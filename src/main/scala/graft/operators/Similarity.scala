@@ -34,19 +34,39 @@ object Similarity {
 
   /** IVF assignment: nearest centroid per vector. `centroids` is small
     * (K rows) and broadcast; ties break on the lower centroid id.
-    * Returns df + (centroid_id, centroid_cos). */
+    * Returns df + (centroid_id, centroid_cos).
+    *
+    * The argmax is ONE hash aggregation — max of a (cos, -cid,
+    * payload…) struct with map-side partial combine — not a window
+    * sort: at K = √N the candidate table is N^1.5 rows, and sorting
+    * it per vector was the dominant wall at the sf10 step (the agg
+    * shrinks map-side to one row per vector per partition). The
+    * payload fields ride the struct but never decide the comparison:
+    * (cos, -cid) is already a total order within a vector because
+    * centroid ids are unique. */
   def ivfAssign(df: DataFrame, idCol: String, embCol: String,
                 centroids: DataFrame, cIdCol: String, cEmbCol: String): DataFrame = {
-    val joined = df.crossJoin(
-      broadcast(centroids.select(col(cIdCol).as("centroid_id"),
-        col(cEmbCol).as("__cemb"))))
-      .withColumn("centroid_cos", Vectors.cosine(col(embCol), col("__cemb")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("centroid_cos").desc, col("centroid_id"))
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__cemb")
+    // norms once per vector/centroid, not once per candidate pair —
+    // bitwise-identical cosine (see Vectors.cosineWithNorms), 3x
+    // fewer dot products in the N×K candidate stage
+    val joined = df.withColumn("__na", Vectors.norm(col(embCol)))
+      .crossJoin(
+        broadcast(centroids.select(col(cIdCol).as("centroid_id"),
+          col(cEmbCol).as("__cemb"),
+          Vectors.norm(col(cEmbCol)).as("__cn"))))
+      .withColumn("centroid_cos", Vectors.cosineWithNorms(
+        col(embCol), col("__cemb"), col("__na"), col("__cn")))
+    val payload = df.columns.filter(_ != idCol)
+    val packed = struct(
+      col("centroid_cos").as("centroid_cos") +:
+        (-col("centroid_id")).as("__ncid") +:
+        payload.map(c => col(c).as(c)): _*)
+    joined.groupBy(col(idCol)).agg(max(packed).as("__b"))
+      .select(
+        col(idCol) +:
+          payload.map(c => col(s"__b.$c").as(c)) :+
+          (-col("__b.__ncid")).as("centroid_id") :+
+          col("__b.centroid_cos").as("centroid_cos"): _*)
   }
 
   /** Embedding-cosine near-duplicate pairs, IVF-blocked: vectors are
@@ -61,14 +81,16 @@ object Similarity {
     // cached for the same both-sides-of-the-self-join reason as knnJoin
     val assigned = ivfAssign(df, idCol, embCol, centroids, cIdCol, cEmbCol)
       .select(col("centroid_id"), col(idCol), col(embCol))
+      .withColumn("__n", Vectors.norm(col(embCol)))
       .cache()
     val a = assigned.select(col("centroid_id"), col(idCol).as("vec_a"),
-      col(embCol).as("__ea"))
+      col(embCol).as("__ea"), col("__n").as("__na"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("vec_b"),
-      col(embCol).as("__eb"))
+      col(embCol).as("__eb"), col("__n").as("__nb"))
     a.join(b, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", Vectors.cosine(col("__ea"), col("__eb")))
+      .withColumn("cos", Vectors.cosineWithNorms(col("__ea"), col("__eb"),
+        col("__na"), col("__nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
@@ -88,11 +110,12 @@ object Similarity {
     // own cleanup (same contract as Dedup.nearDuplicates).
     val assigned = ivfAssign(df, idCol, embCol, centroids, cIdCol, cEmbCol)
       .select(col("centroid_id"), col(idCol), col(embCol))
+      .withColumn("__n", Vectors.norm(col(embCol)))
       .cache()
     val a = assigned.select(col("centroid_id"), col(idCol).as("vec_id"),
-      col(embCol).as("__ea"))
+      col(embCol).as("__ea"), col("__n").as("__na"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("nb_id"),
-      col(embCol).as("__eb"))
+      col(embCol).as("__eb"), col("__n").as("__nb"))
     // Rank on the 6-dp ROUNDED cosine (nb_id tiebreak): raw cosines
     // agree across engines only to a few ulp, which would flip ranks
     // of near-equal neighbors; rounded values order identically.
@@ -101,7 +124,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("nb_id"))
     a.join(b, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("nb_id"))
-      .withColumn("cos", round(Vectors.cosine(col("__ea"), col("__eb")), 6))
+      .withColumn("cos", round(Vectors.cosineWithNorms(col("__ea"),
+        col("__eb"), col("__na"), col("__nb")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("nb_id"), col("cos"),

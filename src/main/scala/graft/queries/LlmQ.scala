@@ -618,8 +618,15 @@ object LlmQ {
 
     "d_embdup" -> ((s, dir) => {
       // Embedding-cosine near-dup, IVF-blocked (pairs within cluster).
+      // Cluster count follows the IVF density rule K = max(8, √N)
+      // (mirrored in the oracle): fixed K makes within-cluster pair
+      // work Σ(N/K)² quadratic — caught for s_knn_join at the round-6
+      // 10x step and for THIS family at the round-7 100x step
+      // (d_embclusters: 2.16 decade exponent, 1103 s at sf10).
       val e = embeddings(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
+      val k = math.max(8L,
+        math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       Similarity.embeddingNearDup(e, "vec_id", "embedding", cents,
           "cid", "cemb", threshold = 0.35)
@@ -634,7 +641,11 @@ object LlmQ {
     // graph with a recursive CTE.
     "d_embclusters" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
+      // K = max(8, √N) density rule — see d_embdup; fixed K=8 was a
+      // (N/8)² pair bomb, 2.16 decade exponent at the sf10 step
+      val k = math.max(8L,
+        math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val pairs = Similarity.embeddingNearDup(e, "vec_id", "embedding",
           cents, "cid", "cemb", threshold = 0.35)
@@ -884,7 +895,8 @@ object LlmQ {
 
     "d_embdup" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
-         |  FROM embeddings WHERE vec_id < 8),
+         |  FROM embeddings WHERE vec_id < greatest(8,
+         |    floor(sqrt((SELECT count(*) FROM embeddings)::DOUBLE))::BIGINT)),
          |asg AS (SELECT vec_id, embedding, cid FROM (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |   row_number() OVER (PARTITION BY e.vec_id
@@ -899,7 +911,8 @@ object LlmQ {
 
     "d_embclusters" ->
       s"""WITH RECURSIVE cents AS (SELECT vec_id AS cid, embedding AS cemb
-         |  FROM embeddings WHERE vec_id < 8),
+         |  FROM embeddings WHERE vec_id < greatest(8,
+         |    floor(sqrt((SELECT count(*) FROM embeddings)::DOUBLE))::BIGINT)),
          |asg AS (SELECT vec_id, embedding, cid FROM (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |   row_number() OVER (PARTITION BY e.vec_id

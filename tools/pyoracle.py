@@ -221,7 +221,10 @@ def d_embclusters(sf_dir):
     ids = df.vec_id.to_numpy().astype(np.int64)
     E = np.stack([np.asarray(e, dtype=np.float64) for e in df.embedding])
     norms = np.sqrt(_seq_dot(E, E))
-    cent_rows = np.flatnonzero(ids < 8)
+    # IVF density rule K = max(8, floor(sqrt(N))) — mirrors the Spark
+    # side and the SQL oracle (fixed K=8 was the sf10 pair bomb)
+    k = max(8, int(np.floor(np.sqrt(float(len(ids))))))
+    cent_rows = np.flatnonzero(ids < k)
     cent_ids = ids[cent_rows]
     # assignment: max cosine, ties to the LOWER cid (strict > while
     # scanning cids in ascending order)
