@@ -26,8 +26,9 @@ object Curation29Q {
   private val P = graft.functions.Text.P
 
   /** Customer-supplier bipartite edge list, both directions (the
-    * ranges are disjoint so no dedup is needed after the union). */
-  private def symEdges(s: org.apache.spark.sql.SparkSession,
+    * ranges are disjoint so no dedup is needed after the union).
+    * Shared with Curation30Q's g13_modularity. */
+  private[graft] def symEdges(s: org.apache.spark.sql.SparkSession,
                        dir: String): org.apache.spark.sql.DataFrame = {
     val pairs = lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -39,12 +40,30 @@ object Curation29Q {
     pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
   }
 
-  private val SymSql =
+  private[queries] val SymSql =
     s"""pairs AS (SELECT DISTINCT o_custkey::BIGINT AS a,
        |  (l_suppkey + ${GraphQ.SuppOffset})::BIGINT AS b
        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |sym AS (SELECT a, b FROM pairs
        | UNION ALL SELECT b, a FROM pairs)""".stripMargin
+
+  /** 3 synchronous LPA rounds over a symmetric edge list `sym`
+    * (a, b); returns (node, lbl). Shared with g13_modularity. */
+  private[queries] def lpa3(sym: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var lbl = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 3) {
+      lbl = sym.join(lbl.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(col("c") * Pack + (lit(Pack - 1) - col("lbl"))).as("pk"))
+        .select(col("node"),
+          (lit(Pack - 1) - pmod(col("pk"), lit(Pack))).as("lbl"))
+    }
+    lbl
+  }
 
   val queries: Map[String, QueryFn] = Map(
 
@@ -60,17 +79,7 @@ object Curation29Q {
     // two keyed aggs; no all-pairs anywhere.
     "g11_labelprop" -> ((s, dir) => {
       val sym = symEdges(s, dir).cache()
-      var lbl = sym.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to 3) {
-        lbl = sym.join(lbl.withColumnRenamed("node", "b"), "b")
-          .select(col("a").as("node"), col("lbl"))
-          .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-          .groupBy("node")
-          .agg(max(col("c") * Pack + (lit(Pack - 1) - col("lbl"))).as("pk"))
-          .select(col("node"),
-            (lit(Pack - 1) - pmod(col("pk"), lit(Pack))).as("lbl"))
-      }
+      val lbl = lpa3(sym)
       val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
       lbl.join(sizes, "lbl")
         .select(col("node"), col("lbl").as("community"),
@@ -143,7 +152,7 @@ object Curation29Q {
 
   // ---- oracle SQL ----------------------------------------------------
 
-  private def lpaRound(r: Int): String =
+  private[queries] def lpaRound(r: Int): String =
     s"""l$r AS (SELECT node,
        | (${Pack - 1} - (max(c * ${Pack}::BIGINT
        |    + (${Pack - 1} - lbl)) % ${Pack}::BIGINT))::BIGINT AS lbl

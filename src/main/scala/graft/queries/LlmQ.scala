@@ -867,9 +867,9 @@ object LlmQ {
 
   /** DuckDB dot/cosine over list columns, mirroring Vectors.dot's
     * strict left-fold. */
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, list_transform($a, (x, i) -> x::DOUBLE * $b[i]::DOUBLE)), (p, q) -> p + q)"
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0
        | THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
        | ELSE 0.0 END""".stripMargin

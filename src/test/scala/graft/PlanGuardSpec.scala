@@ -49,6 +49,9 @@ class PlanGuardSpec extends SparkSpec {
     "a34_cms", "a41_jsd", "a48_cuped", "c_curation", "d_dupstats",
     "d_embdup", "e2_seqfeatures", "j19_entity_res", "j24_bitemporal",
     "m11_pmi", "m12_chisq", "m15_cooccur", "m19_rfm", "m20_infogain",
+    // m34: the same ivfAssign centroid crossJoin-of-broadcast(K=sqrt N)
+    // as s_knn_join — the documented IVF blocking pass
+    "m34_knn_clf",
     "m25_isotonic_closed", "m28_best_f1", "m4_residual", "m6_scaler",
     "m8_scorer", "o23_timetravel", "s_ivf_recall", "s_ivf_topk",
     "s_knn_join", "t_bigram_rare", "t_bpe_merges",
