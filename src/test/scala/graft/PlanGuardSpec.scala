@@ -54,6 +54,9 @@ class PlanGuardSpec extends SparkSpec {
     "m34_knn_clf",
     "m25_isotonic_closed", "m28_best_f1", "m4_residual", "m6_scaler",
     "m8_scorer", "o23_timetravel", "s_ivf_recall", "s_ivf_topk",
+    // s_rrf: the 1-ROW query-vector parameter frame broadcasts; the
+    // constant-key equi-join folds to a BNL of one row by design
+    "s_rrf",
     "s_knn_join", "t_bigram_rare", "t_bpe_merges",
     "t_ccnet_buckets", "t_dsir", "t_heaps", "t_keyphrase", "t_mixture",
     "t_stopword_discovery", "t_tfidf", "t_time_split", "t_unigram_lp",
