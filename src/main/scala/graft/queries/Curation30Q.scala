@@ -32,7 +32,7 @@ object Curation30Q {
     * occurrences, so no array_distinct — unlike
     * Contamination.tokenNgramsOf). `toks` must be a bound attribute
     * column (the interpreted-HOF O(len²) trap). */
-  private def bigramsOf(toks: Column): Column =
+  private[queries] def bigramsOf(toks: Column): Column =
     when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))

@@ -182,8 +182,10 @@ object Curation32Q {
 
     // O27: bitmap-index build + AND-query readout — the Roaring/
     // bitmap-index primitive behind fast OLAP predicates. Row id =
-    // 8·orderkey + linenumber (linenumber is 1..7, so rids are
-    // unique); 32-bit words keep every shifted bit in signed-BIGINT
+    // 8·orderkey + linenumber (the synthetic generator does NOT
+    // enforce (orderkey, linenumber) uniqueness; colliding rids share
+    // a bit, which idempotent order-free bit_or keeps engine-exact);
+    // 32-bit words keep every shifted bit in signed-BIGINT
     // range on both engines. Two predicate bitmaps (returnflag = 'R',
     // quantity > 25) build in ONE keyed bit_or agg; the AND readout
     // (rows satisfying both) is a map-side mask intersection +
