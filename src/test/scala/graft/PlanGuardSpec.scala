@@ -55,6 +55,8 @@ class PlanGuardSpec extends SparkSpec {
     // m36: the 5-row class parameter frame fans out each test doc —
     // an intentional broadcast of the (class, prior, denominator) table
     "m36_nb_clf",
+    // m37: the same ivfAssign centroid broadcast as s_knn_join/m34
+    "m37_retrieval_eval",
     "m25_isotonic_closed", "m28_best_f1", "m4_residual", "m6_scaler",
     "m8_scorer", "o23_timetravel", "s_ivf_recall", "s_ivf_topk",
     // s_rrf: the 1-ROW query-vector parameter frame broadcasts; the
