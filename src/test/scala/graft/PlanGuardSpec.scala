@@ -26,6 +26,10 @@ class PlanGuardSpec extends SparkSpec {
     // and the survival product is an IEEE-ordered fold that a
     // distributed regroup would change bitwise
     "a60_kaplan_meier",
+    // Nelson-Aalen shares a60's justification: the frame is the
+    // bounded-by-construction day lattice, and the cumulative-hazard
+    // fold is an IEEE-ordered sum a distributed regroup would change
+    "a75_nelson_aalen",
     // bottom-k sketch MERGE: at most 64 rows per scope survive the
     // per-scope (partitioned) stage; the constant-scope merge frame
     // is <= 64 * |scopes|
