@@ -29,7 +29,7 @@ object Curation33Q {
     * |score6| < n_tok·20e6 stays far under the 2^40 offset. */
   private val NbOff = 1L << 40
 
-  val queries: Map[String, QueryFn] = Map(
+  val queries: Map[String, QueryFn] = Map[String, QueryFn](
 
     // T: interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995)
     // — the canonical n-gram LM estimator (and the baseline every
@@ -75,20 +75,28 @@ object Curation33Q {
     // the same lattice. Scale shape: one keyed train agg, one
     // broadcast class table (5 rows), map-side class fan-out, one
     // (term, class) equi-join, one keyed test agg — no window.
-    "m36_nb_clf" -> ((s, dir) => {
+    "m36_nb_clf" -> ((s, dir) =>
+      nbVerdicts(s, dir, d => pmod(d, lit(2L)) === 0L))) ++ queries2
+
+  /** The m36 multinomial-NB pipeline with a parameterized train split
+    * (test is always the odd doc_ids): shared with m39's learning
+    * curve. Returns (doc_id, true_lang, pred_lang, correct). */
+  private[queries] def nbVerdicts(s: SparkSession, dir: String,
+      trainKeep: Column => Column): DataFrame = {
+    {
       val toks = documents(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(Text.tokens(Text.normalizeAz(col("text")))).as("term"))
-      val train = toks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      val train = toks.filter(trainKeep(col("doc_id")))
       val ct = train.groupBy("lang", "term").agg(count(lit(1)).as("ctc"))
         .cache()
       val vocabV = ct.select("term").distinct().count()
       val classes = ct.groupBy("lang").agg(sum("ctc").as("cc"))
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
       val nTrainDocs = documents(s, dir)
-        .filter(pmod(col("doc_id"), lit(2L)) === 0L).count()
+        .filter(trainKeep(col("doc_id"))).count()
       val priors = documents(s, dir)
-        .filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .filter(trainKeep(col("doc_id")))
         .groupBy("lang").agg(count(lit(1)).as("nd"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       // per-class constants on the micro-nat lattice (driver scalars
@@ -130,7 +138,10 @@ object Curation33Q {
           col("lang").as("pred_lang"))), "pred_idx")
         .select(col("doc_id"), col("true_lang"), col("pred_lang"),
           (col("true_lang") === col("pred_lang")).cast("long").as("correct"))
-    }),
+    }
+  }
+
+  private def queries2: Map[String, QueryFn] = Map(
 
     // G14: Weisfeiler-Lehman refinement hashing (2 rounds) on the
     // customer-supplier graph — the graph-isomorphism fingerprint
@@ -221,22 +232,28 @@ object Curation33Q {
          |FROM bi JOIN lf USING (w1) JOIN rt USING (w2) CROSS JOIN bt
          |ORDER BY c DESC, w1, w2 LIMIT 200""".stripMargin,
 
-    "m36_nb_clf" ->
-      s"""WITH $TokCte,
+    "m36_nb_clf" -> nbSql("doc_id % 2 = 0")) ++ oracle2
+
+  /** The m36 oracle chain with a parameterized train condition over a
+    * doc_id column reference `\$d` — shared with m39's learning curve
+    * (substitute e.g. "doc_id % 2 = 0 AND (doc_id // 2) % 4 < 2"). */
+  private[queries] def nbSql(cond: String): String = {
+    def c(ref: String) = cond.replace("doc_id", ref)
+    s"""WITH $TokCte,
          |tk AS (SELECT doc_id, lang, unnest(toks) AS term FROM tok),
-         |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+         |tr AS (SELECT * FROM tk WHERE ${c("doc_id")}),
          |ct AS (SELECT lang AS cls, term, count(*)::BIGINT AS ctc
          | FROM tr GROUP BY 1, 2),
          |v AS (SELECT count(DISTINCT term)::BIGINT AS vv FROM ct),
          |nd AS (SELECT count(*)::BIGINT AS ntr FROM documents
-         | WHERE doc_id % 2 = 0),
+         | WHERE ${c("doc_id")}),
          |cls AS (SELECT cls,
          |  (row_number() OVER (ORDER BY cls) - 1)::BIGINT AS cls_idx,
          |  CAST(round(1e6 * ln(pd::DOUBLE / ntr)) AS BIGINT) AS prior6,
          |  cc + vv AS den
          | FROM (SELECT c.cls, sum(c.ctc)::BIGINT AS cc,
          |    (SELECT count(*) FROM documents d
-         |     WHERE d.doc_id % 2 = 0 AND d.lang = c.cls)::BIGINT AS pd
+         |     WHERE ${c("d.doc_id")} AND d.lang = c.cls)::BIGINT AS pd
          |   FROM ct c GROUP BY c.cls) CROSS JOIN v CROSS JOIN nd),
          |sc AS (SELECT ct.cls, ct.term,
          |  CAST(round(1e6 * ln((ctc + 1)::DOUBLE / den)) AS BIGINT) AS lp6
@@ -258,7 +275,10 @@ object Curation33Q {
          | FROM per GROUP BY 1, 2)
          |SELECT pk.doc_id, pk.true_lang, cls.cls AS pred_lang,
          | (pk.true_lang = cls.cls)::BIGINT AS correct
-         |FROM pk JOIN cls ON cls.cls_idx = pk.pred_idx""".stripMargin,
+         |FROM pk JOIN cls ON cls.cls_idx = pk.pred_idx""".stripMargin
+  }
+
+  private def oracle2: Map[String, String] = Map(
 
     "g14_wl_hash" ->
       s"""WITH ${Curation29Q.SymSql},
