@@ -67,6 +67,9 @@ class PlanGuardSpec extends SparkSpec {
     // constant-key equi-join folds to a BNL of one row by design
     "s_rrf",
     "s_knn_join", "t_bigram_rare", "t_bpe_merges",
+    // t_textrank: m15_cooccur's 1-row corpus-size scalar crossJoin
+    // feeding the relative df cap
+    "t_textrank",
     "t_ccnet_buckets", "t_dsir", "t_heaps", "t_keyphrase", "t_mixture",
     "t_stopword_discovery", "t_tfidf", "t_time_split", "t_unigram_lp",
     "t_upsample", "w62_ewma_chart", "w64_period_detect")
