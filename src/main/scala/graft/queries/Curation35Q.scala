@@ -77,50 +77,18 @@ object Curation35Q {
     // micro-nat lattice only for reporting and the ensemble sign,
     // whose inputs are exact integers. Oracle: a generated CTE chain.
     "m38_adaboost" -> ((s, dir) => {
-      val e = embeddings(s, dir).select(col("vec_id"),
-        round(col("embedding").getItem(0).cast("double") * 1000)
-          .cast("long").as("x0"),
-        round(col("embedding").getItem(1).cast("double") * 1000)
-          .cast("long").as("x1"),
-        (pmod(col("label").cast("long"), lit(2L)) * 2L - 1L).as("y"))
-        .cache()
-      def pred(f: Int, t: Long, pol: Int): Column = {
-        val x = if (f == 0) col("x0") else col("x1")
-        val raw = when(x > t, 1L).otherwise(-1L)
-        if (pol == 0) raw else -raw
-      }
-      val cands = for {
-        f <- 0 to 1; t <- Thr; pol <- 0 to 1
-      } yield (f, t, pol)
-      def pick(weight: Column): (Int, Long, Int, Long, Long) = {
-        val aggs = cands.map { case (f, t, pol) =>
-          sum(when(pred(f, t, pol) =!= col("y"), weight).otherwise(0L))
-            .as(s"e_${f}_${t}_$pol") } :+ sum(weight).as("wtot")
-        val row = e.agg(aggs.head, aggs.tail: _*).head()
-        val errs = cands.zipWithIndex.map { case ((f, t, pol), i) =>
-          (row.getLong(i), f, t, pol) }
-        val (err, f, t, pol) = errs.min // (err, f, thr, pol) tie order
-        (f, t, pol, err, row.getLong(cands.size))
-      }
-      val (f1, t1, p1, e1r, n) = pick(lit(1L))
-      val err1 = math.max(1L, math.min(n - 1L, e1r)) // degeneracy clamp
-      val alpha1 = math.round(1e6 * 0.5 *
-        math.log((n - err1).toDouble / err1))
-      val w2 = when(pred(f1, t1, p1) === col("y"), lit(err1))
-        .otherwise(lit(n - err1))
-      val (f2, t2, p2, e2r, wtot) = pick(w2)
-      val err2 = math.max(1L, math.min(wtot - 1L, e2r))
-      val alpha2 = math.round(1e6 * 0.5 *
-        math.log((wtot - err2).toDouble / err2))
-      // ensemble: sign(α1·h1 + α2·h2), ties → +1 — all-integer vote
-      val ens = (pred(f1, t1, p1) * alpha1 + pred(f2, t2, p2) * alpha2)
-      val acc = e.agg(sum(when(
+      val fit = adaboostFit(s, dir)
+      val ens = (fit.pred(fit.f1, fit.t1, fit.p1) * fit.alpha1 +
+        fit.pred(fit.f2, fit.t2, fit.p2) * fit.alpha2)
+      val acc = fit.base.agg(sum(when(
         when(ens >= 0L, 1L).otherwise(-1L) === col("y"), 1L).otherwise(0L)))
         .head().getLong(0)
-      val accPpm = acc * 1000000L / n
+      val accPpm = acc * 1000000L / fit.n
       s.createDataFrame(Seq(
-        (1L, f1.toLong, t1, p1.toLong, e1r, n, alpha1, accPpm),
-        (2L, f2.toLong, t2, p2.toLong, e2r, wtot, alpha2, accPpm)))
+        (1L, fit.f1.toLong, fit.t1, fit.p1.toLong, fit.e1r, fit.n,
+          fit.alpha1, accPpm),
+        (2L, fit.f2.toLong, fit.t2, fit.p2.toLong, fit.e2r, fit.wtot,
+          fit.alpha2, accPpm)))
         .toDF("round", "feature", "thr_milli", "polarity", "err_w",
           "w_tot", "alpha6", "ens_acc_ppm")
     }),
@@ -192,6 +160,58 @@ object Curation35Q {
           col("hazard"), col("hazard_var"))
     }))
 
+
+  /** The fitted 2-round AdaBoost model (m38) — shared with m40's
+    * exact Shapley attribution. `pred` is the stump h(x) ∈ {−1,+1}. */
+  private[queries] case class AdaFit(base: DataFrame,
+      f1: Int, t1: Long, p1: Int, e1r: Long, alpha1: Long, n: Long,
+      f2: Int, t2: Long, p2: Int, e2r: Long, alpha2: Long, wtot: Long) {
+    def pred(f: Int, t: Long, pol: Int): Column = {
+      val x = if (f == 0) col("x0") else col("x1")
+      val raw = when(x > t, 1L).otherwise(-1L)
+      if (pol == 0) raw else -raw
+    }
+  }
+
+  private[queries] def adaboostFit(s: SparkSession, dir: String): AdaFit = {
+    val e = embeddings(s, dir).select(col("vec_id"),
+      round(col("embedding").getItem(0).cast("double") * 1000)
+        .cast("long").as("x0"),
+      round(col("embedding").getItem(1).cast("double") * 1000)
+        .cast("long").as("x1"),
+      (pmod(col("label").cast("long"), lit(2L)) * 2L - 1L).as("y"))
+      .cache()
+    def pred(f: Int, t: Long, pol: Int): Column = {
+      val x = if (f == 0) col("x0") else col("x1")
+      val raw = when(x > t, 1L).otherwise(-1L)
+      if (pol == 0) raw else -raw
+    }
+    val cands = for {
+      f <- 0 to 1; t <- Thr; pol <- 0 to 1
+    } yield (f, t, pol)
+    def pick(weight: Column): (Int, Long, Int, Long, Long) = {
+      val aggs = cands.map { case (f, t, pol) =>
+        sum(when(pred(f, t, pol) =!= col("y"), weight).otherwise(0L))
+          .as(s"e_${f}_${t}_$pol") } :+ sum(weight).as("wtot")
+      val row = e.agg(aggs.head, aggs.tail: _*).head()
+      val errs = cands.zipWithIndex.map { case ((f, t, pol), i) =>
+        (row.getLong(i), f, t, pol) }
+      val (err, f, t, pol) = errs.min // (err, f, thr, pol) tie order
+      (f, t, pol, err, row.getLong(cands.size))
+    }
+    val (f1, t1, p1, e1r, n) = pick(lit(1L))
+    val err1 = math.max(1L, math.min(n - 1L, e1r)) // degeneracy clamp
+    val alpha1 = math.round(1e6 * 0.5 *
+      math.log((n - err1).toDouble / err1))
+    val w2 = when(pred(f1, t1, p1) === col("y"), lit(err1))
+      .otherwise(lit(n - err1))
+    val (f2, t2, p2, e2r, wtot) = pick(w2)
+    val err2 = math.max(1L, math.min(wtot - 1L, e2r))
+    val alpha2 = math.round(1e6 * 0.5 *
+      math.log((wtot - err2).toDouble / err2))
+    AdaFit(e, f1, t1, p1, e1r, alpha1, n, f2, t2, p2, e2r, alpha2, wtot)
+  }
+
   // ---- oracle SQL ----------------------------------------------------
 
   private val TokCte =
@@ -207,6 +227,49 @@ object Curation35Q {
       |   THEN 1 ELSE -1 END
       | ELSE CASE WHEN (CASE WHEN f = 0 THEN x0 ELSE x1 END) > thr
       |   THEN -1 ELSE 1 END END""".stripMargin
+
+  /** The m38 fitting chain (through a2) as shareable CTEs — used by
+    * m38's readout and m40's Shapley oracle. */
+  private[queries] val AdaCtes: String = {
+    val gridVals = (for {
+      f <- 0 to 1; t <- Thr; pol <- 0 to 1
+    } yield s"($f, $t, $pol)").mkString(", ")
+    s"""e AS (SELECT vec_id,
+       |  CAST(round(embedding[1]::DOUBLE * 1000) AS BIGINT) AS x0,
+       |  CAST(round(embedding[2]::DOUBLE * 1000) AS BIGINT) AS x1,
+       |  (label % 2) * 2 - 1 AS y FROM embeddings),
+       |grid(f, thr, pol) AS (VALUES $gridVals),
+       |n AS (SELECT count(*)::BIGINT AS n FROM e),
+       |r1 AS (SELECT f, thr, pol,
+       |  sum(CASE WHEN ($PredSql) <> y THEN 1 ELSE 0 END)::BIGINT AS err
+       | FROM e CROSS JOIN grid GROUP BY 1, 2, 3),
+       |s1 AS (SELECT f, thr, pol, err FROM r1
+       | ORDER BY err, f, thr, pol LIMIT 1),
+       |a1 AS (SELECT greatest(1, least(n - 1, err)) AS err1,
+       |  CAST(round(1e6 * 0.5 * ln((n - greatest(1, least(n - 1, err)))
+       |    ::DOUBLE / greatest(1, least(n - 1, err)))) AS BIGINT)
+       |    AS alpha1
+       | FROM s1 CROSS JOIN n),
+       |w AS (SELECT e.*, CASE WHEN (SELECT CASE WHEN s1.pol = 0
+       |   THEN CASE WHEN (CASE WHEN s1.f = 0 THEN e.x0 ELSE e.x1 END)
+       |     > s1.thr THEN 1 ELSE -1 END
+       |   ELSE CASE WHEN (CASE WHEN s1.f = 0 THEN e.x0 ELSE e.x1 END)
+       |     > s1.thr THEN -1 ELSE 1 END END FROM s1) = e.y
+       |  THEN (SELECT err1 FROM a1 CROSS JOIN n)
+       |  ELSE (SELECT n - err1 FROM a1 CROSS JOIN n) END AS wt
+       | FROM e),
+       |r2 AS (SELECT f, thr, pol,
+       |  sum(CASE WHEN ($PredSql) <> y THEN wt ELSE 0 END)::BIGINT AS err
+       | FROM w CROSS JOIN grid GROUP BY 1, 2, 3),
+       |wt2 AS (SELECT sum(wt)::BIGINT AS wtot FROM w),
+       |s2 AS (SELECT f, thr, pol, err FROM r2
+       | ORDER BY err, f, thr, pol LIMIT 1),
+       |a2 AS (SELECT greatest(1, least(wtot - 1, err)) AS err2,
+       |  CAST(round(1e6 * 0.5 *
+       |    ln((wtot - greatest(1, least(wtot - 1, err)))::DOUBLE
+       |      / greatest(1, least(wtot - 1, err)))) AS BIGINT) AS alpha2
+       | FROM s2 CROSS JOIN wt2)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
 
@@ -226,45 +289,8 @@ object Curation35Q {
         | round(tsum::DOUBLE / tn, 6) AS norm_val
         |FROM q JOIN t USING (q_pct)""".stripMargin,
 
-    "m38_adaboost" -> {
-      val gridVals = (for {
-        f <- 0 to 1; t <- Thr; pol <- 0 to 1
-      } yield s"($f, $t, $pol)").mkString(", ")
-      s"""WITH e AS (SELECT vec_id,
-         |  CAST(round(embedding[1]::DOUBLE * 1000) AS BIGINT) AS x0,
-         |  CAST(round(embedding[2]::DOUBLE * 1000) AS BIGINT) AS x1,
-         |  (label % 2) * 2 - 1 AS y FROM embeddings),
-         |grid(f, thr, pol) AS (VALUES $gridVals),
-         |n AS (SELECT count(*)::BIGINT AS n FROM e),
-         |r1 AS (SELECT f, thr, pol,
-         |  sum(CASE WHEN ($PredSql) <> y THEN 1 ELSE 0 END)::BIGINT AS err
-         | FROM e CROSS JOIN grid GROUP BY 1, 2, 3),
-         |s1 AS (SELECT f, thr, pol, err FROM r1
-         | ORDER BY err, f, thr, pol LIMIT 1),
-         |a1 AS (SELECT greatest(1, least(n - 1, err)) AS err1,
-         |  CAST(round(1e6 * 0.5 * ln((n - greatest(1, least(n - 1, err)))
-         |    ::DOUBLE / greatest(1, least(n - 1, err)))) AS BIGINT)
-         |    AS alpha1
-         | FROM s1 CROSS JOIN n),
-         |w AS (SELECT e.*, CASE WHEN (SELECT CASE WHEN s1.pol = 0
-         |   THEN CASE WHEN (CASE WHEN s1.f = 0 THEN e.x0 ELSE e.x1 END)
-         |     > s1.thr THEN 1 ELSE -1 END
-         |   ELSE CASE WHEN (CASE WHEN s1.f = 0 THEN e.x0 ELSE e.x1 END)
-         |     > s1.thr THEN -1 ELSE 1 END END FROM s1) = e.y
-         |  THEN (SELECT err1 FROM a1 CROSS JOIN n)
-         |  ELSE (SELECT n - err1 FROM a1 CROSS JOIN n) END AS wt
-         | FROM e),
-         |r2 AS (SELECT f, thr, pol,
-         |  sum(CASE WHEN ($PredSql) <> y THEN wt ELSE 0 END)::BIGINT AS err
-         | FROM w CROSS JOIN grid GROUP BY 1, 2, 3),
-         |wt2 AS (SELECT sum(wt)::BIGINT AS wtot FROM w),
-         |s2 AS (SELECT f, thr, pol, err FROM r2
-         | ORDER BY err, f, thr, pol LIMIT 1),
-         |a2 AS (SELECT greatest(1, least(wtot - 1, err)) AS err2,
-         |  CAST(round(1e6 * 0.5 *
-         |    ln((wtot - greatest(1, least(wtot - 1, err)))::DOUBLE
-         |      / greatest(1, least(wtot - 1, err)))) AS BIGINT) AS alpha2
-         | FROM s2 CROSS JOIN wt2),
+    "m38_adaboost" ->
+      s"""WITH $AdaCtes,
          |ens AS (SELECT sum(CASE WHEN (CASE WHEN
          |   ((SELECT CASE WHEN s1.pol = 0 THEN CASE WHEN (CASE WHEN s1.f = 0
          |      THEN e.x0 ELSE e.x1 END) > s1.thr THEN 1 ELSE -1 END
@@ -287,8 +313,7 @@ object Curation35Q {
          |SELECT 2, s2.f, s2.thr, s2.pol, s2.err, wt2.wtot, a2.alpha2,
          | app.acc_ppm
          |FROM s2 CROSS JOIN wt2 CROSS JOIN a2 CROSS JOIN app"""
-        .stripMargin
-    },
+        .stripMargin,
 
     "t_llr" -> {
       def sT(x: String) =

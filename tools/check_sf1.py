@@ -80,7 +80,8 @@ def main():
     # the python-oracle queries recompute minhash/union-find from
     # scratch — slower than a SQL probe, still bounded; give them a
     # floor so the default 120 s SQL budget doesn't clip them
-    py_names = {"d_neardup", "d_components", "d_embclusters", "c_corpus"}
+    py_names = {"d_neardup", "d_components", "d_embclusters", "c_corpus",
+                "g16_ktruss"}
     for name in names:
         try:
             r = subprocess.run(

@@ -261,11 +261,60 @@ def d_embclusters(sf_dir):
         .astype("int64")
 
 
+def g16_ktruss(sf_dir):
+    """k-truss (k=4) on the domestic co-supply graph: 3 fixed peel
+    rounds then a final support recount — exactly Curation38Q's
+    rounds. Supports via sorted-adjacency membership counts (O(d log
+    d) per edge), not a wedge join: the within-nation near-cliques
+    make the SQL wedge CTE intractable at sf1, but per-edge
+    intersection stays linear in the adjacency lists."""
+    import duckdb
+    e = duckdb.sql(f"""
+        SELECT DISTINCT x.sk AS a, y.sk AS b FROM
+         (SELECT l.l_orderkey AS ok, s.s_suppkey::BIGINT AS sk,
+                 s.s_nationkey AS nk
+          FROM '{sf_dir}/lineitem.parquet' l
+          JOIN '{sf_dir}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey) x
+        JOIN
+         (SELECT l.l_orderkey AS ok, s.s_suppkey::BIGINT AS sk,
+                 s.s_nationkey AS nk
+          FROM '{sf_dir}/lineitem.parquet' l
+          JOIN '{sf_dir}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey) y
+        ON x.ok = y.ok WHERE x.sk < y.sk AND x.nk = y.nk""").df()
+    a = e["a"].to_numpy(np.int64)
+    b = e["b"].to_numpy(np.int64)
+
+    def supports(a, b):
+        adj = {}
+        for u, v in zip(a.tolist(), b.tolist()):
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        adj = {u: np.sort(np.array(vs, dtype=np.int64))
+               for u, vs in adj.items()}
+        sup = np.empty(len(a), dtype=np.int64)
+        for i, (u, v) in enumerate(zip(a.tolist(), b.tolist())):
+            na, nb = adj[u], adj[v]
+            if len(na) > len(nb):
+                na, nb = nb, na
+            pos = np.searchsorted(nb, na)
+            pos[pos == len(nb)] = len(nb) - 1
+            sup[i] = int(np.sum(nb[pos] == na))
+        return sup
+
+    for _ in range(3):
+        sup = supports(a, b)
+        keep = sup >= 2
+        a, b = a[keep], b[keep]
+    sup = supports(a, b)
+    return pd.DataFrame({"a": a, "b": b, "support": sup}).astype("int64")
+
+
 ORACLES = {
     "d_neardup": d_neardup,
     "d_components": d_components,
     "d_embclusters": d_embclusters,
     "c_corpus": c_corpus,
+    "g16_ktruss": g16_ktruss,
 }
 
 
