@@ -26,6 +26,9 @@ class PlanGuardSpec extends SparkSpec {
     // and the survival product is an IEEE-ordered fold that a
     // distributed regroup would change bitwise
     "a60_kaplan_meier",
+    // BH ranks its p-values over the EVENT-TYPE domain (5 rows by
+    // construction); the step-up scan is the same bounded frame
+    "a81_bh_fdr",
     // Nelson-Aalen shares a60's justification: the frame is the
     // bounded-by-construction day lattice, and the cumulative-hazard
     // fold is an IEEE-ordered sum a distributed regroup would change
@@ -41,6 +44,9 @@ class PlanGuardSpec extends SparkSpec {
     // top-20 BPE merge candidates over char-bigram counts: the pair
     // domain is bounded by the alphabet squared (<= ~27^2 rows)
     "t_bpe_learn",
+    // DeLong's placement moments aggregate per SCORE GROUP on the
+    // 101-value lattice (the m15/a70 fixture) — bounded domain
+    "m41_delong",
     // autocorrelation peak over a FIXED 48-lag frame
     "w64_period_detect")
 
@@ -63,6 +69,9 @@ class PlanGuardSpec extends SparkSpec {
     "m37_retrieval_eval",
     "m25_isotonic_closed", "m28_best_f1", "m4_residual", "m6_scaler",
     "m8_scorer", "o23_timetravel", "s_ivf_recall", "s_ivf_topk",
+    // s_two_stage: the 5-row query parameter frame fans out for the
+    // brute-force recall oracle (the s_ivf_recall class)
+    "s_two_stage",
     // s_rrf: the 1-ROW query-vector parameter frame broadcasts; the
     // constant-key equi-join folds to a BNL of one row by design
     "s_rrf",
