@@ -1263,7 +1263,7 @@ object TemporalQ {
     * — a FileStreamSource needs the on-disk schema, so the conversion
     * is applied AFTER the source). The source also wants a directory,
     * hence the sf dir + glob filter selecting the events file. */
-  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+  private[queries] def eventsStream(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1301,7 +1301,7 @@ object TemporalQ {
     * VOLUME, not core count — the standard stateful-streaming tuning
     * rule; a production job with GBs of state would raise it back. */
   private val StreamStatePartitions = "8"
-  private def runStream[T](s: org.apache.spark.sql.SparkSession,
+  private[queries] def runStream[T](s: org.apache.spark.sql.SparkSession,
                            sink: String,
                            ds: org.apache.spark.sql.Dataset[T],
                            mode: String = "append"): org.apache.spark.sql.DataFrame = {
