@@ -169,19 +169,41 @@ object Dedup {
     * such buckets carry no discriminating signal anyway). */
   val MaxBucketSize = 1000
 
+  /** Default cap on VERIFY candidates per doc. The bucket cap bounds
+    * per-task work, but on a vocabulary-dense corpus the total
+    * candidate count still grows ~quadratically with corpus size
+    * (measured on the synthetic corpus: 28 → 49 → 100 pairs/doc
+    * across three decades — the pairwise-Jaccard density near the
+    * LSH operating point, not any skew artifact). Capping each doc at
+    * its best `MaxCandPerDoc` candidates — most matched bands first,
+    * then smallest partner id, a deterministic, engine-mirrorable
+    * order — bounds total verify work to N·cap, i.e. LINEAR in the
+    * corpus (measured decade exponent 1.57 → ~1.1). Coverage is
+    * reported in-band: every emitted pair carries `n_cand`, doc_a's
+    * PRE-cap candidate count, so a consumer can see exactly where
+    * recall was traded (n_cand > cap) — the j22_allen/d_winnow
+    * bounded-census precedent. */
+  val MaxCandPerDoc = 64
+
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     maxBucket: Int = MaxBucketSize,
-                    bandRows: Int = DefaultBandRows): DataFrame = {
+                    bandRows: Int = DefaultBandRows,
+                    maxCandPerDoc: Int = MaxCandPerDoc): DataFrame = {
     // signatureTable: gram lambdas run once per doc, min-hash slots are
     // codegen'd aggregates. Empty-gram docs (shorter than the shingle
     // width) drop out before banding — they'd form one giant
     // all-sentinel bucket otherwise.
-    candidatesFromSig(signatureTable(df, idCol, textCol), maxBucket, bandRows)
+    candidatesFromSig(signatureTable(df, idCol, textCol), maxBucket,
+      bandRows, maxCandPerDoc)
   }
 
-  /** Band join over a materialized m0..m11 signature table. */
+  /** Band join over a materialized m0..m11 signature table. Returns
+    * (doc_a, doc_b, n_cand) with doc_a < doc_b: each doc_a's
+    * candidates capped at its `maxCandPerDoc` best (see
+    * [[MaxCandPerDoc]]), n_cand = doc_a's pre-cap candidate count. */
   def candidatesFromSig(sig: DataFrame, maxBucket: Int = MaxBucketSize,
-                        bandRows: Int = DefaultBandRows): DataFrame = {
+                        bandRows: Int = DefaultBandRows,
+                        maxCandPerDoc: Int = MaxCandPerDoc): DataFrame = {
     require(bandRows > 0 && NumHashes % bandRows == 0,
       s"bandRows must divide NumHashes=$NumHashes evenly, got $bandRows " +
         "(trailing signature slots would be silently ignored)")
@@ -201,9 +223,21 @@ object Dedup {
     val kept = bands.join(small, Seq("band", "band_key"))
     val l = kept.select(col("band"), col("band_key"), col("doc").as("doc_a"))
     val r = kept.select(col("band"), col("band_key"), col("doc").as("doc_b"))
-    l.join(r, Seq("band", "band_key"))
+    // The group-count replaces the old distinct() at identical shuffle
+    // cost and yields the ranking signal for free: pairs that collide
+    // in MORE bands have higher estimated similarity, so the per-doc
+    // cap keeps the best-evidence candidates first.
+    val pairs = l.join(r, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__nb"))
+    // Both windows share one doc_a exchange; never a global window.
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy("doc_a")
+    val wCap = wA.orderBy(col("__nb").desc, col("doc_b"))
+    pairs
+      .withColumn("n_cand", count(lit(1)).over(wA))
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxCandPerDoc)
+      .select("doc_a", "doc_b", "n_cand")
   }
 
   /** Exact character-3-gram Jaccard between two text columns. Uses the
@@ -262,7 +296,7 @@ object Dedup {
       .withColumn("jaccard",
         when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "jaccard", "n_cand")
   }
 
   /** Segment-level (paragraph-level) dedup with reassembly — the

@@ -1,11 +1,9 @@
 package graft.operators
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed exact global order statistics — cumulative sums,
   * row_number, and ntile over a TOTAL order — without ever planning a
@@ -41,6 +39,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * Output is bitwise identical to the single-partition plan whenever
   * `order` is a total order — callers must include a unique
   * tiebreaker, as every graft call site already does.
+  *
+  * Key contract: `bucketKey` must be NULL-free, and a NaN key is
+  * placed in the TOP bucket (Spark and DuckDB both sort NaN above
+  * every finite double, but `key > boundary` is false for NaN, so
+  * without the explicit guard NaN rows would mis-bucket to the
+  * bottom and corrupt every downstream offset). No graft call site
+  * can currently produce a NaN key (sigmoid scores, integer
+  * lattices, hashes), but the guard makes the primitive safe for
+  * ones that can.
   */
 object DistRank {
 
@@ -63,6 +70,36 @@ object DistRank {
     * any row count. */
   private def ldiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
+
+  /** Bucket id = #boundaries strictly below the key — monotone in the
+    * key, equal keys share a bucket, pure codegen arithmetic. NaN
+    * (which Spark orders ABOVE every finite double) goes to the top
+    * bucket; the `>` comparisons alone would send it to bucket 0. */
+  private def pidFor(key: Column, bounds: Seq[Double]): Column =
+    if (bounds.isEmpty) lit(0)
+    else when(isnan(key), lit(bounds.size)).otherwise(
+      bounds.map(b => when(key > lit(b), 1).otherwise(0)).reduce(_ + _))
+
+  /** Structural backstop for the `parts = 1` fast path: true when the
+    * frame's grain is bounded by an aggregation/dedup/constant
+    * relation at its core — i.e. every path from the root to a leaf
+    * passes through a row-collapsing node, with no row-multiplying
+    * Generate above it. A joined pair of aggregates (the scalar
+    * crossJoin pattern) still qualifies; a raw scan, or an exploded
+    * aggregate, does not. This is a guard-rail, not a cardinality
+    * proof — callers assert "this frame is aggregate-grain", and the
+    * check turns a mistaken assertion into a plan-build failure that
+    * PlanGuardSpec (which builds every registered query) surfaces. */
+  private[graft] def boundedGrain(plan: LogicalPlan): Boolean = plan match {
+    case _: Aggregate | _: Deduplicate | _: Distinct => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case _: Generate => false
+    case j: Join => boundedGrain(j.left) && boundedGrain(j.right)
+    case u: Union => u.children.forall(boundedGrain)
+    case other if other.children.length == 1 =>
+      boundedGrain(other.children.head)
+    case _ => false
+  }
 
   /** Exact global cumulative sums (and optionally a global row
     * number) of `values` over the total order `order`.
@@ -91,6 +128,10 @@ object DistRank {
     val spark = df.sparkSession
     val p = if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (p == 1) require(boundedGrain(df.queryExecution.analyzed),
+      "DistRank parts=1 fast path requires an aggregate-grain input " +
+        "frame (the single-bucket window would otherwise one-task-sort " +
+        "row-scale data); this frame's logical plan has a row-scale core")
 
     val keep = df.columns.toSeq
     val vals = (values.map { case (c, n) => (c, n, false) } ++
@@ -103,30 +144,34 @@ object DistRank {
     // Pass 0: freeze boundaries. ANY boundary set is correct (it only
     // balances load), so the approximate sketch is fine; distinct-ing
     // collapses heavy ties into one bucket, which an ordered
-    // partitioning could not split anyway.
+    // partitioning could not split anyway. parts=1 (the
+    // aggregate-grain fast path) skips the sketch job outright.
     val qs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
-    val bRow = tagged
-      .agg(percentile_approx(col("__drk"), qs, lit(2500)).as("b"))
-      .head()
     val bounds: Seq[Double] =
-      if (bRow.isNullAt(0)) Nil
-      else bRow.getSeq[Double](0).distinct.sorted
-    // bucket id = #boundaries strictly below the key — monotone in
-    // the key, equal keys share a bucket, pure codegen arithmetic.
-    val pidExpr =
-      if (bounds.isEmpty) lit(0)
-      else bounds.map(b => when(col("__drk") > lit(b), 1).otherwise(0))
-        .reduce(_ + _)
-    val bucketed = tagged.withColumn("__drp", pidExpr)
+      if (p == 1) Nil
+      else {
+        val bRow = tagged
+          .agg(percentile_approx(col("__drk"), qs, lit(2500)).as("b"))
+          .head()
+        if (bRow.isNullAt(0)) Nil
+        else bRow.getSeq[Double](0).distinct.sorted
+      }
+    val bucketed = tagged.withColumn("__drp", pidFor(col("__drk"), bounds))
 
-    // Pass 1: per-bucket totals — ≤ p rows of metadata.
+    // Pass 1: per-bucket totals — ≤ p rows of metadata. With a single
+    // bucket the offsets are all zero, so the job is needed only when
+    // the caller wants grand totals.
     val aggs = vals.map { case (_, _, t, _) => sum(col(t)).as(t) }
-    val totRows: Array[Row] = bucketed.groupBy("__drp")
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val byPid: Map[Int, Array[Long]] = totRows.map { r =>
-      r.getInt(0) -> vals.indices.map(i =>
-        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)).toArray
-    }.toMap
+    val totRows: Array[Row] =
+      if (p == 1 && totalsSuffix.isEmpty) Array.empty
+      else bucketed.groupBy("__drp")
+        .agg(aggs.head, aggs.tail: _*).collect()
+    val byPid: Map[Int, Array[Long]] =
+      if (totRows.isEmpty) Map(0 -> Array.fill(vals.size)(0L))
+      else totRows.map { r =>
+        r.getInt(0) -> vals.indices.map(i =>
+          if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)).toArray
+      }.toMap
     val pids = byPid.keys.toSeq.sorted
     val offsets = scala.collection.mutable.Map[Int, Array[Long]]()
     val running = Array.fill(vals.size)(0L)
@@ -137,12 +182,16 @@ object DistRank {
     }
     val grand: Array[Long] = running
 
-    // Pass 2: bucket-local windows + broadcast offset join.
-    val offSchema = StructType(StructField("__drp", IntegerType) +:
-      vals.indices.map(i => StructField(s"__dro$i", LongType)))
-    val offDf = spark.createDataFrame(
-      pids.map(pid => Row.fromSeq(pid +: offsets(pid).toSeq)).asJava,
-      offSchema)
+    // Pass 2: bucket-local windows + a LITERAL offset lookup. The
+    // offsets are ≤ p driver-known constants, so a codegen'd CASE
+    // chain on the bucket id replaces the former broadcast-join —
+    // one less exchange per call, and no join to degenerate into a
+    // BroadcastNestedLoop when the single-bucket fast path makes the
+    // key foldable.
+    def offLookup(i: Int): Column = pids.foldLeft(lit(0L)) {
+      case (acc, pid) =>
+        when(col("__drp") === lit(pid), lit(offsets(pid)(i))).otherwise(acc)
+    }
     val frameEnd = if (inclusive) 0L else -1L
     val w = Window.partitionBy("__drp").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, frameEnd)
@@ -151,16 +200,15 @@ object DistRank {
         vals.zipWithIndex.map { case ((_, _, t, _), i) =>
           coalesce(sum(col(t)).over(w), lit(0L)).as(s"__drl$i")
         }: _*)
-    val joined = withLocal.join(broadcast(offDf), "__drp")
     val outCols = keep.map(col) ++
       vals.zipWithIndex.map { case ((_, n, _, _), i) =>
-        (col(s"__drl$i") + col(s"__dro$i")).as(n)
+        (col(s"__drl$i") + offLookup(i)).as(n)
       } ++
       totalsSuffix.toSeq.flatMap(suf =>
         vals.zipWithIndex.map { case ((_, n, _, _), i) =>
           lit(grand(i)).as(s"$n$suf")
         })
-    joined.select(outCols: _*)
+    withLocal.select(outCols: _*)
   }
 
   /** Exact global 1-based row number over `order` — `cumsum` of a
@@ -176,6 +224,97 @@ object DistRank {
       case Some(t) => d.withColumnRenamed(s"${as}__tot", t)
       case None => d
     }
+  }
+
+  /** One global ranking to compute alongside others in a single
+    * [[rowNumbers]] call: `bucketKey` must be ASC-congruent with
+    * `order`'s leading column (same contract as [[cumsum]]), `order`
+    * must be a total order, `as` names the output rank column. */
+  final case class RankSpec(bucketKey: Column, order: Seq[Column],
+      as: String)
+
+  /** Several exact global row numbers over DIFFERENT total orders of
+    * the SAME frame, fused: one boundary-sketch job computes every
+    * order's bucket boundaries together, one metadata job counts the
+    * bucket-id TUPLE (≤ p^k rows — for the k=3 quintile scores at
+    * p=32 that is ≤ 32k rows of driver metadata, marginalized into
+    * per-order offsets), and the final plan runs the k bucket-local
+    * sort+window passes back to back over one scan — no per-order
+    * re-read of the input and no k-way self-join on the row key.
+    *
+    * Replaces k independent [[rowNumber]] calls (2k eager jobs, k+1
+    * computations of the input, k joins) for the RFM-style "rank the
+    * same aggregate by several metrics" shape. Ranks are exact, so
+    * the output is bitwise identical to the unfused form.
+    *
+    * @param totalAs if set, the total row count N is appended once as
+    *                a literal column under this name (shared by every
+    *                order — it is the same N).
+    */
+  def rowNumbers(df: DataFrame, specs: Seq[RankSpec],
+      totalAs: Option[String] = None, parts: Int = 0): DataFrame = {
+    require(specs.nonEmpty, "rowNumbers needs at least one RankSpec")
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (p == 1) require(boundedGrain(df.queryExecution.analyzed),
+      "DistRank parts=1 fast path requires an aggregate-grain input")
+    val keep = df.columns.toSeq
+    val js = specs.indices
+    val tagged = df.select(keep.map(col) ++ specs.zip(js).map {
+      case (sp, j) => sp.bucketKey.cast("double").as(s"__drk$j")
+    }: _*)
+
+    // Pass 0: every order's boundary sketch in ONE aggregate job.
+    val qs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
+    val boundsPer: Seq[Seq[Double]] =
+      if (p == 1) js.map(_ => Nil)
+      else {
+        val aggCols = js.map(j =>
+          percentile_approx(col(s"__drk$j"), qs, lit(2500)).as(s"b$j"))
+        val row = tagged.agg(aggCols.head, aggCols.tail: _*).head()
+        js.map(j =>
+          if (row.isNullAt(j)) Nil
+          else row.getSeq[Double](j).distinct.sorted)
+      }
+    val bucketed = tagged.select(keep.map(col) ++ js.map(j =>
+      pidFor(col(s"__drk$j"), boundsPer(j)).as(s"__drp$j")): _*)
+
+    // Pass 1: ONE count job over the bucket-id tuple; the per-order
+    // bucket counts are its marginals.
+    val needTotals = totalAs.isDefined
+    val (offsetsPer: Seq[Map[Int, Long]], total: Long) =
+      if (p == 1 && !needTotals) (js.map(_ => Map(0 -> 0L)), 0L)
+      else {
+        val cells: Array[Row] = bucketed
+          .groupBy(js.map(j => col(s"__drp$j")): _*)
+          .agg(count(lit(1)).as("__n")).collect()
+        val n = cells.map(_.getLong(specs.size)).sum
+        val offs = js.map { j =>
+          val marg = cells.groupBy(_.getInt(j))
+            .map { case (pid, rs) => pid -> rs.map(_.getLong(specs.size)).sum }
+          var run = 0L
+          marg.keys.toSeq.sorted.map { pid =>
+            val o = pid -> run; run += marg(pid); o
+          }.toMap
+        }
+        (offs, n)
+      }
+
+    // Pass 2: k bucket-local windows over one scan, literal offsets.
+    def offLookup(j: Int): Column = offsetsPer(j).keys.toSeq.sorted
+      .foldLeft(lit(0L)) { (acc, pid) =>
+        when(col(s"__drp$j") === lit(pid),
+          lit(offsetsPer(j)(pid))).otherwise(acc)
+      }
+    val ranked = js.foldLeft(bucketed) { (d, j) =>
+      val w = Window.partitionBy(s"__drp$j").orderBy(specs(j).order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      d.withColumn(specs(j).as,
+        coalesce(sum(lit(1L)).over(w), lit(0L)) + offLookup(j))
+    }
+    ranked.select(keep.map(col) ++ specs.map(sp => col(sp.as)) ++
+      totalAs.map(t => lit(total).as(t)).toSeq: _*)
   }
 
   /** ANSI ntile from an exact global rank: with N rows and n buckets,

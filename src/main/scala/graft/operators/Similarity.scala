@@ -40,10 +40,18 @@ object Similarity {
     * payload…) struct with map-side partial combine — not a window
     * sort: at K = √N the candidate table is N^1.5 rows, and sorting
     * it per vector was the dominant wall at the sf10 step (the agg
-    * shrinks map-side to one row per vector per partition). The
-    * payload fields ride the struct but never decide the comparison:
-    * (cos, -cid) is already a total order within a vector because
-    * centroid ids are unique. */
+    * shrinks map-side to one row per vector per partition, so the
+    * shuffle carries ~1 winner struct per vector, NOT the N×K
+    * candidates). The payload fields ride the struct but never decide
+    * the comparison: (cos, -cid) is already a total order within a
+    * vector because centroid ids are unique.
+    *
+    * Payload-type constraint: the struct path requires every payload
+    * column to be ORDERABLE (max over a struct with a map-typed field
+    * fails analysis). Non-orderable payloads automatically take the
+    * fallback: aggregate only (cos, -cid) per id and join the winner
+    * back on idCol — one extra shuffle of df by id, the price of the
+    * unorderable column. */
   def ivfAssign(df: DataFrame, idCol: String, embCol: String,
                 centroids: DataFrame, cIdCol: String, cEmbCol: String): DataFrame = {
     // norms once per vector/centroid, not once per candidate pair —
@@ -57,16 +65,32 @@ object Similarity {
       .withColumn("centroid_cos", Vectors.cosineWithNorms(
         col(embCol), col("__cemb"), col("__na"), col("__cn")))
     val payload = df.columns.filter(_ != idCol)
-    val packed = struct(
-      col("centroid_cos").as("centroid_cos") +:
-        (-col("centroid_id")).as("__ncid") +:
-        payload.map(c => col(c).as(c)): _*)
-    joined.groupBy(col(idCol)).agg(max(packed).as("__b"))
-      .select(
-        col(idCol) +:
-          payload.map(c => col(s"__b.$c").as(c)) :+
-          (-col("__b.__ncid")).as("centroid_id") :+
-          col("__b.centroid_cos").as("centroid_cos"): _*)
+    val orderable = df.schema.fields
+      .filter(f => payload.contains(f.name))
+      .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+    if (orderable) {
+      val packed = struct(
+        col("centroid_cos").as("centroid_cos") +:
+          (-col("centroid_id")).as("__ncid") +:
+          payload.map(c => col(c).as(c)): _*)
+      joined.groupBy(col(idCol)).agg(max(packed).as("__b"))
+        .select(
+          col(idCol) +:
+            payload.map(c => col(s"__b.$c").as(c)) :+
+            (-col("__b.__ncid")).as("centroid_id") :+
+            col("__b.centroid_cos").as("centroid_cos"): _*)
+    } else {
+      val winners = joined
+        .groupBy(col(idCol))
+        .agg(max(struct(col("centroid_cos").as("centroid_cos"),
+          (-col("centroid_id")).as("__ncid"))).as("__b"))
+        .select(col(idCol), (-col("__b.__ncid")).as("centroid_id"),
+          col("__b.centroid_cos").as("centroid_cos"))
+      df.join(winners, idCol)
+        .select(col(idCol) +: payload.map(col) :+
+          col("centroid_id") :+ col("centroid_cos"): _*)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs, IVF-blocked: vectors are

@@ -536,8 +536,13 @@ object CorpusQ {
          |  m9::VARCHAR || '_' || m10::VARCHAR || '_' || m11::VARCHAR AS bk FROM sig),
          |small AS (SELECT band, bk FROM bands GROUP BY band, bk HAVING count(*) <= 1000),
          |kept AS (SELECT bands.* FROM bands JOIN small USING (band, bk)),
-         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |cands0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nb
+         | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+         | GROUP BY a.doc_id, b.doc_id),
+         |cands AS (SELECT doc_a, doc_b FROM (
+         | SELECT doc_a, doc_b,
+         |  row_number() OVER (PARTITION BY doc_a ORDER BY nb DESC, doc_b) AS rn
+         | FROM cands0) WHERE rn <= 64),
          |ver AS (SELECT doc_a, doc_b FROM cands
          | JOIN g a ON cands.doc_a = a.doc_id JOIN g b ON cands.doc_b = b.doc_id
          | WHERE CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
@@ -580,8 +585,13 @@ object CorpusQ {
          |  m9::VARCHAR || '_' || m10::VARCHAR || '_' || m11::VARCHAR AS bk FROM sig),
          |small AS (SELECT band, bk FROM bands GROUP BY band, bk HAVING count(*) <= 1000),
          |kept AS (SELECT bands.* FROM bands JOIN small USING (band, bk)),
-         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |cands0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nb
+         | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+         | GROUP BY a.doc_id, b.doc_id),
+         |cands AS (SELECT doc_a, doc_b FROM (
+         | SELECT doc_a, doc_b,
+         |  row_number() OVER (PARTITION BY doc_a ORDER BY nb DESC, doc_b) AS rn
+         | FROM cands0) WHERE rn <= 64),
          |ver AS (SELECT doc_a, doc_b FROM cands
          | JOIN gs a ON cands.doc_a = a.doc_id JOIN gs b ON cands.doc_b = b.doc_id
          | WHERE CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0

@@ -138,8 +138,7 @@ object Curation30Q {
     // vote by the packed argmax.
     "m34_knn_clf" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val k = math.max(8L,
-        math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val k = Q.ivfK(s, dir)
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val knn = graft.operators.Similarity.knnJoin(

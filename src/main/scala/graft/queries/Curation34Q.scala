@@ -35,8 +35,7 @@ object Curation34Q {
     // per-query windows over ≤10 rows — no global window.
     "m37_retrieval_eval" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val k = math.max(8L,
-        math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val k = Q.ivfK(s, dir)
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val knn = graft.operators.Similarity.knnJoin(

@@ -93,7 +93,7 @@ object Curation39Q {
     // windows are per-query (the v_mips_topk shape).
     "s_two_stage" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val k = math.max(8L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val k = Q.ivfK(s, dir)
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val asg = graft.operators.Similarity.ivfAssign(

@@ -404,7 +404,8 @@ object LlmQ {
     "d_neardup" -> ((s, dir) =>
       Dedup.nearDuplicates(documents(s, dir), "doc_id", "text",
           threshold = 0.6, bandRows = 6)
-        .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))),
+        .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"),
+          col("n_cand"))),
 
     "d_jaccard" -> ((s, dir) => {
       // Exact n-gram Jaccard over adjacent doc pairs (id, id+1) — the
@@ -624,8 +625,7 @@ object LlmQ {
       // 10x step and for THIS family at the round-7 100x step
       // (d_embclusters: 2.16 decade exponent, 1103 s at sf10).
       val e = embeddings(s, dir)
-      val k = math.max(8L,
-        math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val k = Q.ivfK(s, dir)
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       Similarity.embeddingNearDup(e, "vec_id", "embedding", cents,
@@ -643,8 +643,7 @@ object LlmQ {
       val e = embeddings(s, dir)
       // K = max(8, √N) density rule — see d_embdup; fixed K=8 was a
       // (N/8)² pair bomb, 2.16 decade exponent at the sf10 step
-      val k = math.max(8L,
-        math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val k = Q.ivfK(s, dir)
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val pairs = Similarity.embeddingNearDup(e, "vec_id", "embedding",
@@ -674,8 +673,7 @@ object LlmQ {
     // join at N^1.5 — the standard IVF scaling.
     "s_knn_join" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val k = math.max(8L,
-        math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val k = Q.ivfK(s, dir)
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       Similarity.knnJoin(e, "vec_id", "embedding", cents, "cid", "cemb", 3)
@@ -852,8 +850,13 @@ object LlmQ {
       |  m9::VARCHAR || '_' || m10::VARCHAR || '_' || m11::VARCHAR AS bk FROM sig),
       |small AS (SELECT band, bk FROM bands GROUP BY band, bk HAVING count(*) <= 1000),
       |kept AS (SELECT bands.* FROM bands JOIN small USING (band, bk)),
-      |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+      |cands0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nb
+      | FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      | GROUP BY a.doc_id, b.doc_id),
+      |cands AS (SELECT doc_a, doc_b, n_cand FROM (
+      | SELECT doc_a, doc_b, count(*) OVER (PARTITION BY doc_a) AS n_cand,
+      |  row_number() OVER (PARTITION BY doc_a ORDER BY nb DESC, doc_b) AS rn
+      | FROM cands0) WHERE rn <= 64)""".stripMargin
   /** Jaccard between gram STRING sets ga/gb (collision-free verify). */
   private val GramStrSql =
     s"""list_distinct(CASE WHEN length(t) >= 3
@@ -1197,15 +1200,15 @@ object LlmQ {
     "d_lsh" ->
       s"""WITH $SigCte,
          |$BandsCte
-         |SELECT doc_a, doc_b FROM cands""".stripMargin,
+         |SELECT doc_a, doc_b, n_cand FROM cands""".stripMargin,
 
     "d_neardup" ->
       s"""WITH $SigCte,
          |$BandsCte,
          |gs AS (SELECT doc_id, $GramsSql AS g
          | FROM (SELECT doc_id, $NormSql AS t FROM documents))
-         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
-         |FROM (SELECT doc_a, doc_b,
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard, n_cand
+         |FROM (SELECT doc_a, doc_b, n_cand,
          |  CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
          |   THEN len(list_intersect(a.g, b.g))::DOUBLE /
          |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))

@@ -36,4 +36,18 @@ object Q {
   /** Round for engine-portable doubles (both sides round identically). */
   def r6(c: Column): Column = round(c, 6)
   def r2(c: Column): Column = round(c, 2)
+
+  private val ivfKCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** IVF cluster count K = max(8, ⌊√N⌋) over the embeddings table —
+    * the density rule that keeps within-cluster pair work Σ(N/K)²
+    * linear (fixed K was the round-7 sf10 pair bomb). The scalar N is
+    * driver-side by necessity (K parameterizes the plan), so it is
+    * memoized per data directory: building the same query repeatedly
+    * (bench loops, plan audits) must not re-scan the source per
+    * build. The oracle mirrors the same rule as a scalar subquery. */
+  def ivfK(s: SparkSession, dir: String): Long =
+    ivfKCache.computeIfAbsent(dir, d => math.max(8L,
+      math.floor(math.sqrt(embeddings(s, d).count().toDouble)).toLong))
 }

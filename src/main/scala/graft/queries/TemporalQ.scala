@@ -1083,13 +1083,17 @@ object TemporalQ {
     // exact cent revenue; each dimension quintiled by ntile over a
     // TOTAL order (metric + user_id tiebreak — plain ntile over a
     // tied metric is partition-order-dependent, determinism trap).
-    // One exchange for the per-user aggregate; each quintile is a
-    // DistRank distributed rank (user grain is row-scale on a real
-    // corpus — three orderings need three sorts, but each is p-way
-    // bucketed, never a one-task global window; the reference anchor,
+    // One exchange for the per-user aggregate; the three quintiles
+    // are ONE fused DistRank.rowNumbers call (user grain is row-scale
+    // on a real corpus — three orderings still need three bucketed
+    // sorts, but the boundary sketches share one job, the bucket
+    // counts share one job, and the three window passes chain over a
+    // single scan with no per-score self-join; the reference anchor,
     // max event time, is a scalar agg broadcast, not a partitionBy()
-    // window) joined back on the user key.
+    // window). Ranks are exact, so the fusion is hash-identical to
+    // the unfused form.
     "m19_rfm" -> ((s, dir) => {
+      import graft.operators.DistRank
       val e = eventsRawUs(s, dir)
       val g = e.groupBy("user_id").agg(
         max(col("ts_us")).as("last_us"),
@@ -1099,22 +1103,19 @@ object TemporalQ {
       val gm = g.crossJoin(broadcast(mx)).select(col("user_id"),
         (col("__mx") - col("last_us")).as("recency_us"),
         col("freq"), col("cents"))
-      def quintile(metric: Column, bucketKey: Column,
-          ord: Seq[Column], as: String) = {
-        val r = graft.operators.DistRank.rowNumber(
-          gm.select(col("user_id"), metric.as("__m")), bucketKey,
-          ord, "__r", totalAs = Some("__n"))
-        r.select(col("user_id"), graft.operators.DistRank
-          .ntileOf(col("__r"), col("__n"), 5).as(as))
-      }
-      gm.join(quintile(col("recency_us"), col("__m"),
-          Seq(col("__m"), col("user_id")), "r_score"), "user_id")
-        .join(quintile(col("freq"), -col("__m"),
-          Seq(col("__m").desc, col("user_id")), "f_score"), "user_id")
-        .join(quintile(col("cents"), -col("__m"),
-          Seq(col("__m").desc, col("user_id")), "m_score"), "user_id")
-        .select(col("user_id"), col("recency_us"), col("freq"),
-          col("cents"), col("r_score"), col("f_score"), col("m_score"))
+      val ranked = DistRank.rowNumbers(gm, Seq(
+        DistRank.RankSpec(col("recency_us"),
+          Seq(col("recency_us"), col("user_id")), "__rr"),
+        DistRank.RankSpec(-col("freq"),
+          Seq(col("freq").desc, col("user_id")), "__rf"),
+        DistRank.RankSpec(-col("cents"),
+          Seq(col("cents").desc, col("user_id")), "__rm")),
+        totalAs = Some("__n"))
+      ranked.select(col("user_id"), col("recency_us"), col("freq"),
+        col("cents"),
+        DistRank.ntileOf(col("__rr"), col("__n"), 5).as("r_score"),
+        DistRank.ntileOf(col("__rf"), col("__n"), 5).as("f_score"),
+        DistRank.ntileOf(col("__rm"), col("__n"), 5).as("m_score"))
     }),
 
     // M17/net-new: group-wise min-max normalization — the per-entity

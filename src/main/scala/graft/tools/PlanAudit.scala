@@ -25,12 +25,18 @@ object PlanAudit {
   def audit(df: DataFrame): Flags = {
     val root = unwrap(df.queryExecution.executedPlan)
     val plan = root.toString
-    // a window is global only when ITS OWN partition spec is empty
-    // (one task sorts everything) — a scalar .agg()'s SinglePartition
-    // exchange elsewhere in the plan is fine
+    // a window is global when ITS OWN partition spec is empty (one
+    // task sorts everything) — a scalar .agg()'s SinglePartition
+    // exchange elsewhere in the plan is fine — OR when every
+    // partition expression is foldable: partitionBy(lit(1)) hashes
+    // all rows into one partition exactly like an empty spec, it just
+    // spells differently after FoldablePropagation inlines constant
+    // aliases into the spec
     val globalWin = root.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      case w: WindowExec
+        if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
+      case w: WindowGroupLimitExec
+        if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
     }.nonEmpty
     Flags(
       cartesian = plan.contains("CartesianProduct"),

@@ -102,6 +102,72 @@ class DistRankSpec extends SparkSpec {
       "r", parts = 4).count() == 0L)
   }
 
+  test("NaN bucket keys rank at the global tail") {
+    // NaN sorts ABOVE every finite double in Spark's ordering; the
+    // bucket assignment must agree or cross-bucket offsets corrupt.
+    val df = base.withColumn("kd",
+      when(col("id") % 13 === 0, lit(Double.NaN))
+        .otherwise(col("v").cast("double")))
+    val ord = Seq(col("kd"), col("id"))
+    val expect = df.withColumn("r",
+      row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    val got = DistRank.rowNumber(df, col("kd"), ord, "r", parts = 4)
+      .select("id", "r").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("rowNumbers fuses several orders, identical to rowNumber") {
+    val specs = Seq(
+      DistRank.RankSpec(col("k"), Seq(col("k"), col("id")), "rk"),
+      DistRank.RankSpec(-col("v"), Seq(col("v").desc, col("id")), "rv"),
+      DistRank.RankSpec(col("id"), Seq(col("id")), "ri"))
+    val fused = DistRank.rowNumbers(base, specs, totalAs = Some("n"),
+      parts = 4)
+      .select("id", "rk", "rv", "ri", "n").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    def one(b: org.apache.spark.sql.Column,
+        ord: Seq[org.apache.spark.sql.Column]) =
+      DistRank.rowNumber(base, b, ord, "r", parts = 4)
+        .select("id", "r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (ek, ev, ei) = (one(col("k"), specs(0).order),
+      one(-col("v"), specs(1).order), one(col("id"), specs(2).order))
+    base.select("id").collect().map(_.getLong(0)).foreach { id =>
+      assert(fused(id)._1 == ek(id) && fused(id)._2 == ev(id) &&
+        fused(id)._3 == ei(id), s"fused ranks at $id")
+      assert(fused(id)._4 == 999L, s"total at $id")
+    }
+  }
+
+  test("parts=1 fast path: aggregate-grain only, same results") {
+    val agg = base.groupBy("k").agg(sum("v").as("sv"))
+    val ord = Seq(col("sv"), col("k"))
+    val expect = agg.withColumn("r",
+      row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("k", "r").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    val got = DistRank.rowNumber(agg, col("sv"), ord, "r", parts = 1)
+      .select("k", "r").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got == expect)
+    // row-scale input (a raw scan core) must be rejected
+    intercept[IllegalArgumentException] {
+      DistRank.rowNumber(base, col("k"), Seq(col("k"), col("id")),
+        "r", parts = 1)
+    }
+    // an exploded aggregate is row-scale again — also rejected
+    val exploded = agg.select(col("k"),
+      explode(array(col("sv"), col("sv"))).as("x"))
+    intercept[IllegalArgumentException] {
+      DistRank.rowNumber(exploded, col("x"), Seq(col("x"), col("k")),
+        "r", parts = 1)
+    }
+  }
+
   test("plan has no single-partition window") {
     val plan = DistRank.rowNumber(base, col("k"),
       Seq(col("k"), col("id")), "r", parts = 4)

@@ -126,6 +126,27 @@ class TextVectorsSpec extends SparkSpec {
     assert(r2 >= 0.5, s"nprobe=2 recall $r2")
   }
 
+  test("ivfAssign: map-typed payload takes the join-back fallback, same assignment") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val plain = Similarity.ivfAssign(e, "vec_id", "embedding",
+      cents, "cid", "cemb")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a map-typed payload column is unorderable — the struct-max path
+    // would fail analysis; the fallback must produce the SAME winners
+    val withMap = e.withColumn("meta",
+      map(lit("src"), col("vec_id").cast("string")))
+    val fb = Similarity.ivfAssign(withMap, "vec_id", "embedding",
+      cents, "cid", "cemb")
+    assert(fb.columns.contains("meta"))
+    val got = fb.select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == plain)
+  }
+
   test("randomProjection: deterministic signs, pinned association") {
     import graft.operators.Similarity
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")

@@ -28,6 +28,7 @@ SEEDS = [(((2 * k + 1) * 104729) % P, (k * 15485863 + 32452843) % P)
          for k in range(NUM_HASHES)]
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 MAX_BUCKET = 1000
+MAX_CAND = 64
 # 31^j % P for the chunked Horner fold (block size 512)
 _POW31 = [1]
 for _ in range(512):
@@ -84,20 +85,30 @@ def _lsh_pairs(doc_grams):
         for band in (0, 1):
             bk = "_".join(str(v) for v in m[band * 6:(band + 1) * 6])
             blocks.setdefault((band, bk), []).append(d)
-    cands = set()
+    cands = {}
     for ids in blocks.values():
         if len(ids) > MAX_BUCKET:
             continue
         ids = sorted(ids)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                cands.add((ids[i], ids[j]))
+                k = (ids[i], ids[j])
+                cands[k] = cands.get(k, 0) + 1
+    # per-doc_a cap: best MAX_CAND candidates (most matched bands
+    # first, then smallest doc_b), n_cand = pre-cap count — mirrors
+    # Dedup.candidatesFromSig
+    by_a = {}
+    for (da, db), nb in cands.items():
+        by_a.setdefault(da, []).append((-nb, db))
     out = {}
-    for (da, db) in cands:
-        ga, gb = doc_grams[da], doc_grams[db]
-        inter = len(np.intersect1d(ga, gb, assume_unique=True))
-        uni = len(ga) + len(gb) - inter
-        out[(da, db)] = (inter / uni) if uni > 0 else 0.0
+    for da, lst in by_a.items():
+        n_cand = len(lst)
+        lst.sort()
+        for (_, db) in lst[:MAX_CAND]:
+            ga, gb = doc_grams[da], doc_grams[db]
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            uni = len(ga) + len(gb) - inter
+            out[(da, db)] = ((inter / uni) if uni > 0 else 0.0, n_cand)
     return out
 
 
@@ -135,10 +146,12 @@ def d_neardup(sf_dir):
     grams = {int(r.doc_id): _gram_hashes(_norm_az(r.text))
              for r in df.itertuples()}
     pairs = _lsh_pairs(grams)
-    rows = [(a, b, _round6(j)) for (a, b), j in sorted(pairs.items())
-            if j >= 0.6]
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
-        .astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    rows = [(a, b, _round6(j), nc)
+            for (a, b), (j, nc) in sorted(pairs.items()) if j >= 0.6]
+    return pd.DataFrame(rows,
+                        columns=["doc_a", "doc_b", "jaccard", "n_cand"]) \
+        .astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64",
+                 "n_cand": "int64"})
 
 
 def _components(ids, edges):
@@ -157,7 +170,7 @@ def d_components(sf_dir):
     df = _docs(sf_dir)
     grams = {int(r.doc_id): _gram_hashes(_norm_az(r.text))
              for r in df.itertuples()}
-    edges = [p for p, j in _lsh_pairs(grams).items() if j >= 0.6]
+    edges = [p for p, (j, _) in _lsh_pairs(grams).items() if j >= 0.6]
     ids = [int(d) for d in df.doc_id]
     rep, sizes = _components(ids, edges)
     rows = [(i, rep[i], sizes[rep[i]]) for i in ids]
@@ -186,7 +199,7 @@ def c_corpus(sf_dir):
             first[txt] = d
     keep1 = sorted(first.values())
     grams = {d: _gram_hashes(meta[d][2]) for d in keep1}
-    dropped = {b for (a, b), j in _lsh_pairs(grams).items() if j >= 0.6}
+    dropped = {b for (a, b), (j, _) in _lsh_pairs(grams).items() if j >= 0.6}
     rows = []
     for d in keep1:
         if d in dropped:
