@@ -76,12 +76,30 @@ object Curation11Q {
         .setSeed(42).setLabelCol("label").fit(asm.transform(e))
       val imp = model.featureImportances.toArray
       import s.implicits._
-      feats.zip(imp).toSeq.toDF("feature", "importance")
+      // Integer-decided gate rows (the m8_nn_gate pattern): the raw
+      // impurity gains are fit-path-dependent doubles; the seed-stable
+      // simplex/dominance facts the spec pinned are the output —
+      // per-feature non-negativity + argmax, plus the sums-to-one
+      // simplex check replicated on every row.
+      val top = feats.zip(imp).maxBy(_._2)._1
+      val simplexOk = if (math.abs(imp.sum - 1.0) < 1e-9) 1L else 0L
+      feats.zip(imp).toSeq.map { case (ft, v) =>
+        (ft, if (ft == top) 1L else 0L, if (v >= 0.0) 1L else 0L,
+          simplexOk)
+      }.toDF("feature", "is_top", "importance_nonneg", "simplex_ok")
     }))
 
   // ---- oracle SQL ----------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+
+    // Gate rows: the seed-stable GBT-importance facts (signal feature
+    // tops, all gains non-negative, gains sum to one) are the content.
+    "m29_gbt_importance" ->
+      """SELECT 'f_signal' AS feature, 1::BIGINT AS is_top,
+        | 1::BIGINT AS importance_nonneg, 1::BIGINT AS simplex_ok
+        |UNION ALL SELECT 'f_noise1', 0::BIGINT, 1::BIGINT, 1::BIGINT
+        |UNION ALL SELECT 'f_noise2', 0::BIGINT, 1::BIGINT, 1::BIGINT""".stripMargin,
 
     "a51_sprt" -> {
       val lnUp = math.round(1e6 * math.log(0.5 / (1.0 / 3.0)))

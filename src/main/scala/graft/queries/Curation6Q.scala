@@ -72,6 +72,13 @@ object Curation6Q {
       // arbitrarily large without a one-task sort.
       val ranked = graft.operators.DistRank.rowNumber(scored,
         col("score"), Seq(col("score").asc, col("doc_id")), "r")
+      // Integer-decided gate output (the m8_nn_gate pattern): n_test
+      // and n_pos derive from the data alone (SQL-mirrorable), and
+      // the AUC enters only through the seed-stable must-beat gate —
+      // the raw AUC double is fit-dependent in its last decimals
+      // (LBFGS partial-sum order), so it stays out of hash-compared
+      // output. The margin of the gate is wide: the marker feature
+      // carries real signal, AUC lands far above 0.55 on every run.
       ranked.agg(
           count(lit(1)).as("n_test"),
           sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos"),
@@ -80,7 +87,8 @@ object Curation6Q {
           ((col("rp") - col("n_pos") * (col("n_pos") + 1) / 2).cast("double") /
             (col("n_pos") * (col("n_test") - col("n_pos"))).cast("double"))
             .as("auc"))
-        .withColumn("beats_random", col("auc") > 0.55)
+        .select(col("n_test"), col("n_pos"),
+          (col("auc") > 0.55).cast("long").as("auc_beats_random"))
     }),
 
     // FP-Growth frequent itemsets over order baskets (items = part
@@ -112,6 +120,20 @@ object Curation6Q {
   // ---- oracle SQL ----------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+
+    // The gate row: n_test/n_pos are pure data facts; the AUC gate's
+    // one seed-stable outcome (signal beats random) is the content.
+    "t_quality_clf" ->
+      """WITH b AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+        | FROM documents),
+        |test AS (SELECT doc_id, CASE WHEN len(list_filter(
+        |   list_filter(string_split(t, ' '), w -> length(w) > 0),
+        |   w -> w = 'slow')) > 0 THEN 1 ELSE 0 END AS lab
+        | FROM b WHERE doc_id % 5 = 0)
+        |SELECT count(*)::BIGINT AS n_test, sum(lab)::BIGINT AS n_pos,
+        | 1::BIGINT AS auc_beats_random
+        |FROM test""".stripMargin,
 
     "m26_fpgrowth" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand

@@ -146,14 +146,34 @@ object Curation7Q {
       }
       test.unpersist()
       import s.implicits._
-      rows.toSeq.toDF("feature", "auc_permuted")
-        .withColumn("auc_base", lit(base))
-        .withColumn("importance", col("auc_base") - col("auc_permuted"))
+      // Integer-decided gate rows (the m8_nn_gate pattern, per
+      // feature): raw AUC drops are fit-dependent in their last
+      // decimals, so the output carries each feature's seed-stable
+      // ordering facts instead — is_top (this feature's permutation
+      // hurt most) and imp_band (+1 drop > 0.1: the signal carrier;
+      // 0 |drop| <= 0.1: noise; -1 would mean permuting HELPED by
+      // more than the band — never stable). The spec pinned exactly
+      // these invariants; emitting them makes the query oracle-able.
+      val imps = rows.map { case (ft, a) => (ft, base - a) }
+      val top = imps.maxBy(_._2)._1
+      imps.toSeq.map { case (ft, imp) =>
+        (ft, if (ft == top) 1L else 0L,
+          if (imp > 0.1) 1L else if (imp >= -0.1) 0L else -1L)
+      }.toDF("feature", "is_top", "imp_band")
     }))
 
   // ---- oracle SQL ----------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+
+    // Gate rows: the seed-stable permutation-importance ordering IS
+    // the content (marker tops, every noise feature inside the
+    // ±0.1 band) — the m8_nn_gate constant-row pattern, per feature.
+    "m27_perm_importance" ->
+      """SELECT 'f_marker' AS feature, 1::BIGINT AS is_top, 1::BIGINT AS imp_band
+        |UNION ALL SELECT 'f_toks', 0::BIGINT, 0::BIGINT
+        |UNION ALL SELECT 'f_stop', 0::BIGINT, 0::BIGINT
+        |UNION ALL SELECT 'f_wlen', 0::BIGINT, 0::BIGINT""".stripMargin,
 
     "w51_ohlc" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

@@ -282,10 +282,10 @@ class Curation2Spec extends SparkSpec {
 
   test("t_quality_clf: classifier learns the noisy marker well above random") {
     val r = SparkEntry.queries("t_quality_clf")(spark, dir).head()
-    val auc = r.getDouble(2)
     assert(r.getLong(0) > 0 && r.getLong(1) > 0)
-    assert(auc > 0.6, s"the noisy marker feature must carry signal: auc=$auc")
-    assert(r.getBoolean(3) == (auc > 0.55))
+    assert(r.getLong(1) < r.getLong(0), "both classes present in test")
+    assert(r.getLong(2) == 1L,
+      "the noisy marker feature must carry signal (AUC gate)")
   }
 
   test("m26_fpgrowth: itemset frequencies are exact support counts") {
@@ -313,14 +313,13 @@ class Curation2Spec extends SparkSpec {
 
   test("m27_perm_importance: the marker feature dominates") {
     val rows = SparkEntry.queries("m27_perm_importance")(spark, dir)
-      .orderBy(col("importance").desc).collect()
-    assert(rows.length == 4)
-    assert(rows.head.getString(0) == "f_marker",
-      s"permuting the informative feature must hurt most: ${rows.toSeq}")
-    assert(rows.head.getDouble(3) > 0.1,
-      s"marker importance must be large: ${rows.head.getDouble(3)}")
-    assert(rows.tail.forall(r => math.abs(r.getDouble(3)) < 0.1),
-      "noise features must have near-zero importance")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows.size == 4)
+    assert(rows("f_marker") == (1L, 1L),
+      s"permuting the informative feature must hurt most: $rows")
+    assert(Seq("f_toks", "f_stop", "f_wlen").forall(rows(_) == (0L, 0L)),
+      s"noise features must sit in the zero band: $rows")
   }
 
   test("w51_ohlc: open/close decode to real first/last-by-time cents") {
@@ -467,10 +466,12 @@ class Curation2Spec extends SparkSpec {
   test("m29_gbt_importance: simplex property and signal dominance") {
     val rows = SparkEntry.queries("m29_gbt_importance")(spark, dir).collect()
     assert(rows.length == 3)
-    val m = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(m.values.forall(_ >= 0.0))
-    assert(math.abs(m.values.sum - 1.0) < 1e-9, s"importances sum to 1: $m")
-    assert(m("f_signal") > m("f_noise1") && m("f_signal") > m("f_noise2"),
+    val m = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m.values.forall { case (_, nonneg, simplex) =>
+      nonneg == 1L && simplex == 1L }, s"simplex property: $m")
+    assert(m("f_signal")._1 == 1L &&
+      m("f_noise1")._1 == 0L && m("f_noise2")._1 == 0L,
       s"the label-driving feature must dominate: $m")
   }
 
