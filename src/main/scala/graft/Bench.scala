@@ -37,7 +37,15 @@ object Bench {
         catch { case e: Throwable =>
           errors ::= (name -> e.getClass.getSimpleName); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // Isolation: a query's interior .cache() blocks (gram tables,
+      // IVF assignments) are ITS OWN cost, timed above — but left
+      // cached they squeeze every later query's execution memory
+      // (the sf10 subset run OOMed on exactly this accumulation).
+      // Clearing outside the timed window keeps per-query numbers
+      // honest AND independent of sweep ordering.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -621,9 +621,13 @@ object AggQ {
     "o12_surrogate" -> ((s, dir) => {
       val keys = customer(s, dir)
         .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+      // the distinct (segment, nation) key frame is dimension-sized —
+      // the parts=1 aggregate-grain fast path applies (Deduplicate
+      // core); an unbounded key domain would keep the bucketed path
       val sk = DistRank.rowNumber(keys,
         DistRank.stringKey(col("c_mktsegment")),
-        Seq(col("c_mktsegment"), col("c_nationkey")), "segment_nation_sk")
+        Seq(col("c_mktsegment"), col("c_nationkey")), "segment_nation_sk",
+        parts = 1)
       customer(s, dir).join(broadcast(sk), Seq("c_mktsegment", "c_nationkey"))
         .select(col("c_custkey"), col("c_mktsegment"),
           col("c_nationkey"), col("segment_nation_sk"))
@@ -821,11 +825,14 @@ object AggQ {
     "m18_stringindex" -> ((s, dir) => {
       val cnt = events(s, dir).groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))
-      // fit ranks the label-count aggregate with DistRank (the label
-      // domain is corpus-unbounded on a real categorical column —
-      // never a one-task sort), frequencyDesc + lexicographic ties.
+      // fit ranks the label-count aggregate with DistRank,
+      // frequencyDesc + lexicographic ties. The aggregate is
+      // categorical-domain-sized, so the parts=1 fast path skips the
+      // boundary/totals jobs (structurally guarded: the input must be
+      // aggregate-grain); a corpus-unbounded label column would
+      // switch back to the bucketed default.
       val idx = DistRank.rowNumber(cnt, -col("cnt"),
-          Seq(col("cnt").desc, col("event_type")), "__rn")
+          Seq(col("cnt").desc, col("event_type")), "__rn", parts = 1)
         .select(col("event_type"), col("cnt"),
           (col("__rn") - 1L).as("type_idx"))
       events(s, dir).select("event_id", "event_type")

@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force twins and invariants for the round-8 batches 42-44:
+  * each statistic is recomputed from first principles on the sf0.001
+  * tables (driver-side, same pinned fold order), and the distributed
+  * query must agree exactly (integers) or to the last few ulps
+  * (pinned-fold doubles). */
+class Curation42Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cents(et: String = null) = {
+    val e = graft.io.Tables.eventsUs(spark, dir)
+      .select(col("event_type"), round(col("value") * 100)
+        .cast("long").as("c"))
+    (if (et == null) e else e.filter(col("event_type") === et))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  test("a84_kruskal_wallis matches a brute-force mid-rank recompute") {
+    val row = graft.queries.Curation42Q.queries("a84_kruskal_wallis")(
+      spark, dir).head()
+    val data = cents()
+    val n = data.length
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("df") == data.map(_._1).distinct.length - 1)
+    // brute mid-ranks over the full sample
+    val sorted = data.map(_._2).sorted
+    val first = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2).min + 1) }
+    val countOf = sorted.groupBy(identity).map { case (v, xs) =>
+      v -> xs.length }
+    def midRank(v: Long): Double =
+      first(v) + (countOf(v) - 1) / 2.0
+    val groups = data.groupBy(_._1).toSeq.sortBy(_._1)
+    val sr = groups.foldLeft(0.0) { case (acc, (_, xs)) =>
+      val r = xs.map(x => midRank(x._2)).sum
+      acc + r * r / xs.length
+    }
+    val t = countOf.values.map(m => m.toDouble * m * m - m).sum
+    val nd = n.toDouble
+    val h = (12.0 / (nd * (nd + 1.0)) * sr - 3.0 * (nd + 1.0)) /
+      (1.0 - t / (nd * nd * nd - nd))
+    assert(approx(row.getAs[Double]("h"), h, 1e-6),
+      s"H ${row.getAs[Double]("h")} vs brute $h")
+    assert(row.getAs[Long]("significant") ==
+      (if (row.getAs[Double]("h") > 9.487729) 1L else 0L))
+  }
+
+  test("a85_logrank matches a brute-force day-ordered recompute") {
+    val row = graft.queries.Curation42Q.queries("a85_logrank")(
+      spark, dir).head()
+    val u = graft.io.Tables.eventsUs(spark, dir)
+      .groupBy("user_id").agg(
+        min("ts_us").as("t0"), max("ts_us").as("t1"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("tp"))
+      .collect().map { r =>
+        val t0 = r.getLong(1)
+        val tp = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        val day = (tp.getOrElse(r.getLong(2)) - t0) / 86400000000L
+        (day, if (tp.isDefined) 1L else 0L, r.getLong(0) % 2)
+      }
+    val days = u.map(_._1).distinct.sorted
+    var (o1, e1, v) = (0L, 0.0, 0.0)
+    days.foreach { t =>
+      val at = u.filter(_._1 >= t)
+      val n = at.length.toLong
+      val n1 = at.count(_._3 == 1).toLong
+      val here = u.filter(_._1 == t)
+      val d = here.map(_._2).sum
+      val d1 = here.filter(_._3 == 1).map(_._2).sum
+      o1 += d1
+      e1 += d.toDouble * n1.toDouble / n.toDouble
+      if (n > 1)
+        v += (d.toDouble * (n1.toDouble / n.toDouble)) *
+          ((n - n1).toDouble / n.toDouble) *
+          ((n - d).toDouble / (n - 1).toDouble)
+    }
+    assert(row.getAs[Long]("o1") == o1)
+    assert(approx(row.getAs[Double]("e1"), e1, 1e-9))
+    assert(approx(row.getAs[Double]("v"), v, 1e-9))
+  }
+
+  test("a86_chao1: spectrum facts exact, estimator formula holds") {
+    val row = graft.queries.Curation42Q.queries("a86_chao1")(
+      spark, dir).head()
+    val freq = graft.queries.Q.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens(
+        graft.functions.Text.normalizeAz(col("text")))).as("w"))
+      .groupBy("w").count().collect().map(_.getLong(1))
+    val (v, f1, f2, nt) = (freq.length.toLong,
+      freq.count(_ == 1L).toLong, freq.count(_ == 2L).toLong, freq.sum)
+    assert(row.getAs[Long]("v") == v && row.getAs[Long]("f1") == f1 &&
+      row.getAs[Long]("f2") == f2 && row.getAs[Long]("n_tokens") == nt)
+    assert(row.getAs[Double]("chao1") ==
+      v + (f1 * (f1 - 1)).toDouble / ((f2 + 1) * 2).toDouble)
+    assert(row.getAs[Double]("chao1") >= v.toDouble)
+    assert(row.getAs[Double]("coverage") == 1.0 - f1.toDouble / nt)
+  }
+
+  test("a87_friedman: complete blocks only, brute chi2 agrees") {
+    val row = graft.queries.Curation42Q.queries("a87_friedman")(
+      spark, dir).head()
+    val cells = graft.io.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id", "event_type")
+      .agg(sum("c").as("sc"), count(lit(1)).as("nc"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val k = cells.map(_._2).distinct.length
+    val complete = cells.groupBy(_._1).filter(_._2.length == k)
+    assert(row.getAs[Long]("n_blocks") == complete.size)
+    assert(row.getAs[Long]("k") == k)
+    // brute: rank cells within each complete block by exact fractions
+    var sr = 0.0
+    var tsum = 0L
+    val r2ByType = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    complete.values.foreach { blk =>
+      blk.foreach { case (_, g, sc, nc) =>
+        val lt = blk.count(o => o._3 * nc < sc * o._4)
+        val eq = blk.count(o => o._3 * nc == sc * o._4)
+        r2ByType(g) += 2L * lt + eq + 1
+      }
+      // tie groups within the block
+      blk.groupBy(b => (b._3.toDouble / b._4)).values
+        .map(_.length.toLong).filter(_ > 1)
+        .foreach(t => tsum += t * t * t - t)
+    }
+    r2ByType.toSeq.sortBy(_._1).foreach { case (_, r2) =>
+      sr += r2.toDouble * r2.toDouble / 4.0
+    }
+    val nd = complete.size.toDouble
+    val kd = k.toDouble
+    val chi2 = ((12.0 * sr) / (nd * kd * (kd + 1.0)) -
+      3.0 * nd * (kd + 1.0)) /
+      (1.0 - tsum.toDouble / (nd * kd * (kd * kd - 1.0)))
+    assert(approx(row.getAs[Double]("chi2"), chi2, 1e-6),
+      s"chi2 ${row.getAs[Double]("chi2")} vs brute $chi2")
+  }
+
+  test("a88_wasserstein matches a brute sorted-support recompute") {
+    val row = graft.queries.Curation43Q.queries("a88_wasserstein")(
+      spark, dir).head()
+    val cs = cents().filter(x =>
+      x._1 == "click" || x._1 == "purchase")
+    val c1s = cs.filter(_._1 == "click").map(_._2).sorted
+    val c2s = cs.filter(_._1 == "purchase").map(_._2).sorted
+    val support = (c1s ++ c2s).distinct.sorted
+    val (n1, n2) = (c1s.length.toLong, c2s.length.toLong)
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(row.getAs[Long]("n_support") == support.length)
+    var sd = BigInt(0)
+    support.sliding(2).foreach {
+      case Array(v, vn) =>
+        val cc1 = c1s.count(_ <= v).toLong
+        val cc2 = c2s.count(_ <= v).toLong
+        sd += BigInt(cc1 * n2 - cc2 * n1).abs * BigInt(vn - v)
+      case _ =>
+    }
+    val w1 = sd.toDouble / (n1.toDouble * n2.toDouble)
+    assert(approx(row.getAs[Double]("w1_cents"), w1, 1e-9),
+      s"W1 ${row.getAs[Double]("w1_cents")} vs brute $w1")
+    assert(row.getAs[Double]("w1_cents") >= 0.0)
+  }
+
+  test("m43_conformal: exact order-stat q-hat, coverage gate holds") {
+    val out = graft.queries.Curation43Q.queries("m43_conformal")(
+      spark, dir).collect()
+    assert(out.length == 5)
+    val e = graft.io.Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.foreach { row =>
+      val et = row.getString(0)
+      val cal = e.filter(x => x._2 == et && x._1 % 2 == 0)
+      val (sc, nc) = (cal.map(_._3).sum, cal.length.toLong)
+      assert(row.getAs[Long]("n_cal") == nc)
+      val scores = cal.map(x => math.abs(x._3 * nc - sc)).sorted
+      val qIdx = math.ceil(0.9 * (nc + 1)).toLong
+      assert(row.getAs[Long]("q_scaled") == scores(qIdx.toInt - 1),
+        s"q-hat for $et")
+      val tst = e.filter(x => x._2 == et && x._1 % 2 == 1)
+      val covered = tst.count(x =>
+        math.abs(x._3 * nc - sc) <= row.getAs[Long]("q_scaled"))
+      assert(row.getAs[Long]("n_covered") == covered)
+      assert(row.getAs[Long]("coverage_gate") ==
+        (if (covered * 100 >= tst.length * 88) 1L else 0L))
+    }
+  }
+
+  test("w67_mannkendall: brute S and variance for sampled users") {
+    val out = graft.queries.Curation43Q.queries("w67_mannkendall")(
+      spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val wk = graft.io.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), expr("ts_us DIV 604800000000").as("wk"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id", "wk").agg(sum("c").as("cw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    wk.map(_._1).distinct.take(10).foreach { uid =>
+      val ser = wk.filter(_._1 == uid).sortBy(_._2)
+      val n = ser.length.toLong
+      var s = 0L
+      for (i <- ser.indices; j <- i + 1 until ser.length)
+        s += java.lang.Long.signum(ser(j)._3 - ser(i)._3)
+      val ties = ser.groupBy(_._3).values.map(_.length.toLong)
+        .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+      val v18 = n * (n - 1) * (2 * n + 5) - ties
+      val row = out(uid)
+      assert(row.getAs[Long]("n_weeks") == n)
+      assert(row.getAs[Long]("s") == s, s"S for user $uid")
+      assert(row.getAs[Long]("v18") == v18)
+      val z = row.getAs[Double]("z")
+      if (v18 <= 0) assert(z == 0.0)
+      else if (s > 0) assert(approx(z, (s - 1) / math.sqrt(v18 / 18.0)))
+      else if (s < 0) assert(approx(z, (s + 1) / math.sqrt(v18 / 18.0)))
+      else assert(z == 0.0)
+    }
+  }
+
+  test("a89_cochran_q matches a brute recompute, blocks discriminate") {
+    val row = graft.queries.Curation44Q.queries("a89_cochran_q")(
+      spark, dir).head()
+    val x = graft.io.Tables.eventsUs(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        pmod(expr("ts_us DIV 86400000000"), lit(7L)).as("dow"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = x.groupBy(_._1).filter { case (_, xs) =>
+      xs.length > 0 && xs.length < 7 }
+    assert(row.getAs[Long]("n_blocks") == byUser.size)
+    val kept = byUser.values.flatten.toSeq
+    val cj = kept.groupBy(_._2).values.map(_.length.toLong)
+    val n = cj.sum
+    val sc2 = cj.map(c => c * c).sum
+    val sr2 = byUser.values.map(_.length.toLong).map(r2 => r2 * r2).sum
+    val q = (6L * (7L * sc2 - n * n)).toDouble / (7L * n - sr2).toDouble
+    assert(approx(row.getAs[Double]("q"), q, 1e-9))
+  }
+
+  test("w68_markov_stationary: a distribution, and a fixed point") {
+    val out = graft.queries.Curation44Q.queries("w68_markov_stationary")(
+      spark, dir).collect()
+    val pi = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx(pi.values.sum, 1.0, 1e-9), s"sums to 1: $pi")
+    assert(pi.values.forall(_ >= 0.0))
+    // after 20 synchronous steps the 5-state chain is ~stationary:
+    // one more application of P moves no coordinate by more than 1e-6
+    val t = graft.queries.EventsQ.queries("w32_transitions")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val states = pi.keys.toSeq.sorted
+    val rowTot = states.map(f => f ->
+      states.map(g => t.getOrElse((f, g), 0L)).sum.toDouble).toMap
+    val moved = states.map { g =>
+      val nxt = states.foldLeft(0.0) { (acc, f) =>
+        if (rowTot(f) > 0)
+          acc + pi(f) * t.getOrElse((f, g), 0L).toDouble / rowTot(f)
+        else if (f == g) acc + pi(f)
+        else acc
+      }
+      math.abs(nxt - pi(g))
+    }.max
+    assert(moved < 1e-6, s"fixed point residual $moved")
+  }
+
+  test("s19_parquet_bloom: lossless point lookup, filter pushed") {
+    val q = graft.queries.Curation44Q.queries("s19_parquet_bloom")(
+      spark, dir)
+    val row = q.head()
+    val src = graft.queries.Q.orders(spark, dir)
+      .filter(col("o_custkey") === 7L)
+      .agg(count(lit(1)), sum(round(col("o_totalprice") * 100)
+        .cast("long")), min("o_orderkey")).head()
+    assert(row.getLong(0) == src.getLong(0))
+    if (row.getLong(0) > 0) {
+      assert(row.getLong(1) == src.getLong(1))
+      assert(row.getLong(2) == src.getLong(2))
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_custkey"), "point filter must reach the scan")
+  }
+}

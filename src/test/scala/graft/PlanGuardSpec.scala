@@ -48,7 +48,17 @@ class PlanGuardSpec extends SparkSpec {
     // 101-value lattice (the m15/a70 fixture) — bounded domain
     "m41_delong",
     // autocorrelation peak over a FIXED 48-lag frame
-    "w64_period_detect")
+    "w64_period_detect",
+    // log-rank at-risk counts: reverse cumsum over the a60-style
+    // bounded day lattice (duration days, ≤ data span by construction)
+    "a85_logrank",
+    // DistRank parts=1 fast path on the 5-row per-type aggregate:
+    // the constant-bucket window is the documented aggregate-grain
+    // single-bucket plan (structurally guarded in DistRank)
+    "m43_conformal",
+    // same parts=1 fast path: categorical label counts (m18) and the
+    // distinct dimension-pair key frame (o12) — both aggregate-grain
+    "m18_stringindex", "o12_surrogate")
 
   /** Queries allowed to plan a BroadcastNestedLoopJoin: every entry
     * is an intentional crossJoin(broadcast(x)) of a scalar/parameter
@@ -81,7 +91,11 @@ class PlanGuardSpec extends SparkSpec {
     "t_textrank",
     "t_ccnet_buckets", "t_dsir", "t_heaps", "t_keyphrase", "t_mixture",
     "t_stopword_discovery", "t_tfidf", "t_time_split", "t_unigram_lp",
-    "t_upsample", "w62_ewma_chart", "w64_period_detect")
+    "t_upsample", "w62_ewma_chart", "w64_period_detect",
+    // batch 42-44 scalar-parameter crossJoins: the tie/total/support
+    // one-row aggregates broadcast into the final single-row compute
+    "a84_kruskal_wallis", "a87_friedman", "a88_wasserstein",
+    "a89_cochran_q")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
