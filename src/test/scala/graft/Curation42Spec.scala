@@ -270,6 +270,55 @@ class Curation42Spec extends SparkSpec {
     assert(moved < 1e-6, s"fixed point residual $moved")
   }
 
+  test("a90_raking: margins converge to uniform, mass preserved") {
+    val out = graft.queries.Curation45Q.queries("a90_raking")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3))))
+    val n = out.map(_._2._1).sum.toDouble
+    val types = out.map(_._1._1).distinct
+    val dows = out.map(_._1._2).distinct
+    // total mass is preserved by IPF
+    assert(approx(out.map(_._2._2).sum, n, 1e-6 * n))
+    // column step ran last → column margins are EXACTLY on target
+    dows.foreach { d =>
+      val cs = out.filter(_._1._2 == d).map(_._2._2).sum
+      assert(approx(cs, n / dows.length, 1e-9 * n), s"col margin $d")
+    }
+    // row margins converge after 8 rounds (loose tolerance: IPF
+    // converges geometrically, the last row step was 1 round ago)
+    types.foreach { t =>
+      val rs = out.filter(_._1._1 == t).map(_._2._2).sum
+      assert(math.abs(rs - n / types.length) < 0.01 * n, s"row margin $t")
+    }
+    assert(out.forall(_._2._2 >= 0.0))
+  }
+
+  test("a91_ljungbox matches a brute exact-lattice recompute") {
+    val row = graft.queries.Curation45Q.queries("a91_ljungbox")(
+      spark, dir).head()
+    val hc = graft.io.Tables.eventsUs(spark, dir)
+      .select(expr("ts_us DIV 3600000000").as("h"))
+      .groupBy("h").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (mn, mx) = (hc.keys.min, hc.keys.max)
+    val xs = (mn to mx).map(h => hc.getOrElse(h, 0L)).toArray
+    val n = xs.length.toLong
+    assert(row.getAs[Long]("n_hours") == n)
+    val s = xs.sum
+    val r = xs.map(x => BigInt(x * n - s))
+    def num(k: Int): BigInt =
+      (0 until (n - k).toInt).map(t => r(t) * r(t + k)).sum
+    val n0 = num(0).toDouble
+    var sterm = 0.0
+    (1 to 24).foreach { k =>
+      val rho = num(k).toDouble / n0
+      sterm += rho * rho / (n - k).toDouble
+    }
+    val q = n.toDouble * (n + 2).toDouble * sterm
+    assert(approx(row.getAs[Double]("q"), q, math.abs(q) * 1e-9),
+      s"Q ${row.getAs[Double]("q")} vs brute $q")
+  }
+
   test("s19_parquet_bloom: lossless point lookup, filter pushed") {
     val q = graft.queries.Curation44Q.queries("s19_parquet_bloom")(
       spark, dir)

@@ -95,7 +95,10 @@ class PlanGuardSpec extends SparkSpec {
     // batch 42-44 scalar-parameter crossJoins: the tie/total/support
     // one-row aggregates broadcast into the final single-row compute
     "a84_kruskal_wallis", "a87_friedman", "a88_wasserstein",
-    "a89_cochran_q")
+    "a89_cochran_q",
+    // a91: the (n, sx) scalar totals and num0 one-row frames
+    // broadcast into the bounded 24-lag compute
+    "a91_ljungbox")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
