@@ -319,6 +319,81 @@ class Curation42Spec extends SparkSpec {
       s"Q ${row.getAs[Double]("q")} vs brute $q")
   }
 
+  test("a92_changepoint matches a brute argmax over the hour series") {
+    val row = graft.queries.Curation46Q.queries("a92_changepoint")(
+      spark, dir).head()
+    val hc = graft.io.Tables.eventsUs(spark, dir)
+      .select(expr("ts_us DIV 3600000000").as("h"))
+      .groupBy("h").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (mn, mx) = (hc.keys.min, hc.keys.max)
+    val xs = (mn to mx).map(h => hc.getOrElse(h, 0L)).toArray
+    val n = xs.length.toLong
+    val sn = xs.sum
+    var (bestD, bestT, bestSt) = (-1L, -1L, -1L)
+    var st = 0L
+    for (t <- 1L until n) {
+      st += xs((t - 1).toInt)
+      val d = math.abs(t * sn - n * st)
+      if (d > bestD) { bestD = d; bestT = t; bestSt = st }
+    }
+    assert(row.getAs[Long]("n_hours") == n)
+    assert(row.getAs[Long]("t_star") == bestT)
+    assert(row.getAs[Long]("stat") == bestD)
+    assert(row.getAs[Double]("mean_before") ==
+      bestSt.toDouble / bestT.toDouble)
+    assert(row.getAs[Double]("mean_after") ==
+      (sn - bestSt).toDouble / (n - bestT).toDouble)
+  }
+
+  test("a93_hodges_lehmann: brute Walsh-average medians agree") {
+    val out = graft.queries.Curation46Q.queries("a93_hodges_lehmann")(
+      spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    val wk = graft.io.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), expr("ts_us DIV 604800000000").as("wk"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id", "wk").agg(sum("c").as("cw"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    wk.map(_._1).distinct.foreach { uid =>
+      val cs = wk.filter(_._1 == uid).map(_._2)
+      val walsh = (for (i <- cs.indices; j <- i until cs.length)
+        yield cs(i) + cs(j)).sorted
+      val m = walsh.length
+      val med2 = if (m % 2 == 1) walsh((m - 1) / 2).toDouble
+        else (walsh(m / 2 - 1) + walsh(m / 2)).toDouble / 2.0
+      val row = out(uid)
+      assert(row.getAs[Long]("n_pairs") == m)
+      assert(row.getAs[Double]("hl_cents") == med2 / 2.0,
+        s"HL for user $uid")
+    }
+  }
+
+  test("m44_qwk matches a brute weighted-kappa recompute, in [-1,1]") {
+    val row = graft.queries.Curation46Q.queries("m44_qwk")(
+      spark, dir).head()
+    val rat = graft.io.Tables.eventsUs(spark, dir).select(
+        round(col("value") * 100).cast("long").as("c"), col("event_id"))
+      .collect().map { r =>
+        val c = r.getLong(0)
+        val ra = math.min(c / 2000, 4L)
+        val cb = math.min(math.max(c + (r.getLong(1) % 7 - 3) * 500, 0L),
+          9999L)
+        (ra, cb / 2000)
+      }
+    val n = rat.length.toLong
+    assert(row.getAs[Long]("n") == n)
+    val swo = rat.map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(row.getAs[Long]("swo") == swo)
+    val nr = rat.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val nc = rat.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val swe = (for ((i, ri) <- nr; (j, cj) <- nc)
+      yield (i - j) * (i - j) * BigInt(ri) * BigInt(cj)).sum
+    val qwk = 1.0 - (BigInt(n) * BigInt(swo)).toDouble / swe.toDouble
+    assert(approx(row.getAs[Double]("qwk"), qwk, 1e-9))
+    assert(row.getAs[Double]("qwk") >= -1.0 &&
+      row.getAs[Double]("qwk") <= 1.0)
+  }
+
   test("s19_parquet_bloom: lossless point lookup, filter pushed") {
     val q = graft.queries.Curation44Q.queries("s19_parquet_bloom")(
       spark, dir)

@@ -98,7 +98,11 @@ class PlanGuardSpec extends SparkSpec {
     "a89_cochran_q",
     // a91: the (n, sx) scalar totals and num0 one-row frames
     // broadcast into the bounded 24-lag compute
-    "a91_ljungbox")
+    "a91_ljungbox",
+    // a92: the one-row (n) total crossJoins into the hour lattice;
+    // m44: the 5-row marginal frames crossJoin into the 25-cell
+    // expected-agreement sum — all bounded parameter frames
+    "a92_changepoint", "m44_qwk")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
