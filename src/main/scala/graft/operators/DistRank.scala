@@ -211,6 +211,78 @@ object DistRank {
     withLocal.select(outCols: _*)
   }
 
+  /** Exact global running MINIMUM of `values` over the total order
+    * `order` — the two-pass [[cumsum]] shape with min in place of
+    * sum: per-bucket minima are the ≤ p rows of driver metadata,
+    * their exclusive prefix-min becomes the literal per-bucket
+    * offset, and the final pass takes min(bucket-local running min,
+    * offset). Values must be LONG-castable and non-null; the first
+    * row's EXCLUSIVE min is Long.MaxValue (no predecessor — callers
+    * test `isFirst` or compare against it). Powers order-scan
+    * operators (2D skyline's "best y among strictly earlier x"),
+    * never a single-partition window. */
+  def cummin(df: DataFrame, bucketKey: Column, order: Seq[Column],
+      values: Seq[(Column, String)], inclusive: Boolean = true,
+      parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (p == 1) require(boundedGrain(df.queryExecution.analyzed),
+      "DistRank parts=1 fast path requires an aggregate-grain input")
+    val keep = df.columns.toSeq
+    val vals = values.zipWithIndex.map { case ((c, n), i) =>
+      (c, n, s"__dmv$i") }
+    val tagged = df.select(
+      (keep.map(col) :+ bucketKey.cast("double").as("__drk")) ++
+        vals.map { case (c, _, t) => c.cast("long").as(t) }: _*)
+    val qs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
+    val bounds: Seq[Double] =
+      if (p == 1) Nil
+      else {
+        val bRow = tagged
+          .agg(percentile_approx(col("__drk"), qs, lit(2500)).as("b"))
+          .head()
+        if (bRow.isNullAt(0)) Nil
+        else bRow.getSeq[Double](0).distinct.sorted
+      }
+    val bucketed = tagged.withColumn("__drp", pidFor(col("__drk"), bounds))
+    val aggs = vals.map { case (_, _, t) => min(col(t)).as(t) }
+    val minRows: Array[Row] =
+      if (p == 1) Array.empty
+      else bucketed.groupBy("__drp").agg(aggs.head, aggs.tail: _*)
+        .collect()
+    val byPid: Map[Int, Array[Long]] = minRows.map { r =>
+      r.getInt(0) -> vals.indices.map(i =>
+        if (r.isNullAt(i + 1)) Long.MaxValue else r.getLong(i + 1)).toArray
+    }.toMap
+    val pids = byPid.keys.toSeq.sorted
+    val offsets = scala.collection.mutable.Map[Int, Array[Long]]()
+    val running = Array.fill(vals.size)(Long.MaxValue)
+    pids.foreach { pid =>
+      offsets(pid) = running.clone()
+      val m = byPid(pid)
+      vals.indices.foreach(i => running(i) = math.min(running(i), m(i)))
+    }
+    def offLookup(i: Int): Column = pids.foldLeft(lit(Long.MaxValue)) {
+      case (acc, pid) =>
+        when(col("__drp") === lit(pid), lit(offsets(pid)(i))).otherwise(acc)
+    }
+    val frameEnd = if (inclusive) 0L else -1L
+    val w = Window.partitionBy("__drp").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val withLocal = bucketed.select(
+      (keep.map(col) :+ col("__drp")) ++
+        vals.zipWithIndex.map { case ((_, _, t), i) =>
+          coalesce(min(col(t)).over(w), lit(Long.MaxValue))
+            .as(s"__dml$i")
+        }: _*)
+    val outCols = keep.map(col) ++
+      vals.zipWithIndex.map { case ((_, n, _), i) =>
+        least(col(s"__dml$i"), offLookup(i)).as(n)
+      }
+    withLocal.select(outCols: _*)
+  }
+
   /** Exact global 1-based row number over `order` — `cumsum` of a
     * constant 1. `totalAs`, if set, appends the total row count as a
     * literal column (feeds `ntileOf`). */

@@ -394,6 +394,63 @@ class Curation42Spec extends SparkSpec {
       row.getAs[Double]("qwk") <= 1.0)
   }
 
+  test("o32_skyline: exactly the non-dominated points survive") {
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i) match { case l: Long => l; case n: Number => n.longValue }
+    val out = graft.queries.Curation47Q.queries("o32_skyline")(
+      spark, dir).collect()
+      .map(r => (asL(r, 0), asL(r, 1), asL(r, 2), asL(r, 3)))
+    val pts = graft.queries.Q.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (asL(r, 0), asL(r, 1), asL(r, 2), asL(r, 3)))
+    def dominated(x: (Long, Long, Long, Long)) = pts.exists(o =>
+      o._3 <= x._3 && o._4 <= x._4 && (o._3 < x._3 || o._4 < x._4))
+    val brute = pts.filterNot(dominated).toSet
+    assert(out.toSet == brute, s"skyline ${out.length} vs ${brute.size}")
+  }
+
+  test("m45_ransac: winning consensus is the true brute maximum") {
+    val row = graft.queries.Curation47Q.queries("m45_ransac")(
+      spark, dir).head()
+    val hourly = graft.io.Tables.eventsUs(spark, dir)
+      .select(expr("ts_us DIV 3600000000").as("h"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("h").agg(sum("c").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val ys = hourly.map(_._2)
+    val n = ys.length.toLong
+    def lcg(x: Long) = (x * 1103515245L + 12345L) % 2147483648L
+    var best = (-1L, -1L)
+    (0L until 50L).foreach { d =>
+      val ti = lcg(d * 2) % n + 1
+      val tj = lcg(d * 2 + 1) % n + 1
+      if (ti != tj) {
+        val (yi, yj) = (ys((ti - 1).toInt), ys((tj - 1).toInt))
+        val cnt = (1L to n).count { t =>
+          math.abs((yj - yi) * (t - ti) -
+            (tj - ti) * (ys((t - 1).toInt) - yi)) <=
+            200000L * math.abs(tj - ti)
+        }.toLong
+        if (cnt > best._1) best = (cnt, d)
+      }
+    }
+    assert(row.getAs[Long]("n_inliers") == best._1)
+    assert(row.getAs[Long]("draw") == best._2)
+    assert(row.getAs[Long]("n_inliers") >= 2L)
+  }
+
+  test("v_proj_recall: overlap bounded by 10, self excluded") {
+    val out = graft.queries.Curation47Q.queries("v_proj_recall")(
+      spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 5)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 10L)
+      assert(r.getDouble(2) == r.getLong(1).toDouble / 10.0)
+    }
+  }
+
   test("s19_parquet_bloom: lossless point lookup, filter pushed") {
     val q = graft.queries.Curation44Q.queries("s19_parquet_bloom")(
       spark, dir)

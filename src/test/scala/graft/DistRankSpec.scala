@@ -168,6 +168,30 @@ class DistRankSpec extends SparkSpec {
     }
   }
 
+  test("cummin matches single-partition running min, incl and excl") {
+    val wIn = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wEx = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = base
+      .withColumn("mi", min("v").over(wIn))
+      .withColumn("me", coalesce(min("v").over(wEx), lit(Long.MaxValue)))
+      .select("id", "mi", "me").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val gi = DistRank.cummin(base, col("k"), Seq(col("k"), col("id")),
+      Seq((col("v"), "mi")), inclusive = true, parts = 4)
+      .select("id", "mi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ge = DistRank.cummin(base, col("k"), Seq(col("k"), col("id")),
+      Seq((col("v"), "me")), inclusive = false, parts = 4)
+      .select("id", "me").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    base.select("id").collect().map(_.getLong(0)).foreach { id =>
+      assert(gi(id) == expect(id)._1, s"inclusive at $id")
+      assert(ge(id) == expect(id)._2, s"exclusive at $id")
+    }
+  }
+
   test("plan has no single-partition window") {
     val plan = DistRank.rowNumber(base, col("k"),
       Seq(col("k"), col("id")), "r", parts = 4)

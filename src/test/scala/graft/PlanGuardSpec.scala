@@ -102,7 +102,10 @@ class PlanGuardSpec extends SparkSpec {
     // a92: the one-row (n) total crossJoins into the hour lattice;
     // m44: the 5-row marginal frames crossJoin into the 25-cell
     // expected-agreement sum — all bounded parameter frames
-    "a92_changepoint", "m44_qwk")
+    "a92_changepoint", "m44_qwk",
+    // m45: the 50-row LCG draw-pair parameter frame broadcasts into
+    // the hour-lattice inlier count
+    "m45_ransac")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
