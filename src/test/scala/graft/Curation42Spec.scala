@@ -451,6 +451,84 @@ class Curation42Spec extends SparkSpec {
     }
   }
 
+  test("g19_bipartite matches a brute BFS-parity audit at sf0.01") {
+    val d01 = "/root/testdata/sf0.01"
+    val out = graft.queries.Curation48Q.queries("g19_bipartite")(
+      spark, d01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // brute: same graph, BFS from min-id roots, exact shortest depth
+    val sn = graft.queries.Q.supplier(spark, d01).select(
+      col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.queries.Q.lineitem(spark, d01)
+      .select(col("l_orderkey").cast("long"),
+        col("l_suppkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.toSeq.groupBy(_._1).values
+      .flatMap { g =>
+        val sks = g.map(_._2).distinct.toList
+        for (a <- sks; b <- sks if a < b && sn(a) == sn(b)) yield (a, b)
+      }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = adj.keys.toSeq
+    // components via repeated BFS
+    val compOf = scala.collection.mutable.Map[Long, Long]()
+    nodes.sorted.foreach { n =>
+      if (!compOf.contains(n)) {
+        var frontier = Set(n)
+        val seen = scala.collection.mutable.Set(n)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj(_)).filterNot(seen)
+          seen ++= frontier
+        }
+        seen.foreach(v => compOf(v) = seen.min)
+      }
+    }
+    compOf.values.toSeq.distinct.foreach { c =>
+      val members = compOf.filter(_._2 == c).keys.toSet
+      val root = members.min
+      val depth = scala.collection.mutable.Map(root -> 0L)
+      var frontier = Set(root)
+      var d = 0L
+      while (frontier.nonEmpty && d < 12) {
+        d += 1
+        frontier = frontier.flatMap(adj(_))
+          .filterNot(depth.contains)
+        frontier.foreach(v => depth(v) = d)
+      }
+      val conf = edges.count { case (a, b) =>
+        members(a) && depth.contains(a) && depth.contains(b) &&
+          depth(a) % 2 == depth(b) % 2 }
+      val unreached = members.count(!depth.contains(_)).toLong
+      val row = out(c)
+      assert(row._1 == members.size, s"n_nodes of $c")
+      assert(row._3 == conf.toLong, s"n_conflicts of $c")
+      assert(row._4 == unreached, s"n_unreached of $c")
+      assert(row._5 == (if (conf == 0 && unreached == 0) 1L else 0L))
+    }
+    // the co-supply graph has triangles — some component must fail
+    assert(out.values.exists(_._5 == 0L), "odd cycles must be found")
+  }
+
+  test("s20_dynamic_overwrite: only the restated partition changed") {
+    val out = graft.queries.Curation48Q.queries("s20_dynamic_overwrite")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val src = graft.queries.Q.orders(spark, dir).select(
+        pmod(col("o_orderkey"), lit(7L)).as("part"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("part").agg(count(lit(1)).as("n"),
+        sum("cents").as("sc")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == src.keySet)
+    src.foreach { case (p, (n, sc)) =>
+      assert(out(p)._1 == n, s"count of part $p")
+      assert(out(p)._2 == (if (p == 3L) 2 * sc else sc), s"sum of part $p")
+    }
+  }
+
   test("s19_parquet_bloom: lossless point lookup, filter pushed") {
     val q = graft.queries.Curation44Q.queries("s19_parquet_bloom")(
       spark, dir)
