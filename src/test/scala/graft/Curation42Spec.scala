@@ -529,6 +529,60 @@ class Curation42Spec extends SparkSpec {
     }
   }
 
+  test("m46_cindex matches a brute pairwise concordance recompute") {
+    val row = graft.queries.Curation49Q.queries("m46_cindex")(
+      spark, dir).head()
+    val u = graft.io.Tables.eventsUs(spark, dir)
+      .groupBy("user_id").agg(
+        min("ts_us").as("t0"), max("ts_us").as("t1"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("tp"), count(lit(1)).as("n_ev"))
+      .collect().map { r =>
+        val t0 = r.getLong(1)
+        val tp = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        ((tp.getOrElse(r.getLong(2)) - t0) / 86400000000L,
+          tp.isDefined, math.min(r.getLong(4) / 10, 20L))
+      }
+    var (np, c2) = (0L, 0L)
+    for (i <- u; j <- u if i._2 && i._1 < j._1) {
+      np += 1
+      if (i._3 > j._3) c2 += 2 else if (i._3 == j._3) c2 += 1
+    }
+    assert(row.getAs[Long]("n_comparable") == np)
+    assert(row.getAs[Long]("conc2") == c2)
+    assert(row.getAs[Double]("c_index") ==
+      c2.toDouble / (np * 2).toDouble)
+    assert(row.getAs[Double]("c_index") >= 0.0 &&
+      row.getAs[Double]("c_index") <= 1.0)
+  }
+
+  test("a94_fleiss_kappa matches a brute recompute, bounded by 1") {
+    val row = graft.queries.Curation49Q.queries("a94_fleiss_kappa")(
+      spark, dir).head()
+    val rat = graft.io.Tables.eventsUs(spark, dir)
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map { r =>
+        val (id, c) = (r.getLong(0), r.getLong(1))
+        def band(x: Long) = math.min(math.max(x, 0L), 9999L) / 2000
+        Seq(math.min(c / 2000, 4L), band(c + (id % 7 - 3) * 500),
+          band(c + (id % 5 - 2) * 700))
+      }
+    val n = rat.length.toLong
+    assert(row.getAs[Long]("n_items") == n)
+    val aa = rat.map { rs =>
+      rs.groupBy(identity).values.map(g => g.length.toLong)
+        .map(x => x * x).sum - 3
+    }.sum
+    val sj = rat.flatten.groupBy(identity).values
+      .map(_.length.toLong)
+    val bb = sj.map(s => BigInt(s) * s).sum
+    val kappa = (BigInt(n) * aa * 3 - bb * 2).toDouble /
+      (BigInt(n) * n * 18 - bb * 2).toDouble
+    assert(approx(row.getAs[Double]("kappa"), kappa, 1e-12))
+    assert(row.getAs[Double]("kappa") <= 1.0)
+  }
+
   test("s19_parquet_bloom: lossless point lookup, filter pushed") {
     val q = graft.queries.Curation44Q.queries("s19_parquet_bloom")(
       spark, dir)

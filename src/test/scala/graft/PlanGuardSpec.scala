@@ -105,7 +105,11 @@ class PlanGuardSpec extends SparkSpec {
     "a92_changepoint", "m44_qwk",
     // m45: the 50-row LCG draw-pair parameter frame broadcasts into
     // the hour-lattice inlier count
-    "m45_ransac")
+    "m45_ransac",
+    // m46: cell-pair concordance — both sides of the crossJoin are
+    // the bounded (day × event × riskband ≤ ~1300 rows) lattice;
+    // a94: the one-row B total broadcasts into the final row
+    "m46_cindex", "a94_fleiss_kappa")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
