@@ -54,6 +54,30 @@ object Similarity {
     * unorderable column. */
   def ivfAssign(df: DataFrame, idCol: String, embCol: String,
                 centroids: DataFrame, cIdCol: String, cEmbCol: String): DataFrame = {
+    // Fused fast path: while K is driver-sized (it is BROADCAST-sized
+    // by contract), the whole argmax is ONE codegen'd projection —
+    // graft.functions.CentroidArgmax loops the literal centroid
+    // matrix per row, so the N×K candidate ROWS (the measured ~90%
+    // of assignment wall at the 100x step), the struct packing and
+    // the hash-agg all disappear; bitwise-identical winners by
+    // construction (same folds, same guard, same tie order). Beyond
+    // the cap (a genuinely huge codebook) the join+agg path below
+    // still scales out.
+    val cRows = centroids
+      .select(col(cIdCol).cast("long"), Vectors.toDouble(col(cEmbCol)))
+      .collect()
+    if (cRows.length <= 16384) {
+      val sorted = cRows.sortBy(_.getLong(0))
+      val cids = sorted.map(_.getLong(0))
+      val cents = sorted.map(_.getSeq[Double](1).toArray)
+      val payload = df.columns.filter(_ != idCol)
+      val am = graft.functions.CentroidArgmax
+        .argmax(col(embCol), cids, cents)
+      return df.withColumn("__b", am)
+        .select(col(idCol) +: payload.map(col) :+
+          col("__b.cid").as("centroid_id") :+
+          col("__b.cos").as("centroid_cos"): _*)
+    }
     // norms once per vector/centroid, not once per candidate pair —
     // bitwise-identical cosine (see Vectors.cosineWithNorms), 3x
     // fewer dot products in the N×K candidate stage

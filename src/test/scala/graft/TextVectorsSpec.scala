@@ -147,6 +147,54 @@ class TextVectorsSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("CentroidArgmax: bitwise parity with the crossJoin+struct-max form") {
+    import graft.operators.Similarity
+    import graft.functions.Vectors
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 9)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // fused path (ivfAssign routes through CentroidArgmax at this K)
+    val fused = Similarity.ivfAssign(e, "vec_id", "embedding",
+      cents, "cid", "cemb")
+      .select("vec_id", "centroid_id", "centroid_cos").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // reference: the explicit join + struct-max formulation
+    val joined = e.withColumn("__na", Vectors.norm(col("embedding")))
+      .crossJoin(broadcast(cents.select(col("cid"),
+        col("cemb"), Vectors.norm(col("cemb")).as("__cn"))))
+      .withColumn("cos", Vectors.cosineWithNorms(col("embedding"),
+        col("cemb"), col("__na"), col("__cn")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).as("cid"), col("b.cos"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(fused.keySet == joined.keySet)
+    fused.keys.foreach { id =>
+      assert(fused(id)._1 == joined(id)._1, s"winner at $id")
+      assert(java.lang.Double.doubleToRawLongBits(fused(id)._2) ==
+        java.lang.Double.doubleToRawLongBits(joined(id)._2),
+        s"cos bits at $id")
+    }
+    // interpreted eval agrees with codegen (collect forces codegen;
+    // Literal-based eval goes through nullSafeEval)
+    val one = e.filter(col("vec_id") === 7).head()
+    val emb = one.getSeq[Float](1).toArray
+    val cRows = cents.collect().sortBy(_.getLong(0))
+    val cids = cRows.map(_.getLong(0))
+    val cm = cRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val expr = graft.functions.CentroidArgmax(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        emb, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      cids, cm, cm.map(graft.functions.CentroidArgmax.foldNorm))
+    val r = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(r.getLong(0) == fused(7L)._1)
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+      java.lang.Double.doubleToRawLongBits(fused(7L)._2))
+  }
+
   test("randomProjection: deterministic signs, pinned association") {
     import graft.operators.Similarity
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
