@@ -10,6 +10,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-node bench tuning: with tens of GB of driver heap a
+      // 128 MB dimension build side is cheap, and keeping the
+      // orders/customer side broadcast across the sf1→sf10 decade
+      // avoids the broadcast→shuffle regime cliff measured on
+      // g9_assortativity (31 s → 19 s at sf10). Correctness runs
+      // (Verify, specs) keep Spark defaults.
+      .config("spark.sql.autoBroadcastJoinThreshold", 128 * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
