@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd content-defined-chunking boundary scan: one pass over
+  * the (normalized, single-byte) text computing every window-`n`
+  * rolling poly-hash (fold acc·31 + byte, mod P — the NgramPolyHash
+  * recurrence) and reducing the boundary hits (hash % div == 0) to
+  * the ONLY two facts d_cdc_chunks emits: the boundary count and the
+  * commutative mod-P boundary signature. Replaces the interpreted
+  * 8-step zip_with chain + filter + aggregate, whose per-element
+  * lambda dispatch and 8 intermediate arrays per row were ~95% of
+  * the query's wall at the 100x step. Value-identical by
+  * construction: same Horner fold, same `% div` boundary rule, and
+  * (Σh) % P equals the per-step modular accumulation.
+  */
+case class CdcBoundaries(child: Expression, n: Int, div: Long)
+    extends UnaryExpression {
+
+  private val P = Text.P
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bounds", LongType), StructField("sig", LongType)))
+  override def prettyName: String = "cdc_boundaries"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && n > 0 && div > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, n > 0 and div > 0")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var cnt = 0L
+    var sig = 0L
+    var i = 0
+    while (i + n <= bytes.length) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * 31L + (bytes(i + j) & 0xffL)) % P; j += 1 }
+      if (h % div == 0L) { cnt += 1L; sig = (sig + h) % P }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](cnt, sig))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val cnt = ctx.freshName("cnt")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $cnt = 0L; long $sig = 0L;
+         |for (int $i = 0; $i + $n <= $bytes.length; $i++) {
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $h = ($h * 31L + ($bytes[$i + $j] & 0xffL)) % ${P}L;
+         |  }
+         |  if ($h % ${div}L == 0L) { $cnt++; $sig = ($sig + $h) % ${P}L; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $cnt, $sig });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
+object CdcBoundaries {
+  def boundaries(c: Column, n: Int, div: Long): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(c), n, div))
+  }
+}

@@ -76,28 +76,18 @@ object Curation36Q {
     // map-side — no join, no shuffle.
     "d_cdc_chunks" -> ((s, dir) => {
       val t = Text.normalizeAz(col("text"))
-      // window-8 hashes as a chain of 8 zip_with passes over SHIFTED
-      // code slices (every slice an argument, evaluated once) — the
-      // Text.charNgrams build, fused with the Horner fold so no
-      // per-gram substr/sequence allocation survives. Equivalent to
-      // polyHashElem per gram: both fold (acc*31 + code) mod P from 0.
-      // Measured: 11.1 s -> the charNgrams-class speedup at sf0.1.
-      val cs = transform(filter(split(t, ""), ch => length(ch) > lit(0)),
-        ch => ascii(ch).cast("long"))
-      val m = greatest(size(cs) - lit(7), lit(0))
-      val rolled = (2 to 8).foldLeft(
-        transform(slice(cs, lit(1), m), x => pmod(x, lit(P)))) { (acc, k) =>
-        zip_with(acc, slice(cs, lit(k), m),
-          (a, b) => pmod(a * 31L + b, lit(P)))
-      }
-      val hashes = when(size(cs) >= 8, rolled)
-        .otherwise(array().cast("array<long>"))
-      val bounds = filter(hashes, h => pmod(h, lit(64L)) === 0L)
+      // ONE codegen'd byte scan (graft.functions.CdcBoundaries): every
+      // window-8 Horner hash, the % 64 boundary rule and the
+      // commutative mod-P signature fused into a single generated
+      // loop — value-identical to the former 8-step zip_with chain
+      // (same fold, same modular sum), whose interpreted per-element
+      // lambdas and 8 intermediate arrays per row were ~95% of the
+      // wall at the 100x step (839 s at sf10).
+      val b = graft.functions.CdcBoundaries.boundaries(t, 8, 64L)
       documents(s, dir)
         .select(col("doc_id"), length(t).cast("long").as("n_chars_az"),
-          size(bounds).cast("long").as("n_bounds"),
-          pmod(aggregate(bounds, lit(0L), (a, x) => a + pmod(x, lit(P))),
-            lit(P)).as("boundary_sig"))
+          b.getField("n_bounds").as("n_bounds"),
+          b.getField("sig").as("boundary_sig"))
         .select(col("doc_id"), col("n_chars_az"),
           (col("n_bounds") + 1L).as("n_chunks"),
           col("boundary_sig"),

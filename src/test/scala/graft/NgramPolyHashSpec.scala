@@ -57,6 +57,40 @@ class NgramPolyHashSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("CdcBoundaries == the composable zip_with chain on random strings") {
+    import graft.functions.CdcBoundaries
+    val P = Text.P
+    val rng = new scala.util.Random(29)
+    val strs = (0 until 200).map { _ =>
+      (0 until rng.nextInt(400)).map(_ =>
+        if (rng.nextInt(6) == 0) ' ' else ('a' + rng.nextInt(26)).toChar)
+        .mkString
+    }
+    val df = strs.toDF("t")
+    // the pre-round-8 composable formulation, verbatim
+    val cs = transform(filter(split(col("t"), ""),
+      ch => length(ch) > lit(0)), ch => ascii(ch).cast("long"))
+    val m = greatest(size(cs) - lit(7), lit(0))
+    val rolled = (2 to 8).foldLeft(
+      transform(slice(cs, lit(1), m), x => pmod(x, lit(P)))) { (acc, k) =>
+      zip_with(acc, slice(cs, lit(k), m),
+        (a, b) => pmod(a * 31L + b, lit(P)))
+    }
+    val hashes = when(size(cs) >= 8, rolled)
+      .otherwise(array().cast("array<long>"))
+    val bounds = filter(hashes, h => pmod(h, lit(64L)) === 0L)
+    val b = CdcBoundaries.boundaries(col("t"), 8, 64L)
+    val bad = df.select(
+      b.getField("n_bounds").as("fastN"),
+      b.getField("sig").as("fastS"),
+      size(bounds).cast("long").as("slowN"),
+      pmod(aggregate(bounds, lit(0L), (a, x) => a + pmod(x, lit(P))),
+        lit(P)).as("slowS"))
+      .filter(col("fastN") =!= col("slowN") ||
+        col("fastS") =!= col("slowS")).count()
+    assert(bad == 0)
+  }
+
   test("null input yields null") {
     val r = spark.range(1).select(
       NgramPolyHash.ngramHashes(lit(null).cast("string"), 3).as("g")).head()
