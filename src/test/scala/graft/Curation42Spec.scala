@@ -583,6 +583,73 @@ class Curation42Spec extends SparkSpec {
     assert(row.getAs[Double]("kappa") <= 1.0)
   }
 
+  test("m47_pca: unit eigenvector, Rayleigh residual small, sign fixed") {
+    val out = graft.queries.Curation50Q.queries("m47_pca")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 8)
+    val v = out.map(_.getDouble(1))
+    val lam = out.head.getDouble(2)
+    assert(approx(v.map(x => x * x).sum, 1.0, 1e-9), "unit norm")
+    // sign convention: first significant loading positive
+    assert(v.find(x => math.abs(x) > 1e-12).forall(_ > 0))
+    assert(lam > 0.0, "top eigenvalue of a covariance is positive")
+    // after 30 power steps the Rayleigh residual ||Cv - lam v|| is
+    // tiny relative to lam — recompute C from the same pipeline
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val proj = graft.operators.Similarity.randomProjection(
+      e.select(col("vec_id"), col("embedding")), "embedding", 64, 8)
+    val rows = proj.collect().map(r => (0 until 8).map(j =>
+      r.getDouble(1 + j)).toArray)
+    val mn = (0 until 8).map(j => rows.map(_(j)).min)
+    val mx = (0 until 8).map(j => rows.map(_(j)).max)
+    val codes = rows.map(r => (0 until 8).map(j =>
+      if (mx(j) > mn(j))
+        math.min(255L, math.floor((r(j) - mn(j)) / (mx(j) - mn(j)) * 255.0)
+          .toLong)
+      else 0L).toArray)
+    val n = codes.length.toLong
+    val t = (0 until 8).map(j => codes.map(_(j)).sum.toDouble)
+    val c = Array.tabulate(8, 8) { (i, j) =>
+      val sij = codes.map(r => r(i) * r(j)).map(BigInt(_)).sum.toDouble
+      n.toDouble * sij - t(i) * t(j)
+    }
+    val cv = (0 until 8).map(i =>
+      (0 until 8).map(j => c(i)(j) * v(j)).sum)
+    val resid = math.sqrt((0 until 8).map(i =>
+      (cv(i) - lam * v(i)) * (cv(i) - lam * v(i))).sum)
+    assert(resid <= 1e-4 * math.abs(lam), s"residual $resid vs lam $lam")
+  }
+
+  test("a95_entropy_rate: bounded by ln(k), matches brute recompute") {
+    val row = graft.queries.Curation50Q.queries("a95_entropy_rate")(
+      spark, dir).head()
+    val k = row.getLong(0)
+    val h = row.getDouble(1)
+    assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-12,
+      s"0 <= H=$h <= ln($k)")
+    // brute: recompute from w32 transition counts + w68's pi
+    val t = graft.queries.EventsQ.queries("w32_transitions")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val pi = graft.queries.Curation44Q.queries("w68_markov_stationary")(
+      spark, dir).collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    val states = pi.keys.toSeq.sorted
+    var hb = 0.0
+    states.foreach { f =>
+      val rt = states.map(g => t.getOrElse((f, g), 0L)).sum.toDouble
+      if (rt > 0) {
+        var hi = 0.0
+        states.foreach { g =>
+          val ct = t.getOrElse((f, g), 0L).toDouble
+          if (ct > 0) { val p = ct / rt; hi += p * math.log(p) }
+        }
+        hb += pi(f) * hi
+      }
+    }
+    assert(approx(h, -hb, 1e-9), s"H $h vs brute ${-hb}")
+  }
+
   test("s19_parquet_bloom: lossless point lookup, filter pushed") {
     val q = graft.queries.Curation44Q.queries("s19_parquet_bloom")(
       spark, dir)
