@@ -260,6 +260,18 @@ object Dedup {
     * Jaccard >= threshold. The verify join re-reads only candidate doc
     * ids — broadcastable when candidates are rare.
     *
+    * RECALL TRADE (inherited default): candidates are capped at each
+    * doc_a's [[MaxCandPerDoc]] best-banded partners, so a doc with
+    * more than `MaxCandPerDoc` true near-duplicates will MISS the
+    * excess pairs (and anything built on the pairs — dupClusters
+    * components, corpus pruning — inherits the miss). The trade is
+    * observable in-band: every emitted pair carries `n_cand`, doc_a's
+    * PRE-cap candidate count, so `n_cand > MaxCandPerDoc` marks
+    * exactly the docs where recall was traded. Pass
+    * `maxCandPerDoc = Int.MaxValue` through [[lshCandidates]] /
+    * [[candidatesFromSig]] for uncapped recall when the corpus is
+    * small enough to afford the quadratic candidate tail.
+    *
     * The interior gram-table cache stays alive as long as the returned
     * (lazy) DataFrame may recompute — callers in long-lived sessions
     * own cleanup: materialize the result, then
@@ -269,7 +281,8 @@ object Dedup {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double,
-                     bandRows: Int = DefaultBandRows): DataFrame = {
+                     bandRows: Int = DefaultBandRows,
+                     maxCandPerDoc: Int = MaxCandPerDoc): DataFrame = {
     // The gram table is computed ONCE and cached: the signature
     // aggregation AND the verify join both read it (recomputing the
     // NgramPolyHash pass per consumer would double the dominant corpus
@@ -283,7 +296,8 @@ object Dedup {
       .withColumn("gsz", size(col("g")))
       .cache()
     val cands = candidatesFromSig(
-      signatureFromGramTable(grams), bandRows = bandRows)
+      signatureFromGramTable(grams), bandRows = bandRows,
+      maxCandPerDoc = maxCandPerDoc)
     val inter = graft.functions.LongArrayIntersectCount
       .intersectCount(col("ga"), col("gb")).cast("double")
     cands

@@ -310,13 +310,20 @@ object Graph {
     * no near-dup are their own singleton cluster. The downstream
     * "drop all but the representative" filter is then
     * `doc_id = cluster_rep` — transitive-closure-correct, unlike
-    * dropping the larger side of each raw pair. */
+    * dropping the larger side of each raw pair.
+    *
+    * Inherits [[Dedup.nearDuplicates]]'s per-doc candidate cap
+    * (`maxCandPerDoc`, default [[Dedup.MaxCandPerDoc]]): a missed
+    * pair can split a true cluster in two — pass `Int.MaxValue` for
+    * uncapped recall on corpora small enough to afford it. */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double,
                   bandRows: Int = Dedup.DefaultBandRows,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  maxCandPerDoc: Int = Dedup.MaxCandPerDoc): DataFrame = {
     val pairs = Dedup
-      .nearDuplicates(df, idCol, textCol, threshold, bandRows)
+      .nearDuplicates(df, idCol, textCol, threshold, bandRows,
+        maxCandPerDoc)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val comp = connectedComponents(pairs, checkpointDir = checkpointDir)
     val labeled = df.select(col(idCol).cast("long").as("node"))

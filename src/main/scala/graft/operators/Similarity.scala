@@ -32,45 +32,67 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("cos"))
 
+  /** Codebook size above which ivfAssign abandons the fused literal
+    * path: 16384 centroids × typical dims stays comfortably inside a
+    * broadcast / constant-pool budget; beyond it the distributed
+    * fallback takes over. */
+  val FastPathCap = 16384
+
   /** IVF assignment: nearest centroid per vector. `centroids` is small
     * (K rows) and broadcast; ties break on the lower centroid id.
-    * Returns df + (centroid_id, centroid_cos).
+    * Returns df + (centroid_id: long, centroid_cos: double) — the
+    * centroid id is cast to long on BOTH paths.
     *
-    * The argmax is ONE hash aggregation — max of a (cos, -cid,
-    * payload…) struct with map-side partial combine — not a window
-    * sort: at K = √N the candidate table is N^1.5 rows, and sorting
-    * it per vector was the dominant wall at the sf10 step (the agg
-    * shrinks map-side to one row per vector per partition, so the
-    * shuffle carries ~1 winner struct per vector, NOT the N×K
-    * candidates). The payload fields ride the struct but never decide
-    * the comparison: (cos, -cid) is already a total order within a
-    * vector because centroid ids are unique.
+    * CONTRACT. Building the plan runs one BOUNDED Spark action on
+    * `centroids` (`limit(FastPathCap + 1).collect()` — at most 16385
+    * rows ever reach the driver, so a huge codebook cannot OOM the
+    * probe). Callers that rebuild the same query repeatedly (bench
+    * loops, plan audits) should pass a driver-materialized local
+    * centroid frame — see `graft.queries.Q.ivfCentroids`, which
+    * memoizes the codebook per (dir, fingerprint) so the probe costs
+    * nothing per build. An EMPTY codebook yields an EMPTY result on
+    * both paths (no vector has a nearest centroid). Embeddings must be
+    * NaN-free (the P8 sanitize contract): a NaN cosine can never win
+    * the fused strict-'>' scan but sorts greatest under the fallback's
+    * struct-max, so NaN behavior is explicitly unspecified here.
     *
-    * Payload-type constraint: the struct path requires every payload
-    * column to be ORDERABLE (max over a struct with a map-typed field
-    * fails analysis). Non-orderable payloads automatically take the
-    * fallback: aggregate only (cos, -cid) per id and join the winner
-    * back on idCol — one extra shuffle of df by id, the price of the
-    * unorderable column. */
+    * Fused fast path (K ≤ [[FastPathCap]]): the whole argmax is ONE
+    * codegen'd projection — graft.functions.CentroidArgmax loops the
+    * literal centroid matrix per row, so the N×K candidate ROWS (the
+    * measured ~90% of assignment wall at the 100x step), the struct
+    * packing and the hash-agg all disappear; bitwise-identical winners
+    * by construction (same folds, same guard, same tie order).
+    *
+    * Fallback (K > cap): a PAYLOAD-FREE winner aggregate — only
+    * (id, emb) enter the N×K candidate stage, the argmax is
+    * max(struct(cos, −cid)) with map-side partial combine (never a
+    * window sort: at K = √N the candidate table is N^1.5 rows), and
+    * the payload is joined back on idCol afterwards. One extra
+    * shuffle of df by id, in exchange for candidate rows that carry
+    * two doubles instead of the whole row — the trade that wins at
+    * any realistic payload width. */
   def ivfAssign(df: DataFrame, idCol: String, embCol: String,
                 centroids: DataFrame, cIdCol: String, cEmbCol: String): DataFrame = {
-    // Fused fast path: while K is driver-sized (it is BROADCAST-sized
-    // by contract), the whole argmax is ONE codegen'd projection —
-    // graft.functions.CentroidArgmax loops the literal centroid
-    // matrix per row, so the N×K candidate ROWS (the measured ~90%
-    // of assignment wall at the 100x step), the struct packing and
-    // the hash-agg all disappear; bitwise-identical winners by
-    // construction (same folds, same guard, same tie order). Beyond
-    // the cap (a genuinely huge codebook) the join+agg path below
-    // still scales out.
+    val payload = df.columns.filter(_ != idCol)
+    // Bounded probe-collect: one action, at most FastPathCap+1 rows on
+    // the driver. If the limit is hit the codebook is "huge" and the
+    // collected prefix is discarded in favor of the distributed path.
     val cRows = centroids
       .select(col(cIdCol).cast("long"), Vectors.toDouble(col(cEmbCol)))
+      .limit(FastPathCap + 1)
       .collect()
-    if (cRows.length <= 16384) {
+    if (cRows.isEmpty) {
+      // No centroids → no assignments; schema matches the non-empty
+      // paths (centroid_id long, centroid_cos double).
+      return df.filter(lit(false))
+        .select(col(idCol) +: payload.map(col) :+
+          lit(null).cast("long").as("centroid_id") :+
+          lit(null).cast("double").as("centroid_cos"): _*)
+    }
+    if (cRows.length <= FastPathCap) {
       val sorted = cRows.sortBy(_.getLong(0))
       val cids = sorted.map(_.getLong(0))
       val cents = sorted.map(_.getSeq[Double](1).toArray)
-      val payload = df.columns.filter(_ != idCol)
       val am = graft.functions.CentroidArgmax
         .argmax(col(embCol), cids, cents)
       return df.withColumn("__b", am)
@@ -81,40 +103,22 @@ object Similarity {
     // norms once per vector/centroid, not once per candidate pair —
     // bitwise-identical cosine (see Vectors.cosineWithNorms), 3x
     // fewer dot products in the N×K candidate stage
-    val joined = df.withColumn("__na", Vectors.norm(col(embCol)))
+    val winners = df.select(col(idCol), col(embCol))
+      .withColumn("__na", Vectors.norm(col(embCol)))
       .crossJoin(
-        broadcast(centroids.select(col(cIdCol).as("centroid_id"),
+        broadcast(centroids.select(col(cIdCol).cast("long").as("centroid_id"),
           col(cEmbCol).as("__cemb"),
           Vectors.norm(col(cEmbCol)).as("__cn"))))
       .withColumn("centroid_cos", Vectors.cosineWithNorms(
         col(embCol), col("__cemb"), col("__na"), col("__cn")))
-    val payload = df.columns.filter(_ != idCol)
-    val orderable = df.schema.fields
-      .filter(f => payload.contains(f.name))
-      .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .isOrderable(f.dataType))
-    if (orderable) {
-      val packed = struct(
-        col("centroid_cos").as("centroid_cos") +:
-          (-col("centroid_id")).as("__ncid") +:
-          payload.map(c => col(c).as(c)): _*)
-      joined.groupBy(col(idCol)).agg(max(packed).as("__b"))
-        .select(
-          col(idCol) +:
-            payload.map(c => col(s"__b.$c").as(c)) :+
-            (-col("__b.__ncid")).as("centroid_id") :+
-            col("__b.centroid_cos").as("centroid_cos"): _*)
-    } else {
-      val winners = joined
-        .groupBy(col(idCol))
-        .agg(max(struct(col("centroid_cos").as("centroid_cos"),
-          (-col("centroid_id")).as("__ncid"))).as("__b"))
-        .select(col(idCol), (-col("__b.__ncid")).as("centroid_id"),
-          col("__b.centroid_cos").as("centroid_cos"))
-      df.join(winners, idCol)
-        .select(col(idCol) +: payload.map(col) :+
-          col("centroid_id") :+ col("centroid_cos"): _*)
-    }
+      .groupBy(col(idCol))
+      .agg(max(struct(col("centroid_cos").as("centroid_cos"),
+        (-col("centroid_id")).as("__ncid"))).as("__b"))
+      .select(col(idCol), (-col("__b.__ncid")).as("centroid_id"),
+        col("__b.centroid_cos").as("centroid_cos"))
+    df.join(winners, idCol)
+      .select(col(idCol) +: payload.map(col) :+
+        col("centroid_id") :+ col("centroid_cos"): _*)
   }
 
   /** Embedding-cosine near-duplicate pairs, IVF-blocked: vectors are

@@ -138,9 +138,7 @@ object Curation30Q {
     // vote by the packed argmax.
     "m34_knn_clf" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val k = Q.ivfK(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val cents = Q.ivfCentroids(s, dir)
       val knn = graft.operators.Similarity.knnJoin(
         e, "vec_id", "embedding", cents, "cid", "cemb", 3)
       val lbls = e.select(col("vec_id"), col("label").cast("long")

@@ -35,9 +35,7 @@ object Curation34Q {
     // per-query windows over ≤10 rows — no global window.
     "m37_retrieval_eval" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val k = Q.ivfK(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val cents = Q.ivfCentroids(s, dir)
       val knn = graft.operators.Similarity.knnJoin(
         e, "vec_id", "embedding", cents, "cid", "cemb", 10)
       val lbls = e.select(col("vec_id"), col("label").cast("long")

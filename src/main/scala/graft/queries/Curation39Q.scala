@@ -93,9 +93,7 @@ object Curation39Q {
     // windows are per-query (the v_mips_topk shape).
     "s_two_stage" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val k = Q.ivfK(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val cents = Q.ivfCentroids(s, dir)
       val asg = graft.operators.Similarity.ivfAssign(
         e, "vec_id", "embedding", cents, "cid", "cemb")
         .select(col("centroid_id"), col("vec_id"), col("embedding"))

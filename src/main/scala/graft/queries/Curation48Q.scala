@@ -13,8 +13,8 @@ import Q._
   */
 object Curation48Q {
 
-  private def scratchDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // one reused per-prefix dir per JVM, deleted on exit (see Q.scratchDir)
+  private def scratchDir(prefix: String): String = Q.scratchDir(prefix)
 
   val queries: Map[String, QueryFn] = Map(
 

@@ -625,9 +625,10 @@ object LlmQ {
       // 10x step and for THIS family at the round-7 100x step
       // (d_embclusters: 2.16 decade exponent, 1103 s at sf10).
       val e = embeddings(s, dir)
-      val k = Q.ivfK(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      // memoized LOCAL codebook (Q.ivfCentroids): same rows as
+      // filter(vec_id < ivfK), collected once per dir — repeated plan
+      // builds stop re-scanning the source for the probe-collect
+      val cents = Q.ivfCentroids(s, dir)
       Similarity.embeddingNearDup(e, "vec_id", "embedding", cents,
           "cid", "cemb", threshold = 0.35)
         .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cos"))
@@ -643,9 +644,7 @@ object LlmQ {
       val e = embeddings(s, dir)
       // K = max(8, √N) density rule — see d_embdup; fixed K=8 was a
       // (N/8)² pair bomb, 2.16 decade exponent at the sf10 step
-      val k = Q.ivfK(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val cents = Q.ivfCentroids(s, dir)
       val pairs = Similarity.embeddingNearDup(e, "vec_id", "embedding",
           cents, "cid", "cemb", threshold = 0.35)
         .select(col("vec_a").as("a"), col("vec_b").as("b"))
@@ -673,9 +672,7 @@ object LlmQ {
     // join at N^1.5 — the standard IVF scaling.
     "s_knn_join" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val k = Q.ivfK(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val cents = Q.ivfCentroids(s, dir)
       Similarity.knnJoin(e, "vec_id", "embedding", cents, "cid", "cemb", 3)
     }),
 
@@ -692,8 +689,7 @@ object LlmQ {
 
     "s_ivf_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val cents = Q.ivfCentroids(s, dir, 8)
       Similarity.ivfTopK(e, "vec_id", "embedding", cents, "cid", "cemb",
           queryVec(s, dir), k = 10, nprobe = 2)
         .select(col("vec_id"), r6(col("cos")).as("cos"))
@@ -708,8 +704,7 @@ object LlmQ {
     // intersection count inherits their stability.
     "s_ivf_recall" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val cents = Q.ivfCentroids(s, dir, 8)
       val q = queryVec(s, dir)
       val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
         .select("vec_id")
