@@ -14,8 +14,8 @@ import Q._
   */
 object Curation44Q {
 
-  private def scratchDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // one reused per-prefix dir per JVM, deleted on exit (see Q.scratchDir)
+  private def scratchDir(prefix: String): String = Q.scratchDir(prefix)
 
   val queries: Map[String, QueryFn] = Map(
 
@@ -67,39 +67,12 @@ object Curation44Q {
         .filter(col("to_type").isNotNull)
         .groupBy(col("event_type").as("f"), col("to_type").as("g"))
         .agg(count(lit(1)).as("n"))
-      val cells = t.collect()
-      val states = cells.flatMap(r => Seq(r.getString(0), r.getString(1)))
-        .distinct.sorted
-      val idx = states.zipWithIndex.toMap
-      val kk = states.length
-      val c = Array.ofDim[Double](kk, kk)
-      cells.foreach(r =>
-        c(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2).toDouble)
-      val rs = Array.tabulate(kk)(i => c(i).sum)
-      var p = Array.tabulate(kk)(i => if (i == 0) 1.0 else 0.0)
-      for (_ <- 1 to 20) {
-        val nxt = Array.fill(kk)(0.0)
-        var j = 0
-        while (j < kk) {
-          var acc = 0.0
-          var i = 0
-          while (i < kk) {
-            // rows with no outgoing mass hold the chain in place —
-            // the same self-loop completion the oracle applies
-            val term =
-              if (rs(i) > 0) p(i) * c(i)(j) / rs(i)
-              else if (i == j) p(i)
-              else 0.0
-            acc += term
-            i += 1
-          }
-          nxt(j) = acc
-          j += 1
-        }
-        p = nxt
-      }
+      // shared pinned fold — graft.operators.MarkovChain (a95 reads
+      // the same matrix; one implementation, one fold order)
+      val tr = graft.operators.MarkovChain.fromCounts(t)
+      val p = graft.operators.MarkovChain.stationary(tr, 20)
       import s.implicits._
-      states.zipWithIndex.map { case (st, i) => (st, p(i), 20L) }
+      tr.states.zipWithIndex.map { case (st, i) => (st, p(i), 20L) }
         .toSeq.toDF("state", "pi", "n_iter")
     }),
 

@@ -118,35 +118,13 @@ object Curation50Q {
         .filter(col("to_type").isNotNull)
         .groupBy(col("event_type").as("f"), col("to_type").as("g"))
         .agg(count(lit(1)).as("n"))
-      val cells = t.collect()
-      val states = cells.flatMap(r => Seq(r.getString(0), r.getString(1)))
-        .distinct.sorted
-      val idx = states.zipWithIndex.toMap
-      val kk = states.length
-      val c = Array.ofDim[Double](kk, kk)
-      cells.foreach(r =>
-        c(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2).toDouble)
-      val rs = Array.tabulate(kk)(i => c(i).sum)
-      var p = Array.tabulate(kk)(i => if (i == 0) 1.0 else 0.0)
-      for (_ <- 1 to 20) {
-        val nxt = Array.fill(kk)(0.0)
-        var j = 0
-        while (j < kk) {
-          var acc = 0.0
-          var i = 0
-          while (i < kk) {
-            val term =
-              if (rs(i) > 0) p(i) * c(i)(j) / rs(i)
-              else if (i == j) p(i)
-              else 0.0
-            acc += term
-            i += 1
-          }
-          nxt(j) = acc
-          j += 1
-        }
-        p = nxt
-      }
+      // shared pinned power fold — graft.operators.MarkovChain (the
+      // w68 matrix + iteration, one implementation for both queries)
+      val tr = graft.operators.MarkovChain.fromCounts(t)
+      val kk = tr.k
+      val c = tr.counts
+      val rs = tr.rowSums
+      val p = graft.operators.MarkovChain.stationary(tr, 20)
       var h = 0.0
       var i = 0
       while (i < kk) {
@@ -163,7 +141,7 @@ object Curation50Q {
         i += 1
       }
       import s.implicits._
-      Seq((states.length.toLong, -h, 20L))
+      Seq((tr.states.length.toLong, -h, 20L))
         .toDF("n_states", "entropy_rate_nats", "n_iter")
     }))
 
