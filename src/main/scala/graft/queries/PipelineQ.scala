@@ -217,22 +217,42 @@ object PipelineQ {
     }),
 
     // M8: frozen external scorer applied map-side over the tensors.
+    // Stand-in weights are nonzero ONLY on the two bitwise-PORTABLE
+    // struct members (dist_center idx 6: exact IEEE −·*·+·sqrt;
+    // progress idx 7: integer cumcount ratio) — the scorer still reads
+    // every feature of every step (the real plumbing), but the zeroed
+    // members contribute w·v = ±0.0, a bitwise no-op on the ~60/26
+    // running sums, so the output is independent of the hash-hostile
+    // scaled/imputed members (global mean/std and group-mean imputes
+    // carry cross-engine summation-order drift — the e2 digest rule)
+    // and the oracle can replay the exact fold: bias, then p
+    // ascending, dist_center before progress within each step.
     "m8_scorer" -> ((s, dir) => {
       val seqs = SequenceFeaturePipeline.build(cappedFrames(s, dir))
       val nF = SequenceFeaturePipeline.SeqFeatures.length
       val m = graft.ml.SequenceScorer.LinearSeqModel(
         window = 8, features = SequenceFeaturePipeline.SeqFeatures,
-        weightsX = Array.tabulate(8 * nF)(i => 0.01 * (i % 7)),
-        weightsY = Array.tabulate(8 * nF)(i => -0.01 * (i % 5)),
+        weightsX = Array.tabulate(8 * nF)(i =>
+          if (i % nF >= 6) 0.01 * (i % 7) else 0.0),
+        weightsY = Array.tabulate(8 * nF)(i =>
+          if (i % nF >= 6) -0.01 * (i % 5) else 0.0),
         biasX = 60.0, biasY = 26.65)
       graft.ml.SequenceScorer.score(seqs, "seq", m)
-        .select("game_id", "play_id", "nfl_id", "nn_x", "nn_y")
+        .select(col("game_id"), col("play_id"), col("nfl_id"),
+          r6(col("nn_x")).as("nn_x"), r6(col("nn_y")).as("nn_y"))
     }))
 
-  /** MLlib fits (m2/m5/e1_tree/s5/m8_scorer) are not SQL-expressible —
+  /** MLlib fits (m2/m5/e1_tree/s5) are not SQL-expressible —
     * rows-only. e2's digest IS expressible: the trailing-8 window and
     * its fold mirror m8_seqbuild's list_reduce form (same fold order
-    * guarantees bitwise-identical sums). */
+    * guarantees bitwise-identical sums). m8_scorer joined the oracled
+    * set in round 9: the frozen LinearSeqModel is deterministic and
+    * its nonzero weights touch only bitwise-portable members, so the
+    * oracle replays the exact weighted fold over the e2 CTE's lists
+    * (generate_series + list_transform keeps p ascending, the
+    * [dist_center, progress] pair order inside each step, and
+    * list_prepend(bias) the left fold — all ::DOUBLE-pinned, trap 8's
+    * scalar-lambda rule). */
   val oracle: Map[String, String] = Map(
     // The gate's CONTENT is the assertion itself: the oracle pins the
     // one seed-stable outcome (model beats physics) as a constant row.
@@ -303,5 +323,39 @@ object PipelineQ {
          | round(pr_seq[-1], 6) AS last_progress,
          | round(list_reduce(list_prepend(0.0, pr_seq), (a, x) -> a + x), 6) AS progress_sum,
          | round(list_reduce(list_prepend(0.0, dc_seq), (a, x) -> a + x), 6) AS dist_center_sum
+         |FROM d WHERE rn = n""".stripMargin,
+
+    // The scorer fold, replayed exactly: wi = (p−1 + 8 − len)·8 + f
+    // (right-aligned window, nF = 8 features), weight = ±0.01·(wi % k)
+    // for f ∈ {6: dist_center, 7: progress} — the only nonzero slots —
+    // accumulated bias-first, p ascending, dist_center before progress
+    // (the Scala loop's order; zero-weight members are ±0.0 no-ops).
+    "m8_scorer" ->
+      s"""WITH ${TrackingQ.FramesSql},
+         |f AS (SELECT game_id, play_id, nfl_id, frame_id,
+         |  sqrt((x - 60.0) * (x - 60.0) + (y - 26.65) * (y - 26.65)) AS dist_center,
+         |  CAST(row_number() OVER w - 1 AS DOUBLE) /
+         |    greatest(count(*) OVER (PARTITION BY game_id, play_id, nfl_id) - 1, 1) AS progress,
+         |  row_number() OVER w AS rn,
+         |  count(*) OVER (PARTITION BY game_id, play_id, nfl_id) AS n
+         | FROM frames WHERE game_id < 40
+         | WINDOW w AS (PARTITION BY game_id, play_id, nfl_id ORDER BY frame_id)),
+         |d AS (SELECT game_id, play_id, nfl_id, rn, n,
+         |  list(dist_center) OVER wr AS dc_seq,
+         |  list(progress) OVER wr AS pr_seq
+         | FROM f
+         | WINDOW wr AS (PARTITION BY game_id, play_id, nfl_id ORDER BY frame_id
+         |   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT game_id, play_id, nfl_id,
+         | round(list_reduce(list_prepend(60.0::DOUBLE, flatten(
+         |  list_transform(generate_series(1, len(dc_seq)), p ->
+         |   [(0.01::DOUBLE * (((p - 1 + 8 - len(dc_seq)) * 8 + 6) % 7)) * dc_seq[p],
+         |    (0.01::DOUBLE * (((p - 1 + 8 - len(dc_seq)) * 8 + 7) % 7)) * pr_seq[p]]))),
+         |  (a, x) -> a + x), 6) AS nn_x,
+         | round(list_reduce(list_prepend(26.65::DOUBLE, flatten(
+         |  list_transform(generate_series(1, len(dc_seq)), p ->
+         |   [(-0.01::DOUBLE * (((p - 1 + 8 - len(dc_seq)) * 8 + 6) % 5)) * dc_seq[p],
+         |    (-0.01::DOUBLE * (((p - 1 + 8 - len(dc_seq)) * 8 + 7) % 5)) * pr_seq[p]]))),
+         |  (a, x) -> a + x), 6) AS nn_y
          |FROM d WHERE rn = n""".stripMargin)
 }
