@@ -29,22 +29,42 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     var errors = List.empty[(String, String)]
+    // Iterative fixed-point queries (wall = rounds x exchange +
+    // per-round scheduling): a single cold run carries up to 2.4x
+    // scheduler/GC noise on these (g12_randomwalk timed 16.7 s vs its
+    // 7.1 s repeat-min in round 8), which one-shot driver artifacts
+    // then inherit as a phantom regression. They alone are timed as
+    // the MIN OF 2 runs; the bounded set keeps the sweep's total cost
+    // growth to a few percent.
+    val iterativeReruns = Set("g_pagerank", "g10_ppr", "g11_labelprop",
+      "g12_randomwalk", "g16_ktruss", "g3_bfs", "g4_sssp", "g5_kcore",
+      "d_components", "d_embclusters", "g19_bipartite")
     // Optional dev filter: `runMain graft.Bench q1 q2` times a subset.
     val only = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+      def once(): Double = {
+        val t0 = System.nanoTime()
         // toRdd.count(), not count(): a count() aggregate lets the
         // optimizer PRUNE expensive output columns, so queries whose
         // cost lives in the projection would be timed as no-ops.
         // toRdd keeps the full output schema and forces every column.
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        try { fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          errors ::= (name -> e.getClass.getSimpleName); false
+          errors ::= (name -> e.getClass.getSimpleName); -1.0
         }
-      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val first = once()
+      val t =
+        if (first >= 0 && iterativeReruns.contains(name)) {
+          // clear interior caches between runs so run 2 re-does the
+          // same work (not a cache readback)
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          val second = once()
+          if (second >= 0) math.min(first, second) else first
+        } else first
       // Isolation: a query's interior .cache() blocks (gram tables,
       // IVF assignments) are ITS OWN cost, timed above — but left
       // cached they squeeze every later query's execution memory
