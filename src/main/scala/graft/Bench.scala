@@ -44,27 +44,27 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val results = selected.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, String) = {
         val t0 = System.nanoTime()
         // toRdd.count(), not count(): a count() aggregate lets the
         // optimizer PRUNE expensive output columns, so queries whose
         // cost lives in the projection would be timed as no-ops.
         // toRdd keeps the full output schema and forces every column.
         try { fn(spark, sfDir).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          errors ::= (name -> e.getClass.getSimpleName); -1.0
-        }
+          ((System.nanoTime() - t0) / 1e9, null) }
+        catch { case e: Throwable => (-1.0, e.getClass.getSimpleName) }
       }
-      val first = once()
+      val (first, err) = once()
       val t =
         if (first >= 0 && iterativeReruns.contains(name)) {
           // clear interior caches between runs so run 2 re-does the
-          // same work (not a cache readback)
+          // same work (not a cache readback); a failed RERUN keeps the
+          // successful first time and is not an error
           try spark.catalog.clearCache() catch { case _: Throwable => () }
-          val second = once()
+          val (second, _) = once()
           if (second >= 0) math.min(first, second) else first
         } else first
+      if (t < 0) errors ::= (name -> err)
       // Isolation: a query's interior .cache() blocks (gram tables,
       // IVF assignments) are ITS OWN cost, timed above — but left
       // cached they squeeze every later query's execution memory

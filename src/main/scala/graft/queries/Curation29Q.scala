@@ -48,15 +48,37 @@ object Curation29Q {
        | UNION ALL SELECT b, a FROM pairs)""".stripMargin
 
   /** 3 synchronous LPA rounds over a symmetric edge list `sym`
-    * (a, b); returns (node, lbl). Shared with g13_modularity. */
+    * (a, b); returns (node, lbl). Shared with g13_modularity.
+    *
+    * Callers cache `sym` REPARTITIONED BY b (see g11): the per-round
+    * edge–label join then reuses the cached hash(b) layout, so the
+    * ~|E| edge side never re-exchanges, and the SHUFFLE_HASH hint on
+    * the label side (|V| rows, the small side by the |E|/|V| edge
+    * ratio) replaces the sort-merge join that re-SORTED all edges
+    * every round — the sort was both ~half the round's wall and the
+    * memory spike at the 100x step (run-2 OOM, round 9). Per round:
+    * one |V| label shuffle + one (node,lbl) count exchange with
+    * map-side combine — the Pregel minimum. */
   private[queries] def lpa3(sym: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    var lbl = sym.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to 3) {
-      lbl = sym.join(lbl.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("lbl"))
-        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+    // Round 1 specialization: initial labels are the node ids and
+    // `sym` is a distinct edge SET, so every neighbor label occurs
+    // exactly once — the most-frequent-then-smallest rule degenerates
+    // to "smallest neighbor id". One keyed min over the edges, no
+    // join, no count exchange; identical to the generic round by the
+    // packed order (all c = 1 → max picks Pack−1−lbl max = lbl min).
+    var lbl = sym.groupBy(col("a").as("node")).agg(min(col("b")).as("lbl"))
+    for (_ <- 2 to 3) {
+      // the (node, lbl) message rides the count exchange PACKED into
+      // one 62-bit long (both are node ids < 2^31, the WalkB id
+      // contract above) — one 8-byte key instead of two, ~1/3 fewer
+      // shuffle bytes on the round's dominant exchange
+      lbl = sym.join(lbl.withColumnRenamed("node", "b").hint("SHUFFLE_HASH"),
+          "b")
+        .select((col("a") * WalkB + col("lbl")).as("nl"))
+        .groupBy("nl").agg(count(lit(1)).as("c"))
+        .select(shiftright(col("nl"), 31).as("node"),
+          col("nl").bitwiseAND(lit(WalkB - 1)).as("lbl"), col("c"))
         .groupBy("node")
         .agg(max(col("c") * Pack + (lit(Pack - 1) - col("lbl"))).as("pk"))
         .select(col("node"),
@@ -78,8 +100,14 @@ object Curation29Q {
     // scale.) Pregel shape: per round one edge-label shuffle join +
     // two keyed aggs; no all-pairs anywhere.
     "g11_labelprop" -> ((s, dir) => {
-      val sym = symEdges(s, dir).cache()
-      val lbl = lpa3(sym)
+      // cache the edges ALREADY hash-partitioned on the join key: all
+      // 3 rounds (and the size join) reuse the layout — the |E| side
+      // exchanges once total, not once per round
+      val sym = symEdges(s, dir).repartition(col("b")).cache()
+      // cached: the size aggregation AND the final join both read the
+      // 3-round result — uncached, the whole fixed-point chain ran
+      // TWICE (no cross-join-side subtree reuse; the g13 precedent)
+      val lbl = lpa3(sym).cache()
       val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
       lbl.join(sizes, "lbl")
         .select(col("node"), col("lbl").as("community"),

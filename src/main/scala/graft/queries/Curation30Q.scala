@@ -51,7 +51,8 @@ object Curation30Q {
     // one broadcast-joinable label lookup per edge endpoint and two
     // keyed aggs — no all-pairs, no window.
     "g13_modularity" -> ((s, dir) => {
-      val sym = Curation29Q.symEdges(s, dir).cache()
+      // hash(b) layout at cache time — same reuse as g11 (see lpa3)
+      val sym = Curation29Q.symEdges(s, dir).repartition(col("b")).cache()
       val lbl = Curation29Q.lpa3(sym).cache()
       // m: scalar graph-size PARAMETER (like s_knn_join's N) — sym
       // counts each undirected edge twice.

@@ -103,17 +103,31 @@ object Curation6Q {
     "m26_fpgrowth" -> ((s, dir) => {
       import org.apache.spark.ml.fpm.FPGrowth
       // collect_set dedups inside the aggregate — one exchange where
-      // distinct + collect_list would pay two
+      // distinct + collect_list would pay two. Items travel as INT
+      // brand codes ("Brand#MN" → MN, always two digits), not
+      // strings: the basket exchange and FP-Growth's conditional-
+      // transaction shuffle (each ~|lineitem| rows at scale) carry
+      // 4-byte codes instead of 8-char strings, and the decode back
+      // to brand strings happens on the two-digit codes — numeric
+      // order == lexicographic order, so the sorted "a|b" itemset
+      // keys are byte-identical to the string-item form.
+      // cached: FPGrowth.fit reads its input TWICE (frequent-item
+      // count pass, then conditional-transaction generation) and does
+      // not persist it — uncached, the 60M-row join + basket exchange
+      // ran twice (same contract as Dedup's gram-table cache)
       val baskets = lineitem(s, dir)
-        .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
+        .join(part(s, dir).select(col("p_partkey"),
+          substring(col("p_brand"), 7, 2).cast("int").as("bcode")),
           col("l_partkey") === col("p_partkey"))
         .groupBy("l_orderkey")
-        .agg(collect_set(col("p_brand")).as("items"))
+        .agg(collect_set(col("bcode")).as("items"))
+        .cache()
       val model = new FPGrowth().setItemsCol("items")
         .setMinSupport(0.05).setMinConfidence(0.5).fit(baskets)
       model.freqItemsets
         .filter(size(col("items")) <= 2)
-        .select(array_join(sort_array(col("items")), "|").as("itemset"),
+        .select(array_join(transform(sort_array(col("items")),
+          c => concat(lit("Brand#"), c.cast("string"))), "|").as("itemset"),
           col("freq"))
     }))
 
