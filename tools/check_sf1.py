@@ -81,7 +81,7 @@ def main():
     # scratch — slower than a SQL probe, still bounded; give them a
     # floor so the default 120 s SQL budget doesn't clip them
     py_names = {"d_neardup", "d_components", "d_embclusters", "c_corpus",
-                "g16_ktruss"}
+                "g16_ktruss", "s_knn_join", "m34_knn_clf"}
     for name in names:
         try:
             r = subprocess.run(

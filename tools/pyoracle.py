@@ -322,12 +322,99 @@ def g16_ktruss(sf_dir):
     return pd.DataFrame({"a": a, "b": b, "support": sup}).astype("int64")
 
 
+def _load_emb(sf_dir):
+    import duckdb
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id").df()
+    ids = df.vec_id.to_numpy().astype(np.int64)
+    E = np.stack([np.asarray(e, dtype=np.float64) for e in df.embedding])
+    labels = df.label.to_numpy().astype(np.int64)
+    return ids, E, labels
+
+
+def _ivf_assign(ids, E):
+    """Nearest-centroid ids under the IVF density rule K = max(8, ⌊√N⌋)
+    — the same strict-> ascending-cid scan as CentroidArgmax (ties to
+    the LOWER cid), cosines via the sequential dim fold."""
+    norms = np.sqrt(_seq_dot(E, E))
+    k = max(8, int(np.floor(np.sqrt(float(len(ids))))))
+    cent_rows = np.flatnonzero(ids < k)
+    best_cos = np.full(len(ids), -np.inf)
+    best_cid = np.zeros(len(ids), dtype=np.int64)
+    for row, cid in sorted(zip(cent_rows, ids[cent_rows]),
+                           key=lambda x: x[1]):
+        c, nc = E[row], norms[row]
+        dot = _seq_dot(E, np.broadcast_to(c, E.shape))
+        denom = norms * nc
+        cos = np.where(denom > 0.0, dot / np.where(denom == 0, 1, denom), 0.0)
+        take = cos > best_cos
+        best_cos[take] = cos[take]
+        best_cid[take] = cid
+    return best_cid, norms
+
+
+def _knn3(sf_dir, k_nb):
+    """IVF-blocked KNN join rows (vec_id, nb_id, cos6, rnk) — mirrors
+    Similarity.knnJoin: within-cluster pairs, 6-dp HALF_UP-rounded
+    cosine, rank by (cos desc, nb_id), top k_nb. The per-cluster cosine
+    matrix accumulates dim-by-dim (outer-product adds in dim order), so
+    every pair's sum is the same left fold as Vectors.dot — bitwise."""
+    ids, E, labels = _load_emb(sf_dir)
+    cid, norms = _ivf_assign(ids, E)
+    rows = []
+    for c in np.unique(cid):
+        m = np.flatnonzero(cid == c)
+        if len(m) < 2:
+            continue
+        Em = E[m]
+        C = np.zeros((len(m), len(m)), dtype=np.float64)
+        for d in range(Em.shape[1]):
+            C += Em[:, d][:, None] * Em[:, d][None, :]
+        denom = norms[m][:, None] * norms[m][None, :]
+        cos = np.where(denom > 0.0, C / np.where(denom == 0, 1, denom), 0.0)
+        for i in range(len(m)):
+            cands = [( -_round6(cos[i, j]), int(ids[m[j]]))
+                     for j in range(len(m)) if j != i]
+            cands.sort()
+            for r, (negc, nb) in enumerate(cands[:k_nb], start=1):
+                rows.append((int(ids[m[i]]), nb, -negc, r))
+    return rows, ids, labels
+
+
+def s_knn_join(sf_dir):
+    rows, _, _ = _knn3(sf_dir, 3)
+    return pd.DataFrame(rows, columns=["vec_id", "nb_id", "cos", "rnk"]) \
+        .astype({"vec_id": "int64", "nb_id": "int64", "cos": "float64",
+                 "rnk": "int64"})
+
+
+def m34_knn_clf(sf_dir):
+    rows, ids, labels = _knn3(sf_dir, 3)
+    lab = {int(i): int(l) for i, l in zip(ids, labels)}
+    votes = {}
+    for v, nb, _, _ in rows:
+        votes.setdefault(v, {})
+        nl = lab[nb]
+        votes[v][nl] = votes[v].get(nl, 0) + 1
+    out = []
+    for v, cnt in sorted(votes.items()):
+        # majority: count desc, then smallest label (the packed argmax)
+        pred = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((v, lab[v], pred, 1 if lab[v] == pred else 0))
+    return pd.DataFrame(out,
+                        columns=["vec_id", "label", "pred_label",
+                                 "correct"]).astype("int64")
+
+
 ORACLES = {
     "d_neardup": d_neardup,
     "d_components": d_components,
     "d_embclusters": d_embclusters,
     "c_corpus": c_corpus,
     "g16_ktruss": g16_ktruss,
+    "s_knn_join": s_knn_join,
+    "m34_knn_clf": m34_knn_clf,
 }
 
 
