@@ -96,9 +96,18 @@ class PlanGuardSpec extends SparkSpec {
     // one-row aggregates broadcast into the final single-row compute
     "a84_kruskal_wallis", "a87_friedman", "a88_wasserstein",
     "a89_cochran_q",
+    // m49: the 1-row OLS scalar frame (slope/intercept/s²) broadcasts
+    // into the per-row influence map
+    "m49_cooks",
+    // g20: the 11-row literal k-ladder joins the bounded degree
+    // histograms on an inequality — broadcast of a constant frame
+    "g20_richclub",
     // a91: the (n, sx) scalar totals and num0 one-row frames
     // broadcast into the bounded 24-lag compute
     "a91_ljungbox",
+    // a100/a101: the 1-row mean-anchor / median / totals frames
+    // broadcast into the row-scale moment pass and the 3-row table
+    "a100_jarque_bera", "a101_mood_median",
     // a92: the one-row (n) total crossJoins into the hour lattice;
     // m44: the 5-row marginal frames crossJoin into the 25-cell
     // expected-agreement sum — all bounded parameter frames
