@@ -108,6 +108,9 @@ class PlanGuardSpec extends SparkSpec {
     // a100/a101: the 1-row mean-anchor / median / totals frames
     // broadcast into the row-scale moment pass and the 3-row table
     "a100_jarque_bera", "a101_mood_median",
+    // m51: the 1-row nvec/ssw scalar frames broadcast into the
+    // 64-row per-dim moment combine
+    "m51_calinski",
     // a92: the one-row (n) total crossJoins into the hour lattice;
     // m44: the 5-row marginal frames crossJoin into the 25-cell
     // expected-agreement sum — all bounded parameter frames
