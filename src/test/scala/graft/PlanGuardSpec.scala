@@ -111,6 +111,9 @@ class PlanGuardSpec extends SparkSpec {
     // m51: the 1-row nvec/ssw scalar frames broadcast into the
     // 64-row per-dim moment combine
     "m51_calinski",
+    // a102/a103: 1-row adjacent-pair aggregates broadcast into the
+    // 1-row denominator combine
+    "a102_chatterjee_xi", "a103_bartels_rvn",
     // a92: the one-row (n) total crossJoins into the hour lattice;
     // m44: the 5-row marginal frames crossJoin into the 25-cell
     // expected-agreement sum — all bounded parameter frames
