@@ -114,6 +114,10 @@ class PlanGuardSpec extends SparkSpec {
     // a102/a103: 1-row adjacent-pair aggregates broadcast into the
     // 1-row denominator combine
     "a102_chatterjee_xi", "a103_bartels_rvn",
+    // g21: the per-round 1-row max-renormalizer broadcasts into the
+    // node-score frame; w71: the 1-row global-moment frame broadcasts
+    // into the per-day subgroup table
+    "g21_eigencentrality", "w71_xbar_chart",
     // a92: the one-row (n) total crossJoins into the hour lattice;
     // m44: the 5-row marginal frames crossJoin into the 25-cell
     // expected-agreement sum — all bounded parameter frames
