@@ -118,6 +118,10 @@ class PlanGuardSpec extends SparkSpec {
     // node-score frame; w71: the 1-row global-moment frame broadcasts
     // into the per-day subgroup table
     "g21_eigencentrality", "w71_xbar_chart",
+    // a105: the 1-row k / n_blocks scalar frames broadcast into the
+    // completeness filter and the final single-row compute (the a87
+    // Friedman shape)
+    "a105_page_trend",
     // a92: the one-row (n) total crossJoins into the hour lattice;
     // m44: the 5-row marginal frames crossJoin into the 25-cell
     // expected-agreement sum — all bounded parameter frames
