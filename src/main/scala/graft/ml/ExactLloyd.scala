@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact (engine-portable, hash-checkable) Lloyd k-means on the
@@ -57,6 +57,53 @@ object ExactLloyd {
       cents = cents.join(upd, Seq("cid", "dim"), "left")
         .select(col("cid"), col("dim"),
           coalesce(col("cq2"), col("cq")).as("cq"))
+    }
+    cents
+  }
+
+  /** Fused literal-codebook nearest-centroid struct
+    * (cid, a2 = own d2, b2 = best-other d2) — the codegen'd
+    * [[graft.functions.LatticeArgmin]] over a (vec_id, q: array<long>)
+    * frame. Bit-identical winner order to [[assign]]'s packed min.
+    * Higher-order-function formulations (zip_with/aggregate) are NOT
+    * an alternative: their lambdas evaluate interpreted per element
+    * and profiled as the entire wall at the 100× step. */
+  def argminLit(q: Column, cents: Array[Array[Long]]): Column =
+    graft.functions.LatticeArgmin.argmin(q, cents)
+
+  /** [[centroids]] on the literal path: each round is ONE scan of the
+    * (vec_id, q-array) frame (assignment via [[argminLit]],
+    * update via posexplode→groupBy(cid, dim)) plus a ≤ k·dims-row
+    * driver collect (cluster metadata, the DistRank-offsets class);
+    * the shifted-floor rounding runs in Scala with the identical
+    * integer formula, so every round's centroids are bit-identical
+    * to [[centroids]]'s. Returns the k centroid lattice vectors. */
+  def centroidsLit(qarr: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] = {
+    val seedRows = qarr.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("q")).collect()
+    var cents: Array[Array[Long]] = Array.tabulate(k) { i =>
+      val r = seedRows.find(_.getLong(0) == i).get
+      r.getSeq[Long](1).toArray
+    }
+    val dims = cents(0).length
+    for (_ <- 1 to iters) {
+      val upd = qarr
+        .select(argminLit(col("q"), cents)("cid").as("cid"),
+          posexplode(col("q")).as(Seq("dim", "qv")))
+        .groupBy("cid", "dim")
+        .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      cents = Array.tabulate(k) { i =>
+        Array.tabulate(dims) { d =>
+          upd.get((i.toLong, d)) match {
+            case Some((sq, n)) => ((sq + Shift * n) * 2 + n) / (2 * n) - Shift
+            case None => cents(i)(d)
+          }
+        }
+      }
     }
     cents
   }

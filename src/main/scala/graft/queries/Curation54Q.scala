@@ -27,25 +27,30 @@ object Curation54Q {
 
   private val K = 8
 
-  /** (comps, cents, perVecCid) for the shared exact-Lloyd fit:
-    * comps = (vec_id, dim, q) milli-lattice, cents = (cid, dim, cq),
-    * asn = (vec_id, cid). */
-  private def fit(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val comps = embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        round(col("x").cast("double") * 1000).cast("long").as("q"))
+  /** (qarr, cents) for the shared exact-Lloyd fit on the LITERAL
+    * path (ml.ExactLloyd.centroidsLit): qarr = (vec_id, q) lattice
+    * arrays, cents = the k driver-known centroid vectors — the fit's
+    * per-round state is ≤ k·dims rows of cluster metadata, so the
+    * post-fit passes become single codegen'd scans instead of
+    * N·k·dims explode-join shuffles (213 s → seconds for m50 at the
+    * 100× step; values bit-identical to the join path by
+    * construction: same integers, same packed argmin). */
+  private def fit(s: SparkSession, dir: String): (DataFrame, Array[Array[Long]]) = {
+    val qarr = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
       .cache()
-    val cents = graft.ml.ExactLloyd.centroids(comps, K, iters = 3)
-    val asn = graft.ml.ExactLloyd.assign(comps, cents, K)
-    (comps, cents, asn)
+    (qarr, graft.ml.ExactLloyd.centroidsLit(qarr, K, iters = 3))
   }
 
-  /** Per-(vec, centroid) exact squared lattice distance. */
-  private def allD2(comps: DataFrame, cents: DataFrame): DataFrame =
-    comps.join(broadcast(cents), "dim")
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+  /** One codegen'd scan: per-vector (cid, own d2, best-other d2)
+    * from the fused LatticeArgmin loop over the literal codebook. */
+  private def scanD2(qarr: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    qarr.select(col("vec_id"),
+        graft.ml.ExactLloyd.argminLit(col("q"), cents).as("am"))
+      .select(col("vec_id"), col("am")("cid").as("cid"),
+        col("am")("a2").as("a2"), col("am")("b2").as("b2"))
 
   val queries: Map[String, QueryFn] = Map(
 
@@ -55,25 +60,21 @@ object Curation54Q {
     // actually bleed into each other). σ and d are single sqrt's of
     // exact-integer ratios/values — bit-portable.
     "m50_davies_bouldin" -> ((s, dir) => {
-      val (comps, cents, asn) = fit(s, dir)
-      val own = comps.join(asn, "vec_id")
-        .join(broadcast(cents), Seq("cid", "dim"))
-        .groupBy("vec_id", "cid")
-        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
-      val stats = own.groupBy("cid").agg(
-        count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+      val (qarr, cents) = fit(s, dir)
+      val stats = scanD2(qarr, cents).groupBy("cid").agg(
+        count(lit(1)).as("n"), sum(col("a2")).as("sd2"))
         .select(col("cid"), col("n"),
           sqrt(col("sd2").cast("double") / col("n").cast("double"))
             .as("sigma"))
-      val cd = cents.select(col("cid").as("ci"), col("dim"),
-          col("cq").as("qi"))
-        .join(cents.select(col("cid").as("cj"), col("dim"),
-          col("cq").as("qj")), "dim")
-        .filter(col("ci") =!= col("cj"))
-        .groupBy("ci", "cj")
-        .agg(sum((col("qi") - col("qj")) * (col("qi") - col("qj")))
-          .as("cd2"))
-      val r = cd
+      // the k×k centroid distance table is driver metadata: exact
+      // integers from the literal codebook, ≤ 56 rows
+      import s.implicits._
+      val cd = (for (i <- cents.indices; j <- cents.indices if i != j)
+        yield (i.toLong, j.toLong,
+          cents(i).zip(cents(j))
+            .map { case (a, b) => (a - b) * (a - b) }.sum))
+        .toDF("ci", "cj", "cd2")
+      val r = broadcast(cd)
         .join(stats.select(col("cid").as("ci"), col("sigma").as("si")), "ci")
         .join(stats.select(col("cid").as("cj"), col("sigma").as("sj")), "cj")
         .groupBy(col("ci").as("cid"))
@@ -90,15 +91,14 @@ object Curation54Q {
     // numerator (N·Q_d brushes past 2⁶³); SSB = TSS − SSW and the
     // final ratio are the only IEEE steps.
     "m51_calinski" -> ((s, dir) => {
-      val (comps, cents, asn) = fit(s, dir)
-      val ssw = comps.join(asn, "vec_id")
-        .join(broadcast(cents), Seq("cid", "dim"))
-        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
-          .as("ssw"))
-      val nv = comps.agg(countDistinct(col("vec_id")).as("nvec"))
-      val tssNum = comps.groupBy("dim").agg(
-          sum(col("q")).as("sd"),
-          sum(col("q").cast("decimal(38,0)") * col("q")).as("qd"))
+      val (qarr, cents) = fit(s, dir)
+      val ssw = scanD2(qarr, cents).agg(sum(col("a2")).as("ssw"))
+      val nv = qarr.agg(countDistinct(col("vec_id")).as("nvec"))
+      val tssNum = qarr
+        .select(posexplode(col("q")).as(Seq("dim", "qv")))
+        .groupBy("dim").agg(
+          sum(col("qv")).as("sd"),
+          sum(col("qv").cast("decimal(38,0)") * col("qv")).as("qd"))
         .crossJoin(broadcast(nv))
         .agg(sum(col("qd") * col("nvec") -
           col("sd").cast("decimal(38,0)") * col("sd")).as("tss_num"),
@@ -119,14 +119,9 @@ object Curation54Q {
     // thresholds: strong s' > 1/2, weak 0 < s' ≤ 1/2, misplaced
     // s' ≤ 0. Pure BIGINT output (the rule-6 gate shape).
     "m52_silhouette" -> ((s, dir) => {
-      val (comps, cents, asn) = fit(s, dir)
-      val d2 = allD2(comps, cents)
-      val ab = d2.join(asn.withColumnRenamed("cid", "own"), "vec_id")
-        .groupBy("vec_id", "own")
-        .agg(
-          min(when(col("cid") === col("own"), col("d2"))).as("a2"),
-          min(when(col("cid") =!= col("own"), col("d2"))).as("b2"))
-      ab.groupBy(col("own").as("cid"))
+      val (qarr, cents) = fit(s, dir)
+      scanD2(qarr, cents).withColumnRenamed("cid", "own")
+        .groupBy(col("own").as("cid"))
         .agg(count(lit(1)).as("n"),
           sum(when((col("b2") - col("a2")) * 2 >
             greatest(col("a2"), col("b2")), 1L).otherwise(0L))

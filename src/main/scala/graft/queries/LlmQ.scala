@@ -727,15 +727,19 @@ object LlmQ {
     // MLlib seam (k-means|| at scale) stays available as
     // ml.IvfCentroids, quality-asserted in ScalaTest.
     "s_kmeans_ivf" -> ((s, dir) => {
-      val comps = embeddings(s, dir)
+      // literal-codebook path (round 9): the fit's per-round state is
+      // k·dims driver metadata, so assignment is one codegen'd scan —
+      // bit-identical to the explode-join path (same integers, same
+      // packed argmin), same generated-CTE oracle
+      val qarr = embeddings(s, dir)
         .select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("dim", "x")))
-        .select(col("vec_id"), col("dim").cast("long").as("dim"),
-          round(col("x").cast("double") * 1000).cast("long").as("q"))
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("q"))
         .cache()
-      val cents = graft.ml.ExactLloyd.centroids(comps, k = 8, iters = 3)
-      graft.ml.ExactLloyd.assign(comps, cents, 8)
-        .groupBy(col("cid").as("centroid_id"))
+      val cents = graft.ml.ExactLloyd.centroidsLit(qarr, 8, iters = 3)
+      qarr.select(graft.ml.ExactLloyd.argminLit(col("q"), cents)("cid")
+          .as("centroid_id"))
+        .groupBy("centroid_id")
         .agg(count(lit(1)).as("n_vecs"))
     }))
 
