@@ -244,7 +244,7 @@ object Curation42Q {
         |FROM (SELECT n, k,
         |  (12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * sr
         |    - 3.0 * (n::DOUBLE + 1.0)) /
-        |  (1.0 - tt::DOUBLE /
+        |  (1.0 - (tt::VARCHAR)::DOUBLE /
         |    (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) AS h
         | FROM f, t)""".stripMargin,
 

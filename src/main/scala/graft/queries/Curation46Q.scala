@@ -177,7 +177,7 @@ object Curation46Q {
         | FROM o),
         |den AS (SELECT sum((ra - rb) * (ra - rb) *
         |  nr::DECIMAL(38,0) * nc) AS swe FROM r, c)
-        |SELECT n, swo, swe::DOUBLE AS swe_d,
-        | 1.0 - (n::DECIMAL(38,0) * swo)::DOUBLE / swe::DOUBLE AS qwk
+        |SELECT n, swo, (swe::VARCHAR)::DOUBLE AS swe_d,
+        | 1.0 - ((n::DECIMAL(38,0) * swo)::VARCHAR)::DOUBLE / (swe::VARCHAR)::DOUBLE AS qwk
         |FROM n1, num, den""".stripMargin)
 }

@@ -122,7 +122,7 @@ object Curation51Q {
         |  sum(d::DECIMAL(38,0) * d) AS sdd
         | FROM d GROUP BY 1)
         |SELECT user_id, n,
-        | round((n::DOUBLE * sdd::DOUBLE) / num::DOUBLE, 6) AS dw
+        | round((n::DOUBLE * (sdd::VARCHAR)::DOUBLE) / (num::VARCHAR)::DOUBLE, 6) AS dw
         |FROM (SELECT *, scc * n - sc::DECIMAL(38,0) * sc AS num FROM g)
         |WHERE n >= 3 AND num > 0""".stripMargin)
 }
