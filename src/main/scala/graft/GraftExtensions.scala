@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, EwmAvg, LongArrayIntersectCount, NgramJaccard, NgramPolyHash}
+import graft.functions.{DotProduct, EwmAvg, JaroWinkler, LongArrayIntersectCount, NgramJaccard, NgramPolyHash}
 
 /** Spark extension entry point: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("ewm_avg", children, 2, 2)
         EwmAvg(children(0), litDouble(children(1), "alpha"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        arity("jaro_winkler", children, 2, 2)
+        JaroWinkler(children(0), children(1))
       }))
   }
 }
