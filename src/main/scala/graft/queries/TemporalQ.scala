@@ -1279,7 +1279,7 @@ object TemporalQ {
     * (unix_micros, NOT cast("long") which would yield epoch seconds
     * and collapse sub-second ordering to the id tiebreak) — the same
     * (micros, id) total order the batch oracle sorts by. */
-  private def obsStream(s: org.apache.spark.sql.SparkSession,
+  private[queries] def obsStream(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.Dataset[graft.streaming.Obs] = {
     import s.implicits._
     eventsStream(s, dir)

@@ -27,6 +27,8 @@ case class EmaState(ema: Double)
 case class RollState(recent: List[Double])
 case class CusumOut(key: String, ts: Long, id: Long, cents: Long, cusum: Long)
 case class CusumState(s: Long)
+case class KalmanOut(key: String, n: Long, kalman_x: Double, kalman_p: Double)
+case class KalmanState(x: Double, p: Double, n: Long)
 case class KeyStats(key: String, n: Long, max_value: Double)
 case class TopKOut(key: String, id: Long, value: Double, rnk: Int)
 case class TypedObs(key: String, typ: String, id: Long)
@@ -278,6 +280,41 @@ object StreamingTemporal {
           }
           state.update(CusumState(s))
           out.iterator
+      }
+  }
+
+  /** Streaming 1D Kalman level filter (the batch w75 recursion as an
+    * always-on estimator): x ← x + k·(z−x), p ← (1−k)·(p+q) with
+    * k = (p+q)/(p+q+r) per observation, O(1) doubles of state per
+    * key, continued across micro-batches. Emits the RUNNING
+    * (n, x, p) once per key per micro-batch — the online level
+    * estimate a monitoring pipeline reads; with the AvailableNow
+    * harness that is the final state, replayed exactly by the
+    * oracle's full-history left fold (same in-order-arrival
+    * assumption as [[emaStream]], divisions of deterministic doubles
+    * fold in the same (ts, id) order on both engines). */
+  def kalmanStream(ds: Dataset[Obs], q: Double, r: Double): Dataset[KalmanOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KalmanState, KalmanOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[KalmanState]) =>
+          val sorted = rows.toSeq.sortBy(r0 => (r0.ts, r0.id))
+          var st = state.getOption
+          sorted.foreach { r0 =>
+            val z = math.round(r0.value * 100).toDouble
+            st = Some(st.fold(KalmanState(z, r, 1L)) { s0 =>
+              val pp = s0.p + q
+              val k = pp / (pp + r)
+              KalmanState(s0.x + k * (z - s0.x), (1.0 - k) * pp, s0.n + 1L)
+            })
+          }
+          st match {
+            case Some(s0) =>
+              state.update(s0)
+              Iterator.single(KalmanOut(key, s0.n, s0.x, s0.p))
+            case None => Iterator.empty
+          }
       }
   }
 
