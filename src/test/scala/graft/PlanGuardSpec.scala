@@ -132,7 +132,17 @@ class PlanGuardSpec extends SparkSpec {
     // m46: cell-pair concordance — both sides of the crossJoin are
     // the bounded (day × event × riskband ≤ ~1300 rows) lattice;
     // a94: the one-row B total broadcasts into the final row
-    "m46_cindex", "a94_fleiss_kappa")
+    "m46_cindex", "a94_fleiss_kappa",
+    // batch 59-67 parameter frames: a107's two 1-row entropy frames;
+    // a108's inequality join of the bounded 5×4 contingency grid with
+    // itself; m54's cumulative self-join of the 10-row decile table;
+    // a113's 1-row day-bounds frame into the day-grain series; m57's
+    // 1-row good/bad totals; a111's 1-row theta/exact frames; j26's
+    // 1-row blocking-stats frame (the j19 shape); s_hard_negatives'
+    // ivfAssign centroid broadcast (the s_knn_join class)
+    "a107_theil_u", "a108_gk_gamma", "m54_qini", "a113_chow",
+    "m57_woe_iv", "a111_theta_sketch", "j26_jw_entity",
+    "s_hard_negatives")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
