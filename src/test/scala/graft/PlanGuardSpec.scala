@@ -142,7 +142,10 @@ class PlanGuardSpec extends SparkSpec {
     // ivfAssign centroid broadcast (the s_knn_join class)
     "a107_theil_u", "a108_gk_gamma", "m54_qini", "a113_chow",
     "m57_woe_iv", "a111_theta_sketch", "j26_jw_entity",
-    "s_hard_negatives")
+    "s_hard_negatives",
+    // a115: a108's inequality join of the bounded 5×4 grid with
+    // itself plus three 1-row margin frames
+    "a115_somers_d")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
