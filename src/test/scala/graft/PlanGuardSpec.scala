@@ -58,7 +58,12 @@ class PlanGuardSpec extends SparkSpec {
     "m43_conformal",
     // same parts=1 fast path: categorical label counts (m18) and the
     // distinct dimension-pair key frame (o12) — both aggregate-grain
-    "m18_stringindex", "o12_surrogate")
+    "m18_stringindex", "o12_surrogate",
+    // batch 70: the daily-revenue series is a bounded CALENDAR-SPAN
+    // lattice (the a60_kaplan_meier class) — its ordered windows
+    // (PACF lags, MACD recursions, Aroon frames) touch O(days) rows
+    // at any data scale
+    "w78_pacf", "w79_macd", "w80_aroon")
 
   /** Queries allowed to plan a BroadcastNestedLoopJoin: every entry
     * is an intentional crossJoin(broadcast(x)) of a scalar/parameter
@@ -145,7 +150,10 @@ class PlanGuardSpec extends SparkSpec {
     "s_hard_negatives",
     // a115: a108's inequality join of the bounded 5×4 grid with
     // itself plus three 1-row margin frames
-    "a115_somers_d")
+    "a115_somers_d",
+    // w78: the 1-row (n, total) frame broadcasts into the bounded
+    // day-lattice series (the a113_chow shape)
+    "w78_pacf")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
