@@ -63,7 +63,9 @@ class PlanGuardSpec extends SparkSpec {
     // lattice (the a60_kaplan_meier class) — its ordered windows
     // (PACF lags, MACD recursions, Aroon frames) touch O(days) rows
     // at any data scale
-    "w78_pacf", "w79_macd", "w80_aroon")
+    "w78_pacf", "w79_macd", "w80_aroon",
+    // batch 71: same bounded day-lattice series (OHLC grain)
+    "w81_atr", "w82_granger", "w83_stochastic")
 
   /** Queries allowed to plan a BroadcastNestedLoopJoin: every entry
     * is an intentional crossJoin(broadcast(x)) of a scalar/parameter
