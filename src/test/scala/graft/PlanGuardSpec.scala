@@ -155,7 +155,12 @@ class PlanGuardSpec extends SparkSpec {
     "a115_somers_d",
     // w78: the 1-row (n, total) frame broadcasts into the bounded
     // day-lattice series (the a113_chow shape)
-    "w78_pacf")
+    "w78_pacf",
+    // g23: three 1-row scalar frames (start node, far node, sweep-2
+    // extent) combine into the single output row; m60: the 1-row
+    // moment frame broadcasts into the per-row distance map (the
+    // m49_cooks shape)
+    "g23_pseudo_diameter", "m60_mahalanobis")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
