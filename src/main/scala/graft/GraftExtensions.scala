@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, EwmAvg, JaroWinkler, LongArrayIntersectCount, NgramJaccard, NgramPolyHash}
+import graft.functions.{DamerauLevenshtein, DotProduct, EwmAvg, JaroWinkler, LongArrayIntersectCount, NgramJaccard, NgramPolyHash}
 
 /** Spark extension entry point: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -94,6 +94,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("jaro_winkler", children, 2, 2)
         JaroWinkler(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (children: Seq[Expression]) => {
+        arity("damerau_levenshtein", children, 2, 2)
+        DamerauLevenshtein(children(0), children(1))
       }))
   }
 }

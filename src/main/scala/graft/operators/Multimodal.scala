@@ -378,4 +378,41 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Walsh-Hadamard sequency coefficients over the FIRST `nFft`
+    * samples of an s16le PCM payload: W_k = Σ_i v_i·(−1)^popcount(k&i)
+    * for k in `ks` — the EXACT-INTEGER spectral screen (±1 basis, no
+    * trig), the transform an audio pipeline uses where a float FFT's
+    * cross-engine libm noise would poison a hash gate. Map-side only;
+    * payloads shorter than nFft (or torn) yield null coefficients. */
+  def whtCoeffs(df: DataFrame, payloadCol: String, nFft: Int = 64,
+                ks: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++
+      ks.map(k => StructField(s"w$k", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = ks.map(_ => null)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        if (bytes == null || bytes.length % 2 != 0 ||
+          bytes.length / 2 < nFft) Row.fromSeq(r.toSeq ++ nulls)
+        else {
+          val sb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val ws = ks.map { k =>
+            var acc = 0L
+            var i = 0
+            while (i < nFft) {
+              val sign = if (Integer.bitCount(k & i) % 2 == 0) 1L else -1L
+              acc += sign * sb.get(i).toLong
+              i += 1
+            }
+            acc
+          }
+          Row.fromSeq(r.toSeq ++ ws)
+        }
+      }
+    }(enc)
+  }
 }

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-9 batch 74: transposition-aware entity matching, an
+  * exact-integer audio spectrum, and a cross-shard sketch handshake —
+  * Damerau-Levenshtein entity scoring (j26's Jaro-Winkler weights
+  * agreement; DL COUNTS keystroke errors, and its transposition op is
+  * what separates "typo" from "different name"), Walsh-Hadamard
+  * sequency coefficients over PCM (mm_audio proves amplitude decode;
+  * WHT is the ±1-basis SPECTRAL screen whose integer exactness
+  * survives any engine — a float FFT would not), and a bloom-filter
+  * dedup handshake between corpus shards (d_exact dedups WITHIN one
+  * table; the bloom exchange is how two CLUSTERS dedup against each
+  * other shipping 8 KB instead of the corpus, with the measured
+  * false-positive rate in-band). Net-new vs the 475-query surface
+  * (grep-checked: no damerau/wht/hadamard/bloom_handshake).
+  */
+object Curation74Q {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // J27: Damerau-Levenshtein entity resolution over part names with
+    // transposition-heavy corruptions (char swap / duplicate /
+    // delete — exactly the errors DL prices at 1). The j19/j26
+    // density-adaptive blocking bounds pair work; dl is the native
+    // codegen'd expression (probe-pinned to DuckDB's
+    // damerau_levenshtein); sim = (maxlen − dl)/maxlen is one exact
+    // division and the verdict bands are integer-decided
+    // (10·dl vs maxlen), so nothing floats into the hash but one
+    // division.
+    "j27_dl_entity" -> ((s, dir) => {
+      val p = part(s, dir).select(col("p_partkey"), col("p_name"),
+        col("p_type"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"))
+      val stats = p.agg(min("pc").as("mn"),
+        (max("pc") - min("pc") + 1).as("rng"),
+        greatest(lit(1L), (count(lit(1)) / 50).cast("long")).as("nb"))
+      val pb = p.crossJoin(broadcast(stats))
+        .withColumn("blk", concat(col("p_type"), lit("#"),
+          expr("((pc - mn) * nb) DIV rng").cast("string")))
+      val dirty = pb.select(col("p_partkey").as("rid"),
+        when(col("p_partkey") % 3 === 0,
+          // swap chars 2 and 3: "cold" -> "clod"
+          concat(substring(col("p_name"), 1, 1),
+            substring(col("p_name"), 3, 1),
+            substring(col("p_name"), 2, 1),
+            substring(col("p_name"), 4, 100000)))
+          .when(col("p_partkey") % 3 === 1,
+            // duplicate the first char
+            concat(substring(col("p_name"), 1, 1), col("p_name")))
+          .otherwise( // delete the second char
+            concat(substring(col("p_name"), 1, 1),
+              substring(col("p_name"), 3, 100000)))
+          .as("d_name"),
+        col("blk"))
+      val lb = pb.select(col("p_partkey"), col("p_name"), col("blk"))
+      val keptBlk = dirty.groupBy("blk").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= 100).select("blk")
+      val dl = graft.functions.DamerauLevenshtein
+        .damerauLevenshtein(col("p_name"), col("d_name")).cast("long")
+      val maxlen = greatest(length(col("p_name")),
+        length(col("d_name"))).cast("long")
+      lb.join(keptBlk, "blk").join(dirty, "blk")
+        .select(col("p_partkey"), col("rid"), dl.as("dl"),
+          ((maxlen - dl).cast("double") / maxlen.cast("double"))
+            .as("sim"),
+          when(dl * 10L <= maxlen, "match")
+            .when(dl * 10L <= maxlen * 3L, "possible")
+            .otherwise("non_match").as("verdict"))
+    }),
+
+    // MM_WHT: Walsh-Hadamard sequency screen over the mm_audio
+    // synthetic PCM — a REAL per-sample decode (ByteBuffer) feeding
+    // the exact ±1-basis transform; the oracle reproduces every
+    // coefficient analytically from the closed-form sample values.
+    // Dominant sequency among k ∈ {1,2,3} is a packed integer argmax
+    // (|W_k|, tie → smaller k).
+    "mm_wht" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val withPcm = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticPcm(id, (500 + (id % 97) * 10).toInt))
+        }).toDF("doc_id", "payload")
+      val w = Multimodal.whtCoeffs(withPcm, "payload")
+      // pack |w_k|·4 + (3−k): max ⇒ largest magnitude, tie → min k
+      val pk = greatest(
+        abs(col("w1")) * 4L + lit(2L),
+        abs(col("w2")) * 4L + lit(1L),
+        abs(col("w3")) * 4L + lit(0L))
+      w.select(col("doc_id"), col("w0"), col("w1"), col("w2"),
+        col("w3"), (lit(3L) - pmod(pk, lit(4L))).as("dominant_k"))
+    }),
+
+    // D_BLOOM_HANDSHAKE: cross-shard dedup via exchanged bloom
+    // filters — each of 4 shards publishes the SET-BIT POSITIONS
+    // (m = 2¹⁶, two deterministic positions per doc from the
+    // portable polyhash: h mod m and h·2654435761 mod m); a doc is a
+    // CANDIDATE against shard b when both its positions are set in
+    // b's filter, and a TRUE duplicate when its exact hash exists in
+    // b. Emitted per ordered shard pair: candidate/true counts and
+    // the measured false-positive rate among actual non-members —
+    // the accounting that sizes m before a real 100 TB handshake.
+    "d_bloom_handshake" -> ((s, dir) => {
+      import graft.functions.Text
+      val d = documents(s, dir).select(col("doc_id"),
+        pmod(col("doc_id"), lit(4L)).as("shard"),
+        Text.polyHash(Text.normalizeAz(col("text"))).as("h"))
+        .withColumn("p1", pmod(col("h"), lit(65536L)))
+        .withColumn("p2", pmod(col("h") * 2654435761L, lit(65536L)))
+      val bloom = d.select(col("shard").as("bshard"), col("p1").as("pos"))
+        .union(d.select(col("shard").as("bshard"), col("p2").as("pos")))
+        .distinct()
+      val exact = d.select(col("shard").as("bshard"), col("h")).distinct()
+      val shards = d.select(col("shard").as("bshard")).distinct()
+      val fanned = d.crossJoin(broadcast(shards))
+        .filter(col("bshard") =!= col("shard"))
+      val cand = fanned
+        .join(bloom.withColumnRenamed("pos", "p1"),
+          Seq("bshard", "p1"), "left_semi")
+        .join(bloom.withColumnRenamed("pos", "p2"),
+          Seq("bshard", "p2"), "left_semi")
+        .groupBy("shard", "bshard")
+        .agg(count(lit(1)).as("n_candidates"))
+      val tru = fanned.join(exact, Seq("bshard", "h"), "left_semi")
+        .groupBy("shard", "bshard").agg(count(lit(1)).as("n_true"))
+      val tot = fanned.groupBy("shard", "bshard")
+        .agg(count(lit(1)).as("n_docs"))
+      tot.join(cand, Seq("shard", "bshard"), "left")
+        .join(tru, Seq("shard", "bshard"), "left")
+        .select(col("shard"), col("bshard"), col("n_docs"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          ((coalesce(col("n_candidates"), lit(0L)) -
+            coalesce(col("n_true"), lit(0L))).cast("double") /
+            (col("n_docs") - coalesce(col("n_true"), lit(0L)))
+              .cast("double")).as("fpr"))
+    }))
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val P = graft.functions.Text.P
+  private val NormSql = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+  private val FoldSql =
+    s"""CASE WHEN length(t) > 0 THEN list_reduce(
+       | list_prepend(0::BIGINT, list_transform(range(1, length(t) + 1),
+       |   j -> ascii(substr(t, j::INT, 1))::BIGINT)),
+       | (a, b) -> (a * 31 + b) % $P) ELSE 0 END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "j27_dl_entity" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_type,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS pc FROM part),
+        |stats AS (SELECT min(pc) AS mn, max(pc) - min(pc) + 1 AS rng,
+        |  greatest(1, (count(*) // 50)::BIGINT) AS nb FROM p),
+        |pb AS (SELECT p_partkey, p_name, p_type,
+        |  p_type || '#' || (((pc - mn) * nb) // rng)::VARCHAR AS blk
+        | FROM p CROSS JOIN stats),
+        |dirty AS (SELECT p_partkey AS rid,
+        |  CASE WHEN p_partkey % 3 = 0 THEN
+        |    substr(p_name, 1, 1) || substr(p_name, 3, 1)
+        |      || substr(p_name, 2, 1) || substr(p_name, 4, 100000)
+        |  WHEN p_partkey % 3 = 1 THEN substr(p_name, 1, 1) || p_name
+        |  ELSE substr(p_name, 1, 1) || substr(p_name, 3, 100000) END
+        |    AS d_name,
+        |  blk FROM pb),
+        |kept AS (SELECT blk FROM dirty GROUP BY blk
+        |  HAVING count(*) <= 100),
+        |j AS (SELECT p_partkey, rid,
+        |  CAST(damerau_levenshtein(p_name, d_name) AS BIGINT) AS dl,
+        |  CAST(greatest(length(p_name), length(d_name)) AS BIGINT)
+        |    AS maxlen
+        | FROM pb JOIN kept USING (blk) JOIN dirty USING (blk))
+        |SELECT p_partkey, rid, dl,
+        | (maxlen - dl)::DOUBLE / maxlen::DOUBLE AS sim,
+        | CASE WHEN dl * 10 <= maxlen THEN 'match'
+        |  WHEN dl * 10 <= maxlen * 3 THEN 'possible'
+        |  ELSE 'non_match' END AS verdict
+        |FROM j""".stripMargin,
+
+    "mm_wht" -> {
+      def w(k: Int) =
+        s"""CAST(sum((CASE WHEN bit_count(CAST($k & i AS BIGINT)) % 2 = 0
+           |  THEN 1 ELSE -1 END)
+           |  * (((doc_id * 31 + i * 37) % 4001) - 2000)) AS BIGINT)
+           |  AS w$k""".stripMargin
+      s"""WITH s AS (SELECT doc_id, i FROM documents, range(0, 64) AS t(i)),
+         |agg AS (SELECT doc_id, ${w(0)}, ${w(1)}, ${w(2)}, ${w(3)}
+         | FROM s GROUP BY doc_id)
+         |SELECT doc_id, w0, w1, w2, w3,
+         | 3 - (greatest(abs(w1) * 4 + 2, abs(w2) * 4 + 1,
+         |      abs(w3) * 4 + 0) % 4) AS dominant_k
+         |FROM agg""".stripMargin
+    },
+
+    "d_bloom_handshake" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 4 AS shard, h,
+         |  h % 65536 AS p1, (h * 2654435761) % 65536 AS p2
+         | FROM (SELECT doc_id, $FoldSql AS h
+         |   FROM (SELECT doc_id, $NormSql AS t FROM documents))),
+         |bloom AS MATERIALIZED (
+         | SELECT DISTINCT bshard, pos FROM (
+         |  SELECT shard AS bshard, p1 AS pos FROM d
+         |  UNION ALL SELECT shard, p2 FROM d)),
+         |exact AS MATERIALIZED (SELECT DISTINCT shard AS bshard, h FROM d),
+         |shards AS (SELECT DISTINCT shard AS bshard FROM d),
+         |fanned AS MATERIALIZED (SELECT d.*, s.bshard
+         | FROM d CROSS JOIN shards s WHERE s.bshard <> d.shard),
+         |cand AS (SELECT shard, bshard, count(*)::BIGINT AS n_candidates
+         | FROM fanned f
+         | WHERE EXISTS (SELECT 1 FROM bloom b
+         |   WHERE b.bshard = f.bshard AND b.pos = f.p1)
+         |  AND EXISTS (SELECT 1 FROM bloom b
+         |   WHERE b.bshard = f.bshard AND b.pos = f.p2)
+         | GROUP BY shard, bshard),
+         |tru AS (SELECT shard, bshard, count(*)::BIGINT AS n_true
+         | FROM fanned f
+         | WHERE EXISTS (SELECT 1 FROM exact e
+         |   WHERE e.bshard = f.bshard AND e.h = f.h)
+         | GROUP BY shard, bshard),
+         |tot AS (SELECT shard, bshard, count(*)::BIGINT AS n_docs
+         | FROM fanned GROUP BY shard, bshard)
+         |SELECT shard, bshard, n_docs,
+         | COALESCE(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+         | COALESCE(n_true, CAST(0 AS BIGINT)) AS n_true,
+         | (COALESCE(n_candidates, CAST(0 AS BIGINT))
+         |  - COALESCE(n_true, CAST(0 AS BIGINT)))::DOUBLE
+         |   / (n_docs - COALESCE(n_true, CAST(0 AS BIGINT)))::DOUBLE
+         |   AS fpr
+         |FROM tot LEFT JOIN cand USING (shard, bshard)
+         |LEFT JOIN tru USING (shard, bshard)""".stripMargin)
+}

@@ -160,7 +160,10 @@ class PlanGuardSpec extends SparkSpec {
     // extent) combine into the single output row; m60: the 1-row
     // moment frame broadcasts into the per-row distance map (the
     // m49_cooks shape)
-    "g23_pseudo_diameter", "m60_mahalanobis")
+    "g23_pseudo_diameter", "m60_mahalanobis",
+    // j27: j26's 1-row blocking-stats frame; d_bloom_handshake: the
+    // 4-row shard parameter frame fans each doc out to its 3 peers
+    "j27_dl_entity", "d_bloom_handshake")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
