@@ -163,7 +163,10 @@ class PlanGuardSpec extends SparkSpec {
     "g23_pseudo_diameter", "m60_mahalanobis",
     // j27: j26's 1-row blocking-stats frame; d_bloom_handshake: the
     // 4-row shard parameter frame fans each doc out to its 3 peers
-    "j27_dl_entity", "d_bloom_handshake")
+    "j27_dl_entity", "d_bloom_handshake",
+    // m58: fifteen 1-row entropy frames combine into the 4-row
+    // feature ladder (the a107 shape, one frame per margin)
+    "m58_mrmr")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
