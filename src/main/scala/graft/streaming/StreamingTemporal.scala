@@ -27,6 +27,10 @@ case class EmaState(ema: Double)
 case class RollState(recent: List[Double])
 case class CusumOut(key: String, ts: Long, id: Long, cents: Long, cusum: Long)
 case class CusumState(s: Long)
+case class PhState(rn: Long, sCal: Long, cs: Long, runmin: Long,
+                   stat: Long)
+case class PhOut(key: String, n_detect: Long, s_cal: Long,
+                 ph8_stat: Long, alarm: Long)
 case class KalmanOut(key: String, n: Long, kalman_x: Double, kalman_p: Double)
 case class KalmanState(x: Double, p: Double, n: Long)
 case class KeyStats(key: String, n: Long, max_value: Double)
@@ -293,6 +297,46 @@ object StreamingTemporal {
     * oracle's full-history left fold (same in-order-arrival
     * assumption as [[emaStream]], divisions of deterministic doubles
     * fold in the same (ts, id) order on both engines). */
+  /** Streaming Page-Hinkley with a frozen calibration reference (the
+    * batch w84 recursion as an always-on drift monitor): the first
+    * `calN` observations per key freeze μ_ref; afterwards the ×calN
+    * integer-lattice excursion m_t = calN·CS_t − t·(S_cal +
+    * calN·δ) tracks drift-up via max(m − runmin). O(1) longs of
+    * state per key, continued across micro-batches; with the
+    * AvailableNow harness the emitted per-key row is the final
+    * state, replayed exactly by the batch oracle (everything is
+    * integer, so there is no fold-order question at all). */
+  def pageHinkleyStream(ds: Dataset[Obs], calN: Long = 8L,
+                        deltaCents: Long = 50L,
+                        lambdaScaled: Long = 24000L): Dataset[PhOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Obs], state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.toSeq.sortBy(r => (r.ts, r.id)).foreach { r =>
+            val c = math.round(r.value * 100)
+            val rn = st.rn + 1
+            if (rn <= calN) st = st.copy(rn = rn, sCal = st.sCal + c)
+            else {
+              val i = rn - calN
+              val cs = st.cs + c
+              val m = cs * calN - i * (st.sCal + deltaCents * calN)
+              val runmin = math.min(st.runmin, m)
+              st = PhState(rn, st.sCal, cs, runmin,
+                math.max(st.stat, m - runmin))
+            }
+          }
+          state.update(st)
+          if (st.rn > calN)
+            Iterator.single(PhOut(key, st.rn - calN, st.sCal, st.stat,
+              if (st.stat > lambdaScaled) 1L else 0L))
+          else Iterator.empty
+      }
+  }
+
   def kalmanStream(ds: Dataset[Obs], q: Double, r: Double): Dataset[KalmanOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)

@@ -166,7 +166,10 @@ class PlanGuardSpec extends SparkSpec {
     "j27_dl_entity", "d_bloom_handshake",
     // m58: fifteen 1-row entropy frames combine into the 4-row
     // feature ladder (the a107 shape, one frame per margin)
-    "m58_mrmr")
+    "m58_mrmr",
+    // a121: the a108-style inequality join of the bounded 7×50 grid
+    // with itself plus two 1-row moment frames
+    "a121_jonckheere")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
