@@ -65,7 +65,10 @@ class PlanGuardSpec extends SparkSpec {
     // at any data scale
     "w78_pacf", "w79_macd", "w80_aroon",
     // batch 71: same bounded day-lattice series (OHLC grain)
-    "w81_atr", "w82_granger", "w83_stochastic")
+    "w81_atr", "w82_granger", "w83_stochastic",
+    // batch 77: the 101-value score lattice (m64) and the day
+    // lattice (w86) — both bounded by domain
+    "m64_ks_stat", "w86_drawdown")
 
   /** Queries allowed to plan a BroadcastNestedLoopJoin: every entry
     * is an intentional crossJoin(broadcast(x)) of a scalar/parameter
@@ -169,7 +172,9 @@ class PlanGuardSpec extends SparkSpec {
     "m58_mrmr",
     // a121: the a108-style inequality join of the bounded 7×50 grid
     // with itself plus two 1-row moment frames
-    "a121_jonckheere")
+    "a121_jonckheere",
+    // m64: the 1-row argmax frame re-enters the 101-row lattice
+    "m64_ks_stat")
 
   test("no cartesian, no unlisted global window or BNL, all plans build") {
     // the window detector needs the static plan; restore AQE after
