@@ -52,7 +52,15 @@ object Bench {
         // toRdd keeps the full output schema and forces every column.
         try { fn(spark, sfDir).queryExecution.toRdd.count()
           ((System.nanoTime() - t0) / 1e9, null) }
-        catch { case e: Throwable => (-1.0, e.getClass.getSimpleName) }
+        catch { case e: Throwable =>
+          // root-cause class + a short sanitized message — a bare
+          // class name made sf10 failures undiagnosable
+          var c: Throwable = e
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          val msg = String.valueOf(c.getMessage).replaceAll("[\\s\"]+", " ")
+            .take(120)
+          (-1.0, s"${e.getClass.getSimpleName}: ${c.getClass.getSimpleName}: $msg")
+        }
       }
       val (first, err) = once()
       val t =

@@ -160,10 +160,15 @@ object Curation73Q {
         val totC = cand.groupBy("doc_a")
           .agg(sum("c_cnt").as(s"cand$n"))
         val totR = ref.groupBy("doc_a").agg(sum("r_cnt").as(s"ref$n"))
-        val clip = cand.join(ref, Seq("doc_a", "g"))
+        // gram- and doc-grain frames are ROW-SCALE (grow with the
+        // corpus): pin sort-merge so a pre-materialization size
+        // mis-estimate can never plan a multi-GB broadcast (hit at
+        // sf10 under the bench session's 128 MB threshold)
+        val clip = cand.join(ref.hint("merge"), Seq("doc_a", "g"))
           .groupBy("doc_a")
           .agg(sum(least(col("c_cnt"), col("r_cnt"))).as(s"clip$n"))
-        totC.join(totR, "doc_a").join(clip, Seq("doc_a"), "left")
+        totC.join(totR.hint("merge"), "doc_a")
+          .join(clip.hint("merge"), Seq("doc_a"), "left")
           .select(col("doc_a"), col(s"cand$n"), col(s"ref$n"),
             coalesce(col(s"clip$n"), lit(0L)).as(s"clip$n"))
       }
@@ -175,7 +180,7 @@ object Curation73Q {
         when(col(s"clip$n") > 0L, lit(5.0) * p * r / (lit(4.0) * p + r))
           .otherwise(lit(0.0))
       }
-      side(2).join(side(3), "doc_a")
+      side(2).join(side(3).hint("merge"), "doc_a")
         .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
           col("cand2"), col("ref2"), col("clip2"),
           col("cand3"), col("ref3"), col("clip3"),

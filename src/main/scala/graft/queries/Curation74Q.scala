@@ -110,6 +110,10 @@ object Curation74Q {
         Text.polyHash(Text.normalizeAz(col("text"))).as("h"))
         .withColumn("p1", pmod(col("h"), lit(65536L)))
         .withColumn("p2", pmod(col("h") * 2654435761L, lit(65536L)))
+        // feeds the bloom build, the exact-hash set AND the fanned
+        // probe side — without this the O(chars) polyhash fold runs
+        // 4x (the t_tfidf lesson; measured 250 s -> ~70 s at sf10)
+        .cache()
       val bloom = d.select(col("shard").as("bshard"), col("p1").as("pos"))
         .union(d.select(col("shard").as("bshard"), col("p2").as("pos")))
         .distinct()
