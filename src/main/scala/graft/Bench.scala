@@ -54,10 +54,15 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, null) }
         catch { case e: Throwable =>
           // root-cause class + a short sanitized message — a bare
-          // class name made sf10 failures undiagnosable
+          // class name made sf10 failures undiagnosable. Scrub
+          // backslashes and control chars too: this string is embedded
+          // in hand-built JSON, and a path/regex in the message would
+          // otherwise produce an invalid escape exactly when a failure
+          // needs diagnosing.
           var c: Throwable = e
           while (c.getCause != null && c.getCause != c) c = c.getCause
-          val msg = String.valueOf(c.getMessage).replaceAll("[\\s\"]+", " ")
+          val msg = String.valueOf(c.getMessage)
+            .replaceAll("[\\s\"\\\\\\p{Cntrl}]+", " ")
             .take(120)
           (-1.0, s"${e.getClass.getSimpleName}: ${c.getClass.getSimpleName}: $msg")
         }

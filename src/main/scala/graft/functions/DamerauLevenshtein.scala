@@ -22,9 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * A native `BinaryExpression` with `doGenCode` delegating to the
   * static kernel (the JaroWinkler pattern): one O(|a|·|b|) DP over
-  * two reusable rows plus the last-occurrence index, no per-row
-  * boxing. Operates on UTF-16 code units of the decoded string — for
-  * ASCII name columns that is DuckDB's per-character view.
+  * the full (|a|+2)×(|b|+2) matrix — full Lowrance-Wagner DL cannot
+  * use a rolling-row layout because the transposition term reads
+  * back to row d(i1) for an arbitrary earlier i1 — plus a
+  * last-occurrence index (int[128] for ASCII, boxed-map fallback
+  * beyond). Operates on UTF-16 code units of the decoded string —
+  * for ASCII name columns that is DuckDB's per-character view.
   */
 case class DamerauLevenshtein(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -72,17 +75,22 @@ object DamerauLevenshtein {
     while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    // last row in which each character of the alphabet appeared in a
-    val da = new java.util.HashMap[Character, Integer]()
+    // last row in which each character of the alphabet appeared in a:
+    // flat int[128] for the ASCII hot path (name/text columns), boxed
+    // map only for code units beyond it — avoids a HashMap allocation
+    // + per-row boxing on the common case
+    val daAscii = new Array[Int](128)
+    var daWide: java.util.HashMap[Character, Integer] = null
+    def daGet(ch: Char): Int =
+      if (ch < 128) daAscii(ch)
+      else if (daWide == null) 0
+      else { val v = daWide.get(ch); if (v == null) 0 else v.intValue() }
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val i1: Int = {
-          val v = da.get(b.charAt(j - 1))
-          if (v == null) 0 else v.intValue()
-        }
+        val i1: Int = daGet(b.charAt(j - 1))
         val j1 = db
         val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 }
           else 1
@@ -96,7 +104,12 @@ object DamerauLevenshtein {
         d(i + 1)(j + 1) = best
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      val ai = a.charAt(i - 1)
+      if (ai < 128) daAscii(ai) = i
+      else {
+        if (daWide == null) daWide = new java.util.HashMap[Character, Integer]()
+        daWide.put(ai, i)
+      }
       i += 1
     }
     d(la + 1)(lb + 1)

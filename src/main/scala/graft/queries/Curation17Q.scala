@@ -51,15 +51,21 @@ object Curation17Q {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("p_brand")).distinct()
         .cache()
-      val nTx = ob.select("l_orderkey").distinct().count()
-      val minc = math.ceil(0.01 * nTx).toLong
+      // transaction count as a broadcast SCALAR FRAME, not a
+      // build-time .count(): keeps plan construction action-free
+      // (PlanGuardSpec and repeated bench builds paid a hidden job
+      // here through round 9). Threshold math stays in double —
+      // ceil(0.01·n) — to preserve the original tie behavior.
+      val ntx = ob.agg(countDistinct("l_orderkey").as("n_tx"))
       val singles = ob.groupBy("p_brand").agg(count(lit(1)).as("fa"))
       val pairs = ob.select(col("l_orderkey"), col("p_brand").as("ba"))
         .join(ob.select(col("l_orderkey"), col("p_brand").as("bb")),
           "l_orderkey")
         .filter(col("ba") =!= col("bb"))
         .groupBy("ba", "bb").agg(count(lit(1)).as("fab"))
-        .filter(col("fab") >= minc)
+        .crossJoin(broadcast(ntx))
+        .filter(col("fab") >=
+          ceil(lit(0.01) * col("n_tx")).cast("long"))
       pairs
         .join(singles.select(col("p_brand").as("ba"), col("fa")), "ba")
         .join(singles.select(col("p_brand").as("bb"),
@@ -68,7 +74,7 @@ object Curation17Q {
         .select(col("ba").as("antecedent"), col("bb").as("consequent"),
           col("fab"), col("fa"), col("fb"),
           (col("fab").cast("double") / col("fa")).as("confidence"),
-          expr(s"fab * $nTx * 1000000 DIV (fa * fb)").as("lift_ppm"))
+          expr("fab * n_tx * 1000000 DIV (fa * fb)").as("lift_ppm"))
     }))
 
   val queries2: Map[String, QueryFn] = Map(

@@ -60,12 +60,22 @@ object Curation72Q {
           (lit((1L << 40) - 1L) - col("n"))).as("pk"))
           .select((lit((1L << 40) - 1L) - pmod(col("pk"), lit(1L << 40)))
             .as("node"))
+      // DELTA frontier: expand only nodes first reached THIS hop
+      // (anti-join vs visited). The round-9 shape re-expanded the
+      // full reached set every hop — in this dense co-supply graph
+      // the hop-2 frontier is already ≈ the whole component, so hops
+      // 3-4 each paid a full-graph join for near-zero new distance
+      // rows (165 s at sf10). The min-agg result is identical: every
+      // node's FIRST discovery hop is its distance either way.
       def sweep(seed: org.apache.spark.sql.DataFrame) = {
         var dist = seed.withColumn("dist", lit(0L)).localCheckpoint()
-        var frontier = seed
+        var visited = seed.localCheckpoint()
+        var frontier = visited
         for (h <- 1 to 4) {
           frontier = frontier.join(sym, col("node") === col("src"))
-            .select(col("dst").as("node")).distinct().localCheckpoint()
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti").localCheckpoint()
+          visited = visited.union(frontier).localCheckpoint()
           dist = dist.union(frontier.withColumn("dist", lit(h.toLong)))
         }
         dist.groupBy("node").agg(min("dist").as("dist"))

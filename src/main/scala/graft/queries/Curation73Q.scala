@@ -146,44 +146,56 @@ object Curation73Q {
         " ", "")
       val d = documents(s, dir)
         .select(col("doc_id"), stripped.as("st"))
-      def gramCounts(n: Int) =
-        d.select(col("doc_id"),
-          explode(Text.charNgrams(col("st"), n)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-          .cache()
-      def side(n: Int) = {
-        val bg = gramCounts(n)
-        val cand = bg.select(col("doc_id").as("doc_a"), col("g"),
-          col("cnt").as("c_cnt"))
-        val ref = bg.select((col("doc_id") - 1).as("doc_a"), col("g"),
-          col("cnt").as("r_cnt"))
-        val totC = cand.groupBy("doc_a")
-          .agg(sum("c_cnt").as(s"cand$n"))
-        val totR = ref.groupBy("doc_a").agg(sum("r_cnt").as(s"ref$n"))
-        // gram- and doc-grain frames are ROW-SCALE (grow with the
-        // corpus): pin sort-merge so a pre-materialization size
-        // mis-estimate can never plan a multi-GB broadcast (hit at
-        // sf10 under the bench session's 128 MB threshold)
-        val clip = cand.join(ref.hint("merge"), Seq("doc_a", "g"))
-          .groupBy("doc_a")
-          .agg(sum(least(col("c_cnt"), col("r_cnt"))).as(s"clip$n"))
-        totC.join(totR.hint("merge"), "doc_a")
-          .join(clip.hint("merge"), Seq("doc_a"), "left")
-          .select(col("doc_a"), col(s"cand$n"), col(s"ref$n"),
-            coalesce(col(s"clip$n"), lit(0L)).as(s"clip$n"))
-      }
+      // ONE corpus pass: tag each gram with its order n inside the
+      // explode, so both gram tables share a single explode+groupBy
+      // and a single cache (the per-n twin-pass shape was the
+      // surface's largest absolute wall at sf10: two full
+      // explode+exchange chains plus two live caches).
+      def tagged(n: Int) = transform(Text.charNgrams(col("st"), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+      val bg = d.select(col("doc_id"),
+          explode(concat(tagged(2), tagged(3))).as("t"))
+        .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+        .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
+        .cache()
+      val cand = bg.select(col("doc_id").as("doc_a"), col("n"),
+        col("g"), col("cnt").as("c_cnt"))
+      val ref = bg.select((col("doc_id") - 1).as("doc_a"), col("n"),
+        col("g"), col("cnt").as("r_cnt"))
+      // conditional per-n sums replace the per-n groupBys; a null
+      // total means "doc has no grams of that order on that side",
+      // which the round-8 shape expressed as per-n INNER joins —
+      // reproduced below by the four-way not-null filter
+      def per(nm: String, v: Column, n: Int) =
+        sum(when(col("n") === n, v)).as(nm)
+      val totC = cand.groupBy("doc_a")
+        .agg(per("cand2", col("c_cnt"), 2), per("cand3", col("c_cnt"), 3))
+      val totR = ref.groupBy("doc_a")
+        .agg(per("ref2", col("r_cnt"), 2), per("ref3", col("r_cnt"), 3))
+      // gram- and doc-grain frames are ROW-SCALE (grow with the
+      // corpus): pin sort-merge so a pre-materialization size
+      // mis-estimate can never plan a multi-GB broadcast (hit at
+      // sf10 under the bench session's 128 MB threshold)
+      val clip = cand.join(ref.hint("merge"), Seq("doc_a", "n", "g"))
+        .groupBy("doc_a")
+        .agg(per("clip2", least(col("c_cnt"), col("r_cnt")), 2),
+          per("clip3", least(col("c_cnt"), col("r_cnt")), 3))
       def f(n: Int): Column = {
-        val p = col(s"clip$n").cast("double") /
-          col(s"cand$n").cast("double")
-        val r = col(s"clip$n").cast("double") /
-          col(s"ref$n").cast("double")
-        when(col(s"clip$n") > 0L, lit(5.0) * p * r / (lit(4.0) * p + r))
+        val cl = coalesce(col(s"clip$n"), lit(0L))
+        val p = cl.cast("double") / col(s"cand$n").cast("double")
+        val r = cl.cast("double") / col(s"ref$n").cast("double")
+        when(cl > 0L, lit(5.0) * p * r / (lit(4.0) * p + r))
           .otherwise(lit(0.0))
       }
-      side(2).join(side(3).hint("merge"), "doc_a")
+      totC.join(totR.hint("merge"), "doc_a")
+        .join(clip.hint("merge"), Seq("doc_a"), "left")
+        .filter(col("cand2").isNotNull && col("ref2").isNotNull &&
+          col("cand3").isNotNull && col("ref3").isNotNull)
         .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
-          col("cand2"), col("ref2"), col("clip2"),
-          col("cand3"), col("ref3"), col("clip3"),
+          col("cand2"), col("ref2"),
+          coalesce(col("clip2"), lit(0L)).as("clip2"),
+          col("cand3"), col("ref3"),
+          coalesce(col("clip3"), lit(0L)).as("clip3"),
           ((f(2) + f(3)) / 2.0).as("chrf"))
     }))
 

@@ -287,25 +287,22 @@ object StreamingTemporal {
       }
   }
 
-  /** Streaming 1D Kalman level filter (the batch w75 recursion as an
-    * always-on estimator): x ← x + k·(z−x), p ← (1−k)·(p+q) with
-    * k = (p+q)/(p+q+r) per observation, O(1) doubles of state per
-    * key, continued across micro-batches. Emits the RUNNING
-    * (n, x, p) once per key per micro-batch — the online level
-    * estimate a monitoring pipeline reads; with the AvailableNow
-    * harness that is the final state, replayed exactly by the
-    * oracle's full-history left fold (same in-order-arrival
-    * assumption as [[emaStream]], divisions of deterministic doubles
-    * fold in the same (ts, id) order on both engines). */
   /** Streaming Page-Hinkley with a frozen calibration reference (the
     * batch w84 recursion as an always-on drift monitor): the first
     * `calN` observations per key freeze μ_ref; afterwards the ×calN
     * integer-lattice excursion m_t = calN·CS_t − t·(S_cal +
     * calN·δ) tracks drift-up via max(m − runmin). O(1) longs of
-    * state per key, continued across micro-batches; with the
-    * AvailableNow harness the emitted per-key row is the final
-    * state, replayed exactly by the batch oracle (everything is
-    * integer, so there is no fold-order question at all). */
+    * state per key, continued across micro-batches.
+    *
+    * HARD CONTRACT (same as [[emaStream]]): emits the CUMULATIVE
+    * per-key row on every micro-batch in Append mode, so a
+    * multi-batch run yields one row per key PER BATCH, the earlier
+    * ones carrying intermediate statistics. Run under a single-batch
+    * AvailableNow harness (the oracled use), or have consumers keep
+    * only the max(n) row per key. With the single-batch harness the
+    * emitted row is the final state, replayed exactly by the batch
+    * oracle (everything is integer, so there is no fold-order
+    * question at all). */
   def pageHinkleyStream(ds: Dataset[Obs], calN: Long = 8L,
                         deltaCents: Long = 50L,
                         lambdaScaled: Long = 24000L): Dataset[PhOut] = {
@@ -337,6 +334,16 @@ object StreamingTemporal {
       }
   }
 
+  /** Streaming 1D Kalman level filter (the batch w75 recursion as an
+    * always-on estimator): x ← x + k·(z−x), p ← (1−k)·(p+q) with
+    * k = (p+q)/(p+q+r) per observation, O(1) doubles of state per
+    * key, continued across micro-batches. Emits the RUNNING
+    * (n, x, p) once per key per micro-batch — the online level
+    * estimate a monitoring pipeline reads; with the AvailableNow
+    * harness that is the final state, replayed exactly by the
+    * oracle's full-history left fold (same in-order-arrival
+    * assumption as [[emaStream]], divisions of deterministic doubles
+    * fold in the same (ts, id) order on both engines). */
   def kalmanStream(ds: Dataset[Obs], q: Double, r: Double): Dataset[KalmanOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)

@@ -109,6 +109,10 @@ class PlanGuardSpec extends SparkSpec {
     // m49: the 1-row OLS scalar frame (slope/intercept/s²) broadcasts
     // into the per-row influence map
     "m49_cooks",
+    // m30: the 1-row transaction-count scalar frame broadcasts into
+    // the pair-support threshold + lift (round 10: replaced the
+    // build-time .count() so plan construction is action-free)
+    "m30_assoc_rules",
     // g20: the 11-row literal k-ladder joins the bounded degree
     // histograms on an inequality — broadcast of a constant frame
     "g20_richclub",
