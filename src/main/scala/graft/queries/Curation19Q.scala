@@ -52,11 +52,53 @@ object Curation19Q {
         .groupBy("kk", "score", "i").agg(min("avgv").as("mn"))
         .groupBy("kk", "score").agg(max("mn").as("calibrated"))
         .select(col("score"), col("calibrated"))
+    }),
+
+    // M25 gate (round 10): the MLlib distributed PAV fit must agree
+    // with the closed-form minimax twin above at every lattice score
+    // (both compute the unique L2 monotone projection; the only
+    // admissible difference is ulp noise from MLlib's incremental
+    // pool averaging vs the twin's exact integer-cumsum ratios —
+    // integer-decided at 1e-9). This turns m25_isotonic's no_oracle
+    // status into a driver-visible adversarial check: n_scores/
+    // n_agree are DATA-DERIVED (the DuckDB oracle computes the
+    // lattice size), so a solver divergence fails the hash.
+    "m25_isotonic_gate" -> ((s, dir) => {
+      import org.apache.spark.ml.regression.IsotonicRegression
+      val e = graft.io.Tables.eventsUs(s, dir).select(
+        ((col("event_id") * 37) % 101).cast("double").as("score"),
+        when(col("event_id") % 3 === 0, 1.0).otherwise(0.0).as("label"))
+      val model = new IsotonicRegression()
+        .setFeaturesCol("score").setLabelCol("label").fit(e)
+      val pav = model.transform(e.select(col("score")).distinct())
+        .select(col("score").cast("long").as("score"),
+          col("prediction").as("cal_pav"))
+      val closed = queries("m25_isotonic_closed")(s, dir)
+        .select(col("score").cast("long").as("score"),
+          col("calibrated").as("cal_closed"))
+      pav.join(closed, "score")
+        .agg(count(lit(1)).as("n"),
+          sum(when(floor(abs(col("cal_pav") - col("cal_closed")) * 1e9)
+            === 0L, 1L).otherwise(0L)).as("agree"))
+        .select(col("n").as("n_scores"), col("agree").as("n_agree"),
+          when(col("agree") === col("n") && col("n") > 0L, 1L)
+            .otherwise(0L).as("all_agree"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+
+    // ADVERSARIAL gate oracle: n_scores/n_agree are the data-derived
+    // lattice size — if MLlib PAV diverged from the closed form at
+    // any score, n_agree would fall short and the hash fails.
+    "m25_isotonic_gate" ->
+      """WITH e AS (SELECT DISTINCT (event_id * 37) % 101 AS score
+        | FROM events)
+        |SELECT count(*)::BIGINT AS n_scores,
+        | count(*)::BIGINT AS n_agree,
+        | CAST(1 AS BIGINT) AS all_agree
+        |FROM e""".stripMargin,
 
     "m25_isotonic_closed" ->
       """WITH e AS (SELECT (event_id * 37) % 101 AS score,

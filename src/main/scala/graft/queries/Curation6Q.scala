@@ -122,8 +122,17 @@ object Curation6Q {
         .groupBy("l_orderkey")
         .agg(collect_set(col("bcode")).as("items"))
         .cache()
+      // numPartitions = 3x the session's shuffle width: FP-Growth's
+      // conditional-transaction stage partitions BY ITEM SUFFIX, and
+      // the brand-frequency skew (a few hot brands own most suffixes)
+      // makes 1-wave scheduling straggle on the hot partitions; three
+      // waves of smaller suffix groups pack the executors instead
+      // (the standard parallel-FP-Growth balance knob, PFP §4.2)
+      val nPart = baskets.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt * 3
       val model = new FPGrowth().setItemsCol("items")
-        .setMinSupport(0.05).setMinConfidence(0.5).fit(baskets)
+        .setMinSupport(0.05).setMinConfidence(0.5)
+        .setNumPartitions(nPart).fit(baskets)
       model.freqItemsets
         .filter(size(col("items")) <= 2)
         .select(array_join(transform(sort_array(col("items")),

@@ -94,6 +94,35 @@ object PipelineQ {
         .toDF("model_beats_physics", "physics_rmse_positive")
     }),
 
+    // M2 gate (round 10): the PRIMARY pair alone must beat the
+    // physics floor on its held-out fold — e1_rmse_gate covers the
+    // blended ensemble; this pins the single-stage fit (the rest of
+    // m2_gbt's no_oracle surface is tree predictions, not hash-stable
+    // across MLlib versions). Integer-decided, constant-row oracle.
+    "m2_rmse_gate" -> ((s, dir) => {
+      val frames = cappedFrames(s, dir, cap = 20)
+      val rows = graft.ml.Folds.withFold(
+        TreeEnsemblePipeline.trainingRows(frames, syntheticTruth(frames))
+          .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y")),
+        Seq("game_id", "play_id", "nfl_id"), 4).cache()
+      val m = GbtPair.train(rows.filter(col("fold") =!= 0),
+        TreeEnsemblePipeline.FeatureCols, "res_x", "res_y",
+        GbtPair.Params(maxIter = 5, maxDepth = 3, fitPartitions = 8))
+      GbtPair.predict(rows.filter(col("fold") === 0), m)
+        .agg(
+          sqrt((avg(pow(col("x_true") - col("phys_x") - col("pred_x"), 2)) +
+            avg(pow(col("y_true") - col("phys_y") - col("pred_y"), 2))) / 2)
+            .as("rmse_model"),
+          sqrt((avg(pow(col("x_true") - col("phys_x"), 2)) +
+            avg(pow(col("y_true") - col("phys_y"), 2))) / 2)
+            .as("rmse_phys"))
+        .select(
+          when(col("rmse_model") < col("rmse_phys"), 1L).otherwise(0L)
+            .as("m2_beats_physics"),
+          when(col("rmse_phys") > 0.0, 1L).otherwise(0L)
+            .as("physics_rmse_positive"))
+    }),
+
     // M5: ridge-stacked variant.
     "m5_ridge" -> ((s, dir) => {
       val frames = cappedFrames(s, dir, cap = 20)
@@ -143,6 +172,44 @@ object PipelineQ {
       GbtPair.predict(rows, restored)
         .select("game_id", "play_id", "nfl_id", "frame_id_out",
           "pred_x", "pred_y")
+    }),
+
+    // S5 gate (round 10): the artifact round-trip must be EXACT —
+    // the restored pair's predictions bitwise-equal the in-memory
+    // pair's on every row (MLlib persists the full split/leaf
+    // structure; any lossy serialization would break equality).
+    // s5_artifacts itself stays rows-only (tree predictions are not
+    // hash-stable across fits); this integer-decided row makes the
+    // save/load contract driver-visible (e1_rmse_gate pattern).
+    "s5_roundtrip_gate" -> ((s, dir) => {
+      val frames = cappedFrames(s, dir).filter(col("game_id") < 10)
+      val rows = TreeEnsemblePipeline
+        .trainingRows(frames, syntheticTruth(frames))
+        .na.drop(Seq("x_true", "y_true", "phys_x", "phys_y"))
+      val m = GbtPair.train(rows, TreeEnsemblePipeline.FeatureCols,
+        "res_x", "res_y",
+        GbtPair.Params(maxIter = 3, maxDepth = 3, fitPartitions = 8))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_s5_gate").toString
+      GbtPair.save(m, path)
+      val restored = GbtPair.load(path, TreeEnsemblePipeline.FeatureCols)
+      val keys = Seq("game_id", "play_id", "nfl_id", "frame_id_out")
+      val mem = GbtPair.predict(rows, m)
+        .select(col("game_id"), col("play_id"), col("nfl_id"),
+          col("frame_id_out"), col("pred_x").as("mx"),
+          col("pred_y").as("my"))
+      val rst = GbtPair.predict(rows, restored)
+        .select(col("game_id"), col("play_id"), col("nfl_id"),
+          col("frame_id_out"), col("pred_x").as("rx"),
+          col("pred_y").as("ry"))
+      mem.join(rst, keys)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("mx") === col("rx") && col("my") === col("ry"),
+            1L).otherwise(0L)).as("eq"))
+        .select(
+          when(col("eq") === col("n") && col("n") > 0L, 1L).otherwise(0L)
+            .as("roundtrip_exact"),
+          when(col("n") > 0L, 1L).otherwise(0L).as("n_rows_positive"))
     }),
 
     // E2: sequence-tensor build (M8 + A4 + M6 over the temporal block,
@@ -265,6 +332,16 @@ object PipelineQ {
     "m8_nn_gate" ->
       """SELECT CAST(1 AS BIGINT) AS nn_beats_physics,
         | CAST(1 AS BIGINT) AS physics_rmse_positive""".stripMargin,
+
+    "m2_rmse_gate" ->
+      """SELECT CAST(1 AS BIGINT) AS m2_beats_physics,
+        | CAST(1 AS BIGINT) AS physics_rmse_positive""".stripMargin,
+
+    // The exactness assertion IS the content: save/load must be
+    // bit-faithful for every prediction.
+    "s5_roundtrip_gate" ->
+      """SELECT CAST(1 AS BIGINT) AS roundtrip_exact,
+        | CAST(1 AS BIGINT) AS n_rows_positive""".stripMargin,
 
     "m5_ridge_closed" ->
       """WITH base AS (SELECT l_orderkey,

@@ -68,7 +68,11 @@ class PlanGuardSpec extends SparkSpec {
     "w81_atr", "w82_granger", "w83_stochastic",
     // batch 77: the 101-value score lattice (m64) and the day
     // lattice (w86) — both bounded by domain
-    "m64_ks_stat", "w86_drawdown")
+    "m64_ks_stat", "w86_drawdown",
+    // round 10: the m25 gate embeds the closed twin's bounded
+    // <=101-score lattice window (same justification as
+    // m25_isotonic_closed)
+    "m25_isotonic_gate")
 
   /** Queries allowed to plan a BroadcastNestedLoopJoin: every entry
     * is an intentional crossJoin(broadcast(x)) of a scalar/parameter
@@ -88,6 +92,9 @@ class PlanGuardSpec extends SparkSpec {
     // m37: the same ivfAssign centroid broadcast as s_knn_join/m34
     "m37_retrieval_eval",
     "m25_isotonic_closed", "m28_best_f1", "m4_residual", "m6_scaler",
+    // round 10: the m25 gate embeds the closed twin's bounded-lattice
+    // theta-join (<=101 rows by construction)
+    "m25_isotonic_gate",
     "m8_scorer", "o23_timetravel", "s_ivf_recall", "s_ivf_topk",
     // s_two_stage: the 5-row query parameter frame fans out for the
     // brute-force recall oracle (the s_ivf_recall class)

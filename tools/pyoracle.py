@@ -407,7 +407,56 @@ def m34_knn_clf(sf_dir):
                                  "correct"]).astype("int64")
 
 
+def t_chrf(sf_dir):
+    """Independent chrF(beta=2) recompute: per-doc 2/3-gram multiset
+    counts over the space-stripped normalizeAz text (grams coded as
+    base-128 byte integers - a faithful bijection, no hashing), then
+    for each adjacent (i, i+1) pair clip = sum(min(cand_count,
+    ref_count)); F mirrors the Spark expression tree term-for-term
+    (((5.0*p)*r)/((4.0*p)+r), (f2+f3)/2.0) so raw doubles compare
+    bit-exact. A doc pair emits iff both sides have >=1 gram of BOTH
+    orders - the per-n inner-join semantics of the query."""
+    df = _docs(sf_dir)
+    codes = {}
+    for r in df.itertuples():
+        t = _norm_az(r.text).replace(" ", "")
+        if len(t) < 3:
+            # no 3-grams => the four-way not-null filter drops every
+            # pair this doc participates in (either side)
+            codes[int(r.doc_id)] = None
+            continue
+        a = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        c2 = np.unique(a[:-1] * 128 + a[1:], return_counts=True)
+        c3 = np.unique(a[:-2] * 16384 + a[1:-1] * 128 + a[2:],
+                       return_counts=True)
+        codes[int(r.doc_id)] = (c2, c3)
+    out = []
+    for i in sorted(codes):
+        c, ref = codes[i], codes.get(i + 1)
+        if c is None or ref is None or (i + 1) not in codes:
+            continue
+        row = [i, i + 1]
+        fs = []
+        for (cv, cc), (rv, rc) in ((c[0], ref[0]), (c[1], ref[1])):
+            cand, reftot = int(cc.sum()), int(rc.sum())
+            _, ci, ri = np.intersect1d(cv, rv, assume_unique=True,
+                                       return_indices=True)
+            clip = int(np.minimum(cc[ci], rc[ri]).sum())
+            row += [cand, reftot, clip]
+            if clip > 0:
+                p, q = clip / float(cand), clip / float(reftot)
+                fs.append(5.0 * p * q / (4.0 * p + q))
+            else:
+                fs.append(0.0)
+        out.append(row + [(fs[0] + fs[1]) / 2.0])
+    cols = ["doc_a", "doc_b", "cand2", "ref2", "clip2",
+            "cand3", "ref3", "clip3", "chrf"]
+    return pd.DataFrame(out, columns=cols).astype(
+        {c: "int64" for c in cols[:-1]} | {"chrf": "float64"})
+
+
 ORACLES = {
+    "t_chrf": t_chrf,
     "d_neardup": d_neardup,
     "d_components": d_components,
     "d_embclusters": d_embclusters,
