@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd fused "normalize → char n-gram codes → sort" kernel for
+  * the chrF family: one pass over the raw UTF-8 bytes lowercases
+  * ASCII letters and keeps ONLY [a-z] (the composite of
+  * `Text.normalizeAz` + space strip — dropping the space and
+  * dropping punctuation are the same operation once grams are taken
+  * over the compacted letters), emits the base-31 [[Text.charNgramCodes]]
+  * code of every n-gram, and primitive-sorts the codes — returning
+  * the exact array `array_sort(charNgramCodes(regexp_replace(
+  * normalizeAz(text), " ", ""), n))` produces, at a fraction of the
+  * cost: the Spark-native chain materializes one single-char
+  * UTF8String per character and sorts through a boxed comparator
+  * (measured 3.3 s per 5k docs at sf0.1); this kernel is one byte
+  * walk + one int-array `Arrays.sort` and allocates only the output.
+  *
+  * ASCII contract: bytes ≥ 0x80 are skipped wholesale. For ASCII
+  * corpora this is EXACTLY `lower()` + `[^a-z]` removal (the driver
+  * corpus is verified pure ASCII at every SF); a non-ASCII uppercase
+  * whose Unicode lowercase lands in [a-z] (e.g. U+212A KELVIN SIGN)
+  * would diverge from the regex form — the 3-SF oracle pinning is
+  * the guard, and the reference semantics never feed such data.
+  */
+case class AzNgramCodesSorted(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n == 2 || n == 3, s"n must be 2 or 3, got $n")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "az_ngram_codes_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    AzNgramCodesSorted.codes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.AzNgramCodesSorted.codes($c, $n);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AzNgramCodesSorted = copy(child = newChild)
+}
+
+object AzNgramCodesSorted {
+
+  private val Empty = UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+
+  /** Shared by interpreted eval and generated code. */
+  def codes(s: UTF8String, n: Int): ArrayData = {
+    // getBytes may ALIAS the row buffer (no copy when the slice spans
+    // the whole backing array) — compact into a fresh buffer, never
+    // in place
+    val raw = s.getBytes
+    val b = new Array[Byte](raw.length)
+    var k = 0
+    var i = 0
+    while (i < raw.length) {
+      val c = raw(i)
+      if (c >= 'a' && c <= 'z') { b(k) = c; k += 1 }
+      else if (c >= 'A' && c <= 'Z') { b(k) = (c + 32).toByte; k += 1 }
+      i += 1
+    }
+    val m = k - (n - 1)
+    if (m <= 0) return Empty
+    val out = new Array[Int](m)
+    var j = 0
+    if (n == 2) {
+      while (j < m) { out(j) = b(j) * 31 + b(j + 1); j += 1 }
+    } else {
+      while (j < m) {
+        out(j) = (b(j) * 31 + b(j + 1)) * 31 + b(j + 2); j += 1
+      }
+    }
+    java.util.Arrays.sort(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def azNgramCodesSorted(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(AzNgramCodesSorted(ColumnBridge.expression(c), n))
+  }
+}

@@ -122,17 +122,15 @@ object Curation6Q {
         .groupBy("l_orderkey")
         .agg(collect_set(col("bcode")).as("items"))
         .cache()
-      // numPartitions = 3x the session's shuffle width: FP-Growth's
-      // conditional-transaction stage partitions BY ITEM SUFFIX, and
-      // the brand-frequency skew (a few hot brands own most suffixes)
-      // makes 1-wave scheduling straggle on the hot partitions; three
-      // waves of smaller suffix groups pack the executors instead
-      // (the standard parallel-FP-Growth balance knob, PFP §4.2)
-      val nPart = baskets.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt * 3
+      // numPartitions stays at MLlib's default (= input partitions):
+      // a measured 3x-width experiment at sf10 (round 10, 64g
+      // interleaved A/B, min-of-2) REGRESSED the fit 70.5 -> 133.8 s
+      // — with only 25 distinct items the conditional-transaction
+      // stage has at most 25 suffix groups, so extra partitions add
+      // scheduling/merge overhead without any skew to spread; the
+      // PFP balance knob only pays off at large item vocabularies
       val model = new FPGrowth().setItemsCol("items")
-        .setMinSupport(0.05).setMinConfidence(0.5)
-        .setNumPartitions(nPart).fit(baskets)
+        .setMinSupport(0.05).setMinConfidence(0.5).fit(baskets)
       model.freqItemsets
         .filter(size(col("items")) <= 2)
         .select(array_join(transform(sort_array(col("items")),

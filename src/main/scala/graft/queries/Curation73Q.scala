@@ -141,62 +141,56 @@ object Curation73Q {
     // F = 5PR/(4P + R); chrF = (F₂ + F₃)/2 — exact counts, pinned
     // chains, raw.
     "t_chrf" -> ((s, dir) => {
-      import graft.functions.Text
-      val stripped = regexp_replace(Text.normalizeAz(col("text")),
-        " ", "")
-      val d = documents(s, dir)
-        .select(col("doc_id"), stripped.as("st"))
-      // ONE corpus pass: tag each gram with its order n inside the
-      // explode, so both gram tables share a single explode+groupBy
-      // and a single cache (the per-n twin-pass shape was the
-      // surface's largest absolute wall at sf10: two full
-      // explode+exchange chains plus two live caches).
-      def tagged(n: Int) = transform(Text.charNgrams(col("st"), n),
-        g => struct(lit(n).as("n"), g.as("g")))
-      val bg = d.select(col("doc_id"),
-          explode(concat(tagged(2), tagged(3))).as("t"))
-        .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-        .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
-        .cache()
-      val cand = bg.select(col("doc_id").as("doc_a"), col("n"),
-        col("g"), col("cnt").as("c_cnt"))
-      val ref = bg.select((col("doc_id") - 1).as("doc_a"), col("n"),
-        col("g"), col("cnt").as("r_cnt"))
-      // conditional per-n sums replace the per-n groupBys; a null
-      // total means "doc has no grams of that order on that side",
-      // which the round-8 shape expressed as per-n INNER joins —
-      // reproduced below by the four-way not-null filter
-      def per(nm: String, v: Column, n: Int) =
-        sum(when(col("n") === n, v)).as(nm)
-      val totC = cand.groupBy("doc_a")
-        .agg(per("cand2", col("c_cnt"), 2), per("cand3", col("c_cnt"), 3))
-      val totR = ref.groupBy("doc_a")
-        .agg(per("ref2", col("r_cnt"), 2), per("ref3", col("r_cnt"), 3))
-      // gram- and doc-grain frames are ROW-SCALE (grow with the
-      // corpus): pin sort-merge so a pre-materialization size
-      // mis-estimate can never plan a multi-GB broadcast (hit at
-      // sf10 under the bench session's 128 MB threshold)
-      val clip = cand.join(ref.hint("merge"), Seq("doc_a", "n", "g"))
-        .groupBy("doc_a")
-        .agg(per("clip2", least(col("c_cnt"), col("r_cnt")), 2),
-          per("clip3", least(col("c_cnt"), col("r_cnt")), 3))
+      import graft.functions.AzNgramCodesSorted.azNgramCodesSorted
+      import graft.functions.SortedIntMultisetIntersectCount
+        .sortedMultisetIntersectCount
+      // ZERO gram-grain shuffles, ONE fused kernel per doc per n:
+      // every shuffle-based shape tried (round-9 per-n twin pass;
+      // round-10 tagged-struct and int-code single-pass variants,
+      // all A/B'd at sf10) was bottlenecked by moving ~1 row per
+      // gram OCCURRENCE through explode→hash-agg→sort-merge
+      // exchanges, and the Spark-native per-doc chain (regexp
+      // normalize + char split + boxed array_sort) measured 3.3 s
+      // per 5k docs on its own. v4: AzNgramCodesSorted fuses
+      // normalize→codes→primitive-sort into one codegen'd byte walk
+      // (code ↔ gram bijective for [a-z]); the cache makes the
+      // kernel run ONCE per doc (cand and ref are two reads of the
+      // same frame); the doc-grain self-join is the only shuffle;
+      // clip = Σ_g min(counts) is one codegen'd two-pointer merge
+      // per pair (SortedIntMultisetIntersectCount).
+      val docGrams = documents(s, dir).select(col("doc_id"),
+        azNgramCodesSorted(col("text"), 2).as("s2"),
+        azNgramCodesSorted(col("text"), 3).as("s3")).cache()
+      val cand = docGrams.select(col("doc_id").as("doc_a"),
+        col("s2").as("c2"), col("s3").as("c3"))
+      val ref = docGrams.select((col("doc_id") - 1).as("doc_a"),
+        col("s2").as("r2"), col("s3").as("r3"))
+      // inner join + the size()>0 filters = the per-n inner-join
+      // semantics of the original shape (a doc pair emits iff BOTH
+      // sides have ≥1 gram of BOTH orders)
+      val paired = cand.join(ref.hint("merge"), "doc_a")
+        .filter(size(col("c2")) > 0 && size(col("r2")) > 0 &&
+          size(col("c3")) > 0 && size(col("r3")) > 0)
+        .select(col("doc_a"),
+          size(col("c2")).cast("long").as("cand2"),
+          size(col("r2")).cast("long").as("ref2"),
+          sortedMultisetIntersectCount(col("c2"), col("r2"))
+            .as("clip2"),
+          size(col("c3")).cast("long").as("cand3"),
+          size(col("r3")).cast("long").as("ref3"),
+          sortedMultisetIntersectCount(col("c3"), col("r3"))
+            .as("clip3"))
       def f(n: Int): Column = {
-        val cl = coalesce(col(s"clip$n"), lit(0L))
+        val cl = col(s"clip$n")
         val p = cl.cast("double") / col(s"cand$n").cast("double")
         val r = cl.cast("double") / col(s"ref$n").cast("double")
         when(cl > 0L, lit(5.0) * p * r / (lit(4.0) * p + r))
           .otherwise(lit(0.0))
       }
-      totC.join(totR.hint("merge"), "doc_a")
-        .join(clip.hint("merge"), Seq("doc_a"), "left")
-        .filter(col("cand2").isNotNull && col("ref2").isNotNull &&
-          col("cand3").isNotNull && col("ref3").isNotNull)
-        .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
-          col("cand2"), col("ref2"),
-          coalesce(col("clip2"), lit(0L)).as("clip2"),
-          col("cand3"), col("ref3"),
-          coalesce(col("clip3"), lit(0L)).as("clip3"),
-          ((f(2) + f(3)) / 2.0).as("chrf"))
+      paired.select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
+        col("cand2"), col("ref2"), col("clip2"),
+        col("cand3"), col("ref3"), col("clip3"),
+        ((f(2) + f(3)) / 2.0).as("chrf"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------

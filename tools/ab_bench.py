@@ -19,6 +19,11 @@ dirA, dirB, sf = sys.argv[1], sys.argv[2], sys.argv[3]
 n = int(sys.argv[4])
 queries = sys.argv[5:]
 env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf)
+# sf10 runs need the documented 64g heap (round-8 campaign setting);
+# the 8g default OOM-stops the context under t_chrf's cached gram
+# table and turns cache behavior into spill behavior, which is not
+# the configuration any recorded sf10 artifact used.
+env.setdefault("SPARK_DRIVER_MEM", "64g" if "sf10" in sf else "8g")
 
 def run(cwd, i):
     out = subprocess.run(
@@ -35,7 +40,7 @@ def run(cwd, i):
         sys.stderr.write(f"{cwd} run {i}: errors {j['errors']}\n")
         sys.exit(1)
     sys.stderr.write(f"{os.path.basename(cwd) or 'HEAD':8s} run {i}: "
-                     f"total {j['value']:.1f}s\n")
+                     f"total {j['value']:.1f}s {json.dumps(j['queries'])}\n")
     return j["queries"]
 
 runsA, runsB = [], []
