@@ -13,10 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * ASCII letters and keeps ONLY [a-z] (the composite of
   * `Text.normalizeAz` + space strip — dropping the space and
   * dropping punctuation are the same operation once grams are taken
-  * over the compacted letters), emits the base-31 [[Text.charNgramCodes]]
-  * code of every n-gram, and primitive-sorts the codes — returning
-  * the exact array `array_sort(charNgramCodes(regexp_replace(
-  * normalizeAz(text), " ", ""), n))` produces, at a fraction of the
+  * over the compacted letters), emits the base-31 code of every n-gram
+  * (c₀·31^(n−1)+…+c_{n−1} — a bijection for [a-z] inputs, never a
+  * hash), and primitive-sorts the codes — returning
+  * exactly the sorted code array the Spark-native chain
+  * (`array_sort` over per-char codes of `regexp_replace(
+  * normalizeAz(text), " ", "")`) produces, at a fraction of the
   * cost: the Spark-native chain materializes one single-char
   * UTF8String per character and sorts through a boxed comparator
   * (measured 3.3 s per 5k docs at sf0.1); this kernel is one byte

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * distinct-element set variant).
   *
   * Built for the chrF clipped-gram kernel: each doc's char-n-gram
-  * codes ([[Text.charNgramCodes]]) arrive `array_sort`ed, and the
+  * codes ([[AzNgramCodesSorted]]) arrive sorted, and the
   * clipped overlap of adjacent docs is exactly the sorted-multiset
   * intersection — computing it per PAIR row keeps the whole gram
   * workload map-side (the shuffle-based explode→groupBy→join shape

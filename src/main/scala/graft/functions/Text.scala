@@ -51,31 +51,6 @@ object Text {
     when(size(cs) >= lit(n), grams).otherwise(array().cast("array<string>"))
   }
 
-  /** Integer codes of character n-grams (n ≤ 3) of an az-only
-    * (normalized, space-stripped) string: the base-31 polynomial of
-    * the code units — NOT a hash; for [a-z] inputs it never wraps,
-    * so code ↔ gram is a bijection and grouping/joining on the int
-    * equals grouping on the string at a fraction of the shuffle and
-    * sort width (4-byte key vs a 2-3 char UTF8String — measured 10%+
-    * on t_chrf's gram-grain exchanges at sf10). The n=2 and n=3 code
-    * ranges are DISJOINT ([3104, 3904] vs [96354, 121176]), so a
-    * mixed-order stream needs no separate n tag. Same
-    * slices-as-arguments zip_with chain as [[charNgrams]] (no
-    * O(len²) lambda re-evaluation). */
-  def charNgramCodes(c: Column, n: Int): Column = {
-    val cs = transform(chars(c), ch => ascii(ch))
-    val m = greatest(size(cs) - lit(n - 1), lit(0))
-    val codes = (2 to n).foldLeft(slice(cs, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(cs, lit(k), m), (a, b) => a * 31 + b)
-    }
-    when(size(cs) >= lit(n), codes).otherwise(array().cast("array<int>"))
-  }
-
-  /** Boundary between the disjoint 2-gram and 3-gram code ranges of
-    * [[charNgramCodes]]: any az-only 2-gram code ≤ 3904 < 10000 ≤
-    * 96354 ≤ any 3-gram code. */
-  val NgramCodeBoundary: Int = 10000
-
   /** Large prime for all polynomial hashing; fits comfortably in Long
     * arithmetic (acc < P ~1e9; a*h < ~1e18 < Long.MaxValue). */
   val P: Long = 1000000007L
