@@ -32,10 +32,15 @@ case class SortedIntMultisetIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+      // containsNull must be FALSE: count() reads elements with
+      // getInt, which returns garbage (not an error) for a null slot.
+      // The intended producer ([[AzNgramCodesSorted]]) declares
+      // non-null elements; any other caller must prove the same.
+      case (ArrayType(IntegerType, false), ArrayType(IntegerType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<int> arguments, got " +
+        s"$prettyName requires two array<int> arguments with " +
+          s"non-nullable elements (containsNull=false), got " +
           s"${l.sql}, ${r.sql}")
     }
 

@@ -26,6 +26,22 @@ object PipelineQ {
 
   /** Synthetic ground truth = physics + a smooth feature-dependent
     * pattern, so residual learners have signal to find. */
+  /** Remove a temp model directory once [[graft.ml.GbtPair.load]]
+    * has materialized the trees (MLlib loads eagerly, so the on-disk
+    * artifact is dead weight after load; bench sweeps and GateSpec
+    * re-run the s5 queries, so an undeleted dir compounds per run). */
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+  }
+
   def syntheticTruth(frames: DataFrame): DataFrame = {
     val last = Temporal.groupTail(frames,
       Seq(col("game_id"), col("play_id"), col("nfl_id")), Seq(col("frame_id")))
@@ -167,8 +183,11 @@ object PipelineQ {
       // concurrent runs (one overwrite deletes files the other reads)
       val path = java.nio.file.Files
         .createTempDirectory("graft_s5_model").toString
-      GbtPair.save(m, path)
-      val restored = GbtPair.load(path, TreeEnsemblePipeline.FeatureCols)
+      val restored =
+        try {
+          GbtPair.save(m, path)
+          GbtPair.load(path, TreeEnsemblePipeline.FeatureCols)
+        } finally deleteRecursively(path)
       GbtPair.predict(rows, restored)
         .select("game_id", "play_id", "nfl_id", "frame_id_out",
           "pred_x", "pred_y")
@@ -191,8 +210,11 @@ object PipelineQ {
         GbtPair.Params(maxIter = 3, maxDepth = 3, fitPartitions = 8))
       val path = java.nio.file.Files
         .createTempDirectory("graft_s5_gate").toString
-      GbtPair.save(m, path)
-      val restored = GbtPair.load(path, TreeEnsemblePipeline.FeatureCols)
+      val restored =
+        try {
+          GbtPair.save(m, path)
+          GbtPair.load(path, TreeEnsemblePipeline.FeatureCols)
+        } finally deleteRecursively(path)
       val keys = Seq("game_id", "play_id", "nfl_id", "frame_id_out")
       val mem = GbtPair.predict(rows, m)
         .select(col("game_id"), col("play_id"), col("nfl_id"),

@@ -67,7 +67,7 @@ class ChrfKernelSpec extends SparkSpec {
       (901L, Seq(1, 1, 1), Seq(1, 1)) :+ (902L, Seq(5), Seq(5))
     val df = pairs.toDF("id", "a", "b").select(col("id"),
       SortedIntMultisetIntersectCount.sortedMultisetIntersectCount(
-        col("a").cast("array<int>"), col("b").cast("array<int>")).as("c"))
+        col("a"), col("b")).as("c"))
     val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     pairs.foreach { case (id, a, b) =>
       assert(got(id) == bruteClip(a, b), s"id=$id a=$a b=$b")

@@ -39,6 +39,11 @@ def run(cwd, i):
     if j.get("errors"):
         sys.stderr.write(f"{cwd} run {i}: errors {j['errors']}\n")
         sys.exit(1)
+    missing = [q for q in queries if q not in j["queries"]]
+    if missing:
+        sys.stderr.write(f"{cwd} run {i}: requested queries absent from "
+                         f"bench output (typo'd name?): {missing}\n")
+        sys.exit(1)
     sys.stderr.write(f"{os.path.basename(cwd) or 'HEAD':8s} run {i}: "
                      f"total {j['value']:.1f}s {json.dumps(j['queries'])}\n")
     return j["queries"]
