@@ -389,6 +389,79 @@ object DistRank {
       totalAs.map(t => lit(total).as(t)).toSeq: _*)
   }
 
+  /** All ADJACENT row pairs (row_i, row_{i+1}) of the total order
+    * `order` — the operator behind exact sequential statistics
+    * (Chatterjee's ξ, von Neumann ratios) whose terms touch each
+    * consecutive pair once. Replaces the global-row-number self-join
+    * shape (`pos` joined against itself shifted by one), which
+    * computes the full input chain twice and shuffles a row-scale
+    * hash join, with ONE bucket-local sort pass:
+    *
+    *   - within-bucket pairs: `lead()` over the cumsum Pass-2 window
+    *     (bucket-local sort, p-way parallel, spillable);
+    *   - the ≤ p−1 cross-boundary pairs: per-bucket first/last rows
+    *     by `min_by`/`max_by` (aggregate-grain, ≤ p rows) joined to
+    *     the next PRESENT bucket over a broadcast inequality —
+    *     bounded metadata, entirely in-plan.
+    *
+    * Output: for each name in `cols`, `name` (row i) and `name_n`
+    * (row i+1); exactly N−1 rows for an N-row input. `order` must be
+    * an ASCENDING total order; `bucketKey` ASC-congruent with its
+    * leading column and NULL-free (the [[cumsum]] contract — NaN
+    * keys go to the top bucket). Build runs only the shared
+    * boundary-sketch job.
+    */
+  def adjacentPairs(df: DataFrame, bucketKey: Column, order: Seq[Column],
+      cols: Seq[String], parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val oNames = order.indices.map(i => s"__do$i")
+    val tagged = df.select(
+      order.zip(oNames).map { case (c, n) => c.as(n) } ++
+        cols.map(col) :+ bucketKey.cast("double").as("__drk"): _*)
+    val qs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
+    val bounds: Seq[Double] =
+      if (p == 1) Nil
+      else {
+        val bRow = tagged
+          .agg(percentile_approx(col("__drk"), qs, lit(2500)).as("b"))
+          .head()
+        if (bRow.isNullAt(0)) Nil
+        else bRow.getSeq[Double](0).distinct.sorted
+      }
+    val bucketed = tagged.withColumn("__drp", pidFor(col("__drk"), bounds))
+    val w = Window.partitionBy("__drp").orderBy(oNames.map(col): _*)
+    val ordStruct = struct(oNames.map(col): _*)
+    val payload = struct(cols.map(col): _*)
+    val inBucket = bucketed
+      .withColumn("__dnext", lead(payload, 1).over(w))
+      .filter(col("__dnext").isNotNull)
+      .select(cols.map(col) ++
+        cols.map(c => col(s"__dnext.$c").as(s"${c}_n")): _*)
+    // bucket ends: the total order makes ordStruct unique, so
+    // min_by/max_by are deterministic
+    val ends = bucketed.groupBy("__drp").agg(
+      min_by(payload, ordStruct).as("__first"),
+      max_by(payload, ordStruct).as("__last"))
+    val lasts = ends.select(col("__drp").as("__pa"), col("__last"))
+    val firsts = ends.select(col("__drp").as("__pb"), col("__first"))
+    // next PRESENT bucket (ids are sparse when buckets are empty):
+    // a ≤ p-row broadcast inequality join, then keep the minimal
+    // successor per bucket
+    // group by the bucket id alone (never the payload struct —
+    // grouping keys get -0.0-normalized); __last is constant within
+    // a group, carried through min_by
+    val boundary = lasts
+      .join(broadcast(firsts), col("__pb") > col("__pa"))
+      .groupBy(col("__pa"))
+      .agg(min_by(col("__first"), col("__pb")).as("__first"),
+        min_by(col("__last"), col("__pb")).as("__last"))
+      .select(cols.map(c => col(s"__last.$c").as(c)) ++
+        cols.map(c => col(s"__first.$c").as(s"${c}_n")): _*)
+    inBucket.union(boundary)
+  }
+
   /** ANSI ntile from an exact global rank: with N rows and n buckets,
     * the first N mod n buckets hold N/n + 1 rows, the rest N/n — the
     * same arithmetic Spark's and DuckDB's NTile evaluate, but over

@@ -53,21 +53,25 @@ object Curation55Q {
       val rows = li.join(cum, col("y") === col("c"))
         .select(col("x"), col("ok"), col("ln"), col("y"),
           col("r"), col("l"))
-      val pos = DistRank.cumsum(rows, col("x"),
-        Seq(col("x"), col("ok"), col("ln"), col("y")), Seq(),
-        rowNumberAs = Some("pos"), totalsSuffix = Some("_tot"))
-      val adj = pos.select(col("pos"), col("r"))
-        .join(pos.select((col("pos") - 1).as("pos"), col("r").as("rn")),
-          "pos")
-        .agg(sum(abs(col("rn") - col("r")).cast("decimal(38,0)"))
+      // one bucket-local sort pass for the Σ|r_{i+1} − r_i| fold
+      // (before: a global-row-number cumsum referenced twice — the
+      // full chain computed twice — plus a row-scale pos→pos+1 hash
+      // join); Σ l·(n−l) = n·Σl − Σl² folds the former pos_tot
+      // literal into moments of the same pass — exact integers both
+      // ways, so the final double ops see identical operands
+      val adj = DistRank.adjacentPairs(rows, col("x"),
+          Seq(col("x"), col("ok"), col("ln"), col("y")), Seq("r"))
+        .agg(sum(abs(col("r_n") - col("r")).cast("decimal(38,0)"))
           .as("sad"))
-      val den = pos.agg(
-        sum(col("l").cast("decimal(38,0)") * (col("pos_tot") - col("l")))
-          .as("sl"), max(col("pos_tot")).as("n"))
+      val den = rows.agg(
+        count(lit(1)).as("n"),
+        sum(col("l").cast("decimal(38,0)")).as("sl1"),
+        sum(col("l").cast("decimal(38,0)") * col("l")).as("sl2"))
       den.crossJoin(broadcast(adj))
         .select(col("n"),
           (lit(1.0) - (col("sad") * col("n")).cast("double") /
-            (col("sl") * 2).cast("double")).as("xi"))
+            ((col("sl1") * col("n") - col("sl2")) * 2).cast("double"))
+            .as("xi"))
     }),
 
     // A103: Bartels' rank von Neumann ratio of the event-value series
@@ -85,17 +89,17 @@ object Curation55Q {
         Seq((col("m"), "clo")), inclusive = false)
         .select(col("c"), (col("clo") * 2 + col("m") + 1).as("mr2"))
       val rows = e.join(mr, "c")
-      val pos = DistRank.cumsum(rows, col("ts_us"),
-        Seq(col("ts_us"), col("event_id")), Seq(),
-        rowNumberAs = Some("pos"), totalsSuffix = Some("_tot"))
-      val num = pos.select(col("pos"), col("mr2"))
-        .join(pos.select((col("pos") - 1).as("pos"),
-          col("mr2").as("mr2n")), "pos")
-        .agg(sum((col("mr2n") - col("mr2")).cast("decimal(38,0)") *
-          (col("mr2n") - col("mr2"))).as("sdd"))
-      val den = pos.agg(
+      // same rewrite as a102: adjacent Δmr2 terms from one
+      // bucket-local sort pass instead of the doubled cumsum chain +
+      // pos self-join; n comes from a count over the same moments
+      // pass (identical integer, identical final double ops)
+      val num = DistRank.adjacentPairs(rows, col("ts_us"),
+          Seq(col("ts_us"), col("event_id")), Seq("mr2"))
+        .agg(sum((col("mr2_n") - col("mr2")).cast("decimal(38,0)") *
+          (col("mr2_n") - col("mr2"))).as("sdd"))
+      val den = rows.agg(
         sum(col("mr2").cast("decimal(38,0)") * col("mr2")).as("s2"),
-        sum(col("mr2")).as("s1"), max(col("pos_tot")).as("n"))
+        sum(col("mr2")).as("s1"), count(lit(1)).as("n"))
       den.crossJoin(broadcast(num))
         .select(col("n"),
           ((col("sdd") * col("n")).cast("double") /

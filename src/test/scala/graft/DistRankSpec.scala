@@ -199,4 +199,45 @@ class DistRankSpec extends SparkSpec {
     assert(!(plan.contains("Window") && plan.contains("SinglePartition")),
       "distributed rank must not plan a global window")
   }
+
+  test("adjacentPairs equals the global-order lead, N-1 rows") {
+    // (k, id) total order; payload v AND the order column k itself
+    val expect = base
+      .withColumn("vn", lead(col("v"), 1)
+        .over(Window.orderBy(col("k"), col("id"))))
+      .withColumn("kn", lead(col("k"), 1)
+        .over(Window.orderBy(col("k"), col("id"))))
+      .filter(col("vn").isNotNull)
+      .select("v", "k", "vn", "kn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = DistRank.adjacentPairs(base, col("k"),
+        Seq(col("k"), col("id")), Seq("v", "k"), parts = 4)
+      .select("v", "k", "v_n", "k_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got.size == 998 && got == expect)
+  }
+
+  test("adjacentPairs: sparse buckets, single row, empty input") {
+    // two far-apart key islands with p=8 leaves most buckets empty —
+    // the boundary join must still chain across PRESENT buckets only
+    val sparse = spark.range(0, 20)
+      .select(col("id"), when(col("id") < 10, col("id"))
+        .otherwise(col("id") * 1000).as("k"))
+    val expect = sparse
+      .withColumn("kn", lead(col("k"), 1).over(Window.orderBy(col("k"))))
+      .filter(col("kn").isNotNull)
+      .select("k", "kn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = DistRank.adjacentPairs(sparse, col("k"), Seq(col("k")),
+        Seq("k"), parts = 8)
+      .select("k", "k_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.size == 19 && got == expect)
+    assert(DistRank.adjacentPairs(base.limit(1), col("k"),
+      Seq(col("k"), col("id")), Seq("v"), parts = 4).count() == 0L)
+    assert(DistRank.adjacentPairs(base.limit(0), col("k"),
+      Seq(col("k"), col("id")), Seq("v"), parts = 4).count() == 0L)
+  }
 }
