@@ -50,9 +50,12 @@ object Curation55Q {
       // equal y hence equal rank r, so the r-SEQUENCE (all ξ reads)
       // is invariant under their arbitrary arrangement on both
       // engines.
+      // cached: three consumers (pair window, bucket-ends aggregate,
+      // moment pass) would otherwise each recompute the rank join —
+      // the t_chrf docGrams pattern; spillable MEMORY_AND_DISK
       val rows = li.join(cum, col("y") === col("c"))
         .select(col("x"), col("ok"), col("ln"), col("y"),
-          col("r"), col("l"))
+          col("r"), col("l")).cache()
       // one bucket-local sort pass for the Σ|r_{i+1} − r_i| fold
       // (before: a global-row-number cumsum referenced twice — the
       // full chain computed twice — plus a row-scale pos→pos+1 hash
@@ -88,7 +91,7 @@ object Curation55Q {
       val mr = DistRank.cumsum(vc, col("c"), Seq(col("c")),
         Seq((col("m"), "clo")), inclusive = false)
         .select(col("c"), (col("clo") * 2 + col("m") + 1).as("mr2"))
-      val rows = e.join(mr, "c")
+      val rows = e.join(mr, "c").cache()
       // same rewrite as a102: adjacent Δmr2 terms from one
       // bucket-local sort pass instead of the doubled cumsum chain +
       // pos self-join; n comes from a count over the same moments
