@@ -56,10 +56,14 @@ object Curation10Q {
     // compare anywhere). The quality gate that tells you whether 12
     // hashes suffice for your dedup threshold before a 100 TB run.
     "d_minhash_err" -> ((s, dir) => {
+      // cached: both join sides read the gram+signature frame; the
+      // hash chain would otherwise run twice over the corpus (the
+      // t_editdist / t_chrf pattern)
       val d = documents(s, dir).select(col("doc_id"),
         Dedup.gramHashes(col("text")).as("g"))
         .withColumn("sig", Dedup.signatureFromGrams(col("g")))
         .filter(size(col("g")) > 0)
+        .cache()
       val a = d.select(col("doc_id").as("doc_a"), col("g").as("ga"),
         col("sig").as("sa"))
       val b = d.select((col("doc_id") - 1).as("doc_a"),

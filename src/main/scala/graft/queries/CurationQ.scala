@@ -57,9 +57,12 @@ object CurationQ {
     // family). The is_subdup flag clears floats entirely:
     // 10·|A∩B| ≥ 8·|A| over BIGINTs.
     "d_contain" -> ((s, dir) => {
+      // cached: d feeds both join sides; the normalize+ngram chain
+      // would otherwise run twice over the corpus (the t_editdist /
+      // t_chrf pattern — Catalyst has no cross-side reuse)
       val d = documents(s, dir).select(col("doc_id"),
         array_distinct(Text.charNgrams(Text.normalizeAz(col("text")), 3))
-          .as("g"))
+          .as("g")).cache()
       val a = d.select(col("doc_id").as("doc_a"), col("g").as("ga"))
       val b = d.select((col("doc_id") - 1).as("doc_a"),
         col("doc_id").as("doc_b"), col("g").as("gb"))
