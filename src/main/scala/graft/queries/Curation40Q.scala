@@ -170,13 +170,23 @@ object Curation40Q {
       val seeds = sym.select(col("a").as("node")).distinct()
         .orderBy("node").limit(8)
         .select(col("node").as("seed"), col("node"))
+      // DELTA frontier per seed (the g23_pseudo_diameter pattern,
+      // round 11): expand only nodes first reached THIS hop
+      // (anti-join vs visited). The dense co-supply graph makes the
+      // hop-2 frontier ≈ the component, so full-frontier hops 3-4
+      // each paid a component-scale join for near-zero new rows.
+      // min-dist is identical either way: a node's FIRST discovery
+      // hop is its distance.
       var reach = seeds.withColumn("dist", lit(0L))
+      var visited = seeds.localCheckpoint()
       var frontier = seeds
       for (h <- 1 to 4) {
         frontier = frontier
           .join(sym.select(col("a").as("node"), col("b")), "node")
           .select(col("seed"), col("b").as("node")).distinct()
+          .join(visited, Seq("seed", "node"), "left_anti")
           .localCheckpoint()
+        visited = visited.union(frontier).localCheckpoint()
         reach = reach.union(frontier.withColumn("dist", lit(h.toLong)))
       }
       reach.groupBy("seed", "node").agg(min("dist").as("dist"))
