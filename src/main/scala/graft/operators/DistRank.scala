@@ -413,6 +413,9 @@ object DistRank {
     */
   def adjacentPairs(df: DataFrame, bucketKey: Column, order: Seq[Column],
       cols: Seq[String], parts: Int = 0): DataFrame = {
+    require(cols.forall(c => !cols.contains(s"${c}_n")),
+      s"adjacentPairs suffix collision: a requested column's '_n' pair " +
+        s"name shadows another requested column (${cols.mkString(", ")})")
     val spark = df.sparkSession
     val p = if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
