@@ -49,8 +49,15 @@ object Curation48Q {
       var dist = comp.select(col("node"),
           when(col("node") === col("component"), 0L).as("d"))
         .localCheckpoint()
+      // early exit (round 11): in unweighted BFS a node's first
+      // assignment IS its minimum, so once every node is labeled the
+      // remaining rounds are no-ops — stop instead of paying the
+      // fixed 12 (3 shuffles each). The unlabeled count is one tiny
+      // job over the checkpointed frame; output rows are identical,
+      // and the 12-round cap stays as the worst-case bound.
       var r = 0
-      while (r < 12) {
+      var unlabeled = -1L
+      while (r < 12 && unlabeled != 0L) {
         val relaxed = dist.join(sym, col("node") === col("u"))
           .filter(col("d").isNotNull)
           .select(col("v").as("node"), (col("d") + 1L).as("nd"))
@@ -60,6 +67,7 @@ object Curation48Q {
             least(coalesce(col("d"), col("nd")),
               coalesce(col("nd"), col("d"))).as("d"))
           .localCheckpoint()
+        unlabeled = dist.filter(col("d").isNull).count()
         r += 1
       }
       val labeled = comp.join(dist, "node")
