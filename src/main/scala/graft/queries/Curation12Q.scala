@@ -11,8 +11,9 @@ import Q._
   */
 object Curation12Q {
 
-  private def scratchDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // per-prefix per-JVM reused scratch, deleted on JVM exit (both
+  // writers run mode=overwrite, so reuse is a rewrite — see IoQ)
+  private def scratchDir(prefix: String): String = Q.scratchDir(prefix)
 
   val queries: Map[String, QueryFn] = Map(
 

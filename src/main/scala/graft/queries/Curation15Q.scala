@@ -11,8 +11,9 @@ import Q._
   */
 object Curation15Q {
 
-  private def scratchDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // per-prefix per-JVM reused scratch, deleted on JVM exit (see IoQ;
+  // o20 pre-cleans its rename target below, s17 rewrites fixed names)
+  private def scratchDir(prefix: String): String = Q.scratchDir(prefix)
 
   val queries: Map[String, QueryFn] = Map(
 
@@ -27,6 +28,10 @@ object Curation15Q {
       val root = scratchDir("graft_wap")
       val staging = s"$root/staging"
       val published = s"$root/published"
+      // the publish below is a directory RENAME — with the reused
+      // per-JVM scratch a prior invocation's published dir must go
+      // first or Files.move throws FileAlreadyExists
+      IoQ.deleteRecursively(new java.io.File(published))
       val src = orders(s, dir).select(col("o_orderkey"),
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))

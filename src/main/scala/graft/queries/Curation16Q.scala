@@ -82,7 +82,9 @@ object Curation16Q {
     // writer and read back with multiLine=true; counts prove no row
     // was split. Oracle reads the source table.
     "s18_multiline_csv" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_ml_csv").toString
+      // per-JVM reused scratch (overwrite-mode writer), deleted on
+      // JVM exit — see IoQ.scratchDir
+      val base = Q.scratchDir("graft_ml_csv")
       documents(s, dir).filter(col("doc_id") < 100)
         .select(col("doc_id"),
           concat(lit("header line\n"), col("text")).as("body"),

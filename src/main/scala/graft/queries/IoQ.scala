@@ -18,12 +18,12 @@ object IoQ {
     StructField("p_size", IntegerType),
     StructField("p_retailprice", DoubleType)))
 
-  /** Per-invocation unique scratch dir: derived-from-sfDir names
-    * collide when two processes (bench + tests, parallel CI) run the
-    * same query concurrently — one overwrite deletes part-files the
-    * other is reading. */
-  private def scratchDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Per-prefix per-JVM scratch dir (Q.scratchDir): unique per
+    * process so concurrent bench + tests never collide, REUSED across
+    * invocations in one JVM (every writer here runs mode=overwrite,
+    * so reuse is a rewrite), deleted on JVM exit — repeated sweeps no
+    * longer leak a directory per invocation (the s5 ADVICE class). */
+  private def scratchDir(prefix: String): String = Q.scratchDir(prefix)
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()

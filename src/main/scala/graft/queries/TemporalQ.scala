@@ -614,8 +614,8 @@ object TemporalQ {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val ev = events(s, dir)
-        val flushDir = java.nio.file.Files.createTempDirectory(
-          "graft_w50_flush").toString
+        // per-JVM reused scratch (overwrite write), JVM-exit delete
+        val flushDir = Q.scratchDir("graft_w50_flush")
         ev.groupBy("user_id")
           .agg(max(col("ts")).as("mx"))
           .select(lit(-1L).as("event_id"),
@@ -664,8 +664,8 @@ object TemporalQ {
     // single-row sessions are dropped by their session_first = −1.
     "w37_stream_session" -> ((s, dir) => {
       val ev = events(s, dir)
-      val flushDir = java.nio.file.Files.createTempDirectory(
-        "graft_w37_flush").toString
+      // per-JVM reused scratch (overwrite write), JVM-exit delete
+      val flushDir = Q.scratchDir("graft_w37_flush")
       ev.groupBy("user_id")
         .agg(max(col("ts")).as("mx"))
         .select(lit(-1L).as("event_id"),
@@ -842,8 +842,8 @@ object TemporalQ {
     // run forever at scale.
     "w60_stream_left_join" -> ((s, dir) => {
       val ev = events(s, dir)
-      val flushDir = java.nio.file.Files.createTempDirectory(
-        "graft_w60_flush").toString
+      // per-JVM reused scratch (overwrite write), JVM-exit delete
+      val flushDir = Q.scratchDir("graft_w60_flush")
       ev.agg(max(col("ts")).as("mx"))
         .select(lit(-1L).as("event_id"),
           (col("mx") + expr("INTERVAL 5 HOURS")).as("ts"),
