@@ -26,6 +26,13 @@ import org.apache.spark.sql.types._
   * Output: struct(cid LONG, a2 LONG, b2 LONG). A centroid of
   * mismatched width is skipped (never wins), matching the join
   * form's behavior on a malformed row.
+  *
+  * Array ELEMENTS must be non-null: the loop reads getLong, which
+  * returns garbage (not an error) for a null slot. The in-repo
+  * producer (ExactLloyd's quantized-component collect) never emits
+  * one; this expression is internal-only (not SQL-registered), so
+  * the contract is documented rather than schema-enforced — a
+  * containsNull=true schema whose DATA is null-free is fine.
   */
 case class LatticeArgmin(child: Expression, cents: Array[Array[Long]])
     extends UnaryExpression {

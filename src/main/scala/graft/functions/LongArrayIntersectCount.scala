@@ -19,6 +19,27 @@ case class LongArrayIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_intersect_count"
 
+  // containsNull must be FALSE (round 11, the
+  // SortedIntMultisetIntersectCount rule): the probe loop reads
+  // getLong, which returns garbage (not an error) for a null slot —
+  // and this expression is SQL-registered, so arbitrary arrays can
+  // reach it. The in-repo producer (NgramPolyHash) declares non-null
+  // elements.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst
+      .analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(LongType, false),
+            org.apache.spark.sql.types.ArrayType(LongType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires two array<bigint> arguments with " +
+              s"non-nullable elements (containsNull=false), got " +
+              s"${l.sql}, ${r.sql}")
+    }
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val set = new java.util.HashSet[java.lang.Long](a.numElements * 2)
