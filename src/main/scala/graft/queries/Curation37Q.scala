@@ -43,15 +43,19 @@ object Curation37Q {
           .as("term"))
       val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
       val n = documents(s, dir).agg(count(lit(1)).as("__N"))
+      // cached: both self-join sides read kept, and both edges and
+      // vocab read pairs — uncached, the token-explode chain ran
+      // twice and the co-occurrence groupBy twice more (no cross-side
+      // subtree reuse; the t_chrf docGrams pattern)
       val kept = dt.join(
         broadcast(dfreq.crossJoin(broadcast(n))
           .filter(col("df") * 10 <= col("__N") * 9).select("term")),
-        "term")
+        "term").cache()
       val a = kept.select(col("doc_id"), col("term").as("t1"))
       val b = kept.select(col("doc_id"), col("term").as("t2"))
       val pairs = a.join(b, "doc_id").filter(col("t1") < col("t2"))
         .groupBy("t1", "t2").agg(count(lit(1)).as("cooc"))
-        .filter(col("cooc") >= 5)
+        .filter(col("cooc") >= 5).cache()
       val edges = pairs
         .select(Text.polyHash(col("t1")).as("src"),
           Text.polyHash(col("t2")).as("dst"))
