@@ -31,8 +31,9 @@ object Curation13Q {
         col("doc_id"), col("lang"), col("text"),
         size(toks).cast("long").as("n_tok"))
 
-      // 1. quality gate, all-integer: at least 20 tokens
-      val gated = base.filter(col("n_tok") >= 20)
+      // 1. quality gate, all-integer: at least 20 tokens (cached —
+      // keepIds and canon both read it; see c_corpus)
+      val gated = base.filter(col("n_tok") >= 20).cache()
 
       // 2. exact-dup canonicalization (d_canonical rule: longest text
       // wins, doc_id tiebreak → min doc_id since exact dups share
@@ -45,8 +46,11 @@ object Curation13Q {
 
       // 3. DSIR per-token importance on the SURVIVING corpus (t_dsir
       // kernel: en-target vs corpus unigram LMs, micro-nat lattice)
+      // cached: raw and the weighted join both read the exploded
+      // token table — uncached, the normalize+explode ran twice
       val tk = canon.select(col("doc_id"), col("lang"),
         explode(Text.tokens(Text.normalizeAz(col("text")))).as("tok"))
+        .cache()
       val raw = tk.groupBy("tok").agg(count(lit(1)).as("n_r"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
       val consts = raw.agg(sum("n_r").as("tr"), sum("n_t").as("tt"),
