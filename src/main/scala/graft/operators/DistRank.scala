@@ -124,7 +124,8 @@ object DistRank {
   def cumsum(df: DataFrame, bucketKey: Column, order: Seq[Column],
       values: Seq[(Column, String)], inclusive: Boolean = true,
       totalsSuffix: Option[String] = None,
-      rowNumberAs: Option[String] = None, parts: Int = 0): DataFrame = {
+      rowNumberAs: Option[String] = None, parts: Int = 0,
+      cacheInput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val p = if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -137,9 +138,27 @@ object DistRank {
     val vals = (values.map { case (c, n) => (c, n, false) } ++
       rowNumberAs.map(n => (lit(1L), n, true)).toSeq).zipWithIndex
       .map { case ((c, n, isRn), i) => (c, n, s"__drv$i", isRn) }
-    val tagged = df.select(
+    val tagged0 = df.select(
       (keep.map(col) :+ bucketKey.cast("double").as("__drk")) ++
         vals.map { case (c, _, t, _) => c.cast("long").as(t) }: _*)
+    // The input chain is otherwise evaluated once per eager pass
+    // (boundary sketch, per-bucket totals) AND again by the caller's
+    // final action — for the common value-count inputs that is a
+    // row-scale groupBy recomputed 3x. Cache the tagged frame when it
+    // is provably aggregate-grain (bounded — a value lattice, never
+    // row-scale data, so the footprint is compact at every SF) and at
+    // least one eager pass exists to materialize it. Row-scale inputs
+    // keep the uncached behavior: at 100 TB caching them is a
+    // caller-level judgment (a102/a103 do it explicitly), not a
+    // primitive default. boundedGrain is structural, not a
+    // cardinality proof — a caller whose aggregate grain is itself
+    // near row-scale (a101's cent-price value lattice) opts out with
+    // cacheInput=false: there the cache build costs more than the one
+    // recompute it saves, at every SF.
+    val tagged =
+      if (cacheInput && (p > 1 || totalsSuffix.nonEmpty) &&
+          boundedGrain(df.queryExecution.analyzed)) tagged0.cache()
+      else tagged0
 
     // Pass 0: freeze boundaries. ANY boundary set is correct (it only
     // balances load), so the approximate sketch is fine; distinct-ing
@@ -232,9 +251,14 @@ object DistRank {
     val keep = df.columns.toSeq
     val vals = values.zipWithIndex.map { case ((c, n), i) =>
       (c, n, s"__dmv$i") }
-    val tagged = df.select(
+    val tagged0 = df.select(
       (keep.map(col) :+ bucketKey.cast("double").as("__drk")) ++
         vals.map { case (c, _, t) => c.cast("long").as(t) }: _*)
+    // same bounded-grain input cache as [[cumsum]] — two eager passes
+    // plus the final plan otherwise recompute the input chain 3x
+    val tagged =
+      if (p > 1 && boundedGrain(df.queryExecution.analyzed)) tagged0.cache()
+      else tagged0
     val qs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
     val bounds: Seq[Double] =
       if (p == 1) Nil
@@ -333,9 +357,14 @@ object DistRank {
       "DistRank parts=1 fast path requires an aggregate-grain input")
     val keep = df.columns.toSeq
     val js = specs.indices
-    val tagged = df.select(keep.map(col) ++ specs.zip(js).map {
+    val tagged0 = df.select(keep.map(col) ++ specs.zip(js).map {
       case (sp, j) => sp.bucketKey.cast("double").as(s"__drk$j")
     }: _*)
+    // same bounded-grain input cache as [[cumsum]]
+    val tagged =
+      if ((p > 1 || totalAs.isDefined) &&
+          boundedGrain(df.queryExecution.analyzed)) tagged0.cache()
+      else tagged0
 
     // Pass 0: every order's boundary sketch in ONE aggregate job.
     val qs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
@@ -352,19 +381,27 @@ object DistRank {
     val bucketed = tagged.select(keep.map(col) ++ js.map(j =>
       pidFor(col(s"__drk$j"), boundsPer(j)).as(s"__drp$j")): _*)
 
-    // Pass 1: ONE count job over the bucket-id tuple; the per-order
-    // bucket counts are its marginals.
+    // Pass 1: ONE count job over GROUPING SETS ((__drp0), ..,
+    // (__drpk-1)) — each order's per-bucket marginal directly, ≤ k·p
+    // rows of driver metadata. (The former bucket-id TUPLE count was
+    // bounded only by min(p^k, distinct tuples) — row-scale in the
+    // worst case at large k; the marginals are all the offsets ever
+    // needed.) Every grouping set keys exactly one non-null column,
+    // so rows attribute to their order by the non-null index.
     val needTotals = totalAs.isDefined
     val (offsetsPer: Seq[Map[Int, Long]], total: Long) =
       if (p == 1 && !needTotals) (js.map(_ => Map(0 -> 0L)), 0L)
       else {
         val cells: Array[Row] = bucketed
-          .groupBy(js.map(j => col(s"__drp$j")): _*)
+          .groupingSets(js.map(j => Seq(col(s"__drp$j"))),
+            js.map(j => col(s"__drp$j")): _*)
           .agg(count(lit(1)).as("__n")).collect()
-        val n = cells.map(_.getLong(specs.size)).sum
+        val n = cells.filter(r => specs.size == 1 || !r.isNullAt(0))
+          .map(_.getLong(specs.size)).sum
         val offs = js.map { j =>
-          val marg = cells.groupBy(_.getInt(j))
-            .map { case (pid, rs) => pid -> rs.map(_.getLong(specs.size)).sum }
+          val marg = cells
+            .filter(r => specs.size == 1 || !r.isNullAt(j))
+            .map(r => r.getInt(j) -> r.getLong(specs.size)).toMap
           var run = 0L
           marg.keys.toSeq.sorted.map { pid =>
             val o = pid -> run; run += marg(pid); o
@@ -420,9 +457,15 @@ object DistRank {
     val p = if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val oNames = order.indices.map(i => s"__do$i")
-    val tagged = df.select(
+    val tagged0 = df.select(
       order.zip(oNames).map { case (c, n) => c.as(n) } ++
         cols.map(col) :+ bucketKey.cast("double").as("__drk"): _*)
+    // same bounded-grain input cache as [[cumsum]]: the boundary
+    // sketch, the in-bucket pass and the bucket-ends aggregate
+    // otherwise each recompute the input chain
+    val tagged =
+      if (p > 1 && boundedGrain(df.queryExecution.analyzed)) tagged0.cache()
+      else tagged0
     val qs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
     val bounds: Seq[Double] =
       if (p == 1) Nil

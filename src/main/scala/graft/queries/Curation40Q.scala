@@ -178,15 +178,20 @@ object Curation40Q {
       // min-dist is identical either way: a node's FIRST discovery
       // hop is its distance.
       var reach = seeds.withColumn("dist", lit(0L))
+      // visited = lazy union of the per-hop CHECKPOINTED frontiers:
+      // each hop's anti-join scans the same materialized blocks either
+      // way, but the union itself no longer pays an eager
+      // re-materialization job per hop (round-11 optimization; the
+      // union depth is bounded by the 4-hop cap)
       var visited = seeds.localCheckpoint()
-      var frontier = seeds
+      var frontier = visited
       for (h <- 1 to 4) {
         frontier = frontier
           .join(sym.select(col("a").as("node"), col("b")), "node")
           .select(col("seed"), col("b").as("node")).distinct()
           .join(visited, Seq("seed", "node"), "left_anti")
           .localCheckpoint()
-        visited = visited.union(frontier).localCheckpoint()
+        visited = visited.union(frontier)
         reach = reach.union(frontier.withColumn("dist", lit(h.toLong)))
       }
       reach.groupBy("seed", "node").agg(min("dist").as("dist"))

@@ -68,14 +68,17 @@ object Curation72Q {
       // rows (165 s at sf10). The min-agg result is identical: every
       // node's FIRST discovery hop is its distance either way.
       def sweep(seed: org.apache.spark.sql.DataFrame) = {
-        var dist = seed.withColumn("dist", lit(0L)).localCheckpoint()
         var visited = seed.localCheckpoint()
+        var dist = visited.withColumn("dist", lit(0L))
         var frontier = visited
         for (h <- 1 to 4) {
           frontier = frontier.join(sym, col("node") === col("src"))
             .select(col("dst").as("node")).distinct()
             .join(visited, Seq("node"), "left_anti").localCheckpoint()
-          visited = visited.union(frontier).localCheckpoint()
+          // lazy union of checkpointed frontiers (round 11): the
+          // anti-join reads the same materialized blocks, minus one
+          // eager re-materialization job per hop (depth ≤ 4)
+          visited = visited.union(frontier)
           dist = dist.union(frontier.withColumn("dist", lit(h.toLong)))
         }
         dist.groupBy("node").agg(min("dist").as("dist"))

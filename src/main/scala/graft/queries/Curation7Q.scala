@@ -106,44 +106,64 @@ object Curation7Q {
       // t_quality_clf): codegen'd, and no model object in any closure
       val wts = model.coefficients.toArray
       val intercept = model.intercept
-      def auc(df: org.apache.spark.sql.DataFrame): Double = {
-        val margin = feats.zip(wts).map { case (c, wi) => col(c) * wi }
+      def marginOf(c: String => org.apache.spark.sql.Column) =
+        feats.zip(wts).map { case (f0, wi) => c(f0) * wi }
           .reduce(_ + _) + intercept
-        val scored = df.select(col("doc_id"), col("label"),
-          (lit(1.0) / (lit(1.0) + exp(-margin))).as("score"))
-        // ranks via DistRank's bucketed two-pass (see t_quality_clf)
-        graft.operators.DistRank.rowNumber(scored, col("score"),
-            Seq(col("score").asc, col("doc_id")), "r")
-          .agg(((sum(when(col("label") === 1.0, col("r")).otherwise(0L)) -
-            sum(when(col("label") === 1.0, 1L).otherwise(0L)) *
-              (sum(when(col("label") === 1.0, 1L).otherwise(0L)) + 1) / 2)
-            .cast("double") /
-            (sum(when(col("label") === 1.0, 1L).otherwise(0L)) *
-              (count(lit(1)) -
-                sum(when(col("label") === 1.0, 1L).otherwise(0L))))
-              .cast("double")).as("a")).head().getDouble(0)
-      }
-      val base = auc(test)
+      def sig(m: org.apache.spark.sql.Column) =
+        lit(1.0) / (lit(1.0) + exp(-m))
       // permute feature k by joining it back on a hash-rotated id:
       // every doc gets SOME doc's value, none (w.h.p.) its own
       // hash-order rank distributes the same way (bucketed on the
       // hash value; doc_id breaks the astronomically-unlikely hash tie)
+      // totalAs rides the rank pass — no separate test.count() action
       val ids = graft.operators.DistRank.rowNumber(
         test.select(col("doc_id")), xxhash64(col("doc_id")),
-        Seq(xxhash64(col("doc_id")), col("doc_id")), "rnk")
-      val nTest = test.count()
-      val rows = feats.map { ft =>
-        // cyclic shift by 1 in hash order: rank r receives rank r-1's
-        // value (rank 1 receives rank n's) — a deterministic
-        // permutation uncorrelated with the feature
-        val donor = test.select(col("doc_id"), col(ft)).join(ids, "doc_id")
-          .select((pmod(col("rnk"), lit(nTest)) + 1).as("rnk2"),
-            col(ft).as("perm"))
-        val permuted = test.drop(ft).join(ids, "doc_id")
-          .join(donor, col("rnk") === col("rnk2"))
-          .withColumnRenamed("perm", ft)
-        ft -> auc(permuted)
+        Seq(xxhash64(col("doc_id")), col("doc_id")), "rnk",
+        totalAs = Some("nt"))
+      // cyclic shift by 1 in hash order: rank r receives rank r-1's
+      // value (rank 1 receives rank n's) — a deterministic
+      // permutation uncorrelated with the feature. ONE donor frame
+      // carries all 4 features (round 11; was one join pipeline per
+      // feature).
+      val donor = test.select(col("doc_id") +: feats.map(col): _*)
+        .join(ids, "doc_id")
+        .select((pmod(col("rnk"), col("nt")) + 1).as("rnk2") +:
+          feats.map(ft => col(ft).as(s"__perm_$ft")): _*)
+      // 5 scores as columns of ONE frame (base + each feature
+      // permuted), ranked by ONE fused rowNumbers pass — the 5
+      // independent rank pipelines (2 eager jobs + 1 head() each)
+      // collapse into 2 eager jobs + 1 head() total; each AUC double
+      // is the identical rank statistic over the identical row set.
+      // cached: the fused pass reads the join 3x (sketch, marginals,
+      // final agg) — spillable MEMORY_AND_DISK, held-out-split-sized
+      val scored = test.join(ids, "doc_id")
+        .join(donor, col("rnk") === col("rnk2"))
+        .select(col("doc_id") +: col("label") +:
+          sig(marginOf(col)).as("score_base") +:
+          feats.map { ft =>
+            sig(marginOf(c => if (c == ft) col(s"__perm_$ft") else col(c)))
+              .as(s"score_$ft")
+          }: _*).cache()
+      val scoreCols = "score_base" +: feats.map(ft => s"score_$ft")
+      val ranked = graft.operators.DistRank.rowNumbers(scored,
+        scoreCols.map(sc => graft.operators.DistRank.RankSpec(
+          col(sc), Seq(col(sc).asc, col("doc_id")), s"r_$sc")).toSeq)
+      val npos = sum(when(col("label") === 1.0, 1L).otherwise(0L))
+      val aggExprs = Seq(count(lit(1)).as("n"), npos.as("np")) ++
+        scoreCols.map(sc =>
+          sum(when(col("label") === 1.0, col(s"r_$sc")).otherwise(0L))
+            .as(s"sr_$sc"))
+      val aucRow = ranked.agg(aggExprs.head, aggExprs.tail: _*).head()
+      val n = aucRow.getLong(0)
+      val np = aucRow.getLong(1)
+      def aucOf(i: Int): Double =
+        (aucRow.getLong(2 + i) - np * (np + 1) / 2).toDouble /
+          (np * (n - np)).toDouble
+      val base = aucOf(0)
+      val rows = feats.zipWithIndex.map { case (ft, i) =>
+        ft -> aucOf(i + 1)
       }
+      scored.unpersist()
       test.unpersist()
       import s.implicits._
       // Integer-decided gate rows (the m8_nn_gate pattern, per
