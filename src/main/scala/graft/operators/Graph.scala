@@ -177,18 +177,35 @@ object Graph {
                scale: Long = 1000000L,
                checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && scale >= 100)
+    val p = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // Edge cache pre-partitioned on src (round 11): every iteration
+    // joins e⋈shares on src, and a cache partitioned on (src, dst) —
+    // distinct's layout — would re-Exchange the EDGE table per
+    // iteration. Partitioned on src, only the (node-scale) shares
+    // side moves; the edge side reads cached blocks in place. One
+    // extra exchange at build, iters exchanges of the edge table
+    // saved — the dominant byte-mover at 100 TB.
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().cache()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).cache()
+      .distinct().repartition(p, col("src")).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // Rank state carries the node's out-degree (null = dangling) so
+    // the per-iteration share step is a narrow projection — the
+    // former ranks⋈degrees join re-shuffled the whole rank table
+    // once per iteration for a value that never changes (round 11).
     val nodes = truncate(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(deg.select(col("src").as("node"), col("__deg")),
+        Seq("node"), "left"), checkpointDir)
     val base = lit(15L * scale / 100L)
     var r = nodes.withColumn("r", lit(scale))
     for (_ <- 1 to iters) {
-      val shares = r.join(deg, r("node") === deg("src"))
-        .select(col("src"), expr("r DIV __deg").as("__share"))
+      // inner join semantics of the former ranks⋈degrees: nodes with
+      // no out-edges contribute no share rows
+      val shares = r.filter(col("__deg").isNotNull)
+        .select(col("node").as("src"), expr("r DIV __deg").as("__share"))
       val inc = e.join(shares, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__share")).as("__in"))
@@ -198,12 +215,12 @@ object Graph {
       // size, and the deep chained-join alternative re-plans the
       // whole prefix per action.
       r = truncate(nodes.join(inc, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("__deg"),
           (base + expr("85 * coalesce(__in, 0L) DIV 100")).as("r")),
         checkpointDir)
     }
-    e.unpersist(); deg.unpersist()
-    r
+    e.unpersist()
+    r.select(col("node"), col("r"))
   }
 
   /** Personalized PageRank on the same exact-integer lattice as
@@ -219,36 +236,42 @@ object Graph {
                            iters: Int, scale: Long = 1000000L,
                            checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && scale >= 100)
+    val p = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // same round-11 shape as [[pageRank]]: edge cache pre-partitioned
+    // on src; degree carried in the rank state
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().cache()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).cache()
+      .distinct().repartition(p, col("src")).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val sd = seeds.select(col("seed").cast("long").as("node"))
       .distinct().withColumn("__isSeed", lit(1L))
     val nodes = truncate(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
         .join(sd, Seq("node"), "left")
+        .join(deg.select(col("src").as("node"), col("__deg")),
+          Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("__isSeed"), lit(0L)).as("is_seed")),
+          coalesce(col("__isSeed"), lit(0L)).as("is_seed"), col("__deg")),
       checkpointDir)
     val base = when(col("is_seed") === 1L, lit(15L * scale / 100L))
       .otherwise(lit(0L))
     var r = nodes.withColumn("r",
       when(col("is_seed") === 1L, lit(scale)).otherwise(lit(0L)))
     for (_ <- 1 to iters) {
-      val shares = r.join(deg, r("node") === deg("src"))
-        .select(col("src"), expr("r DIV __deg").as("__share"))
+      val shares = r.filter(col("__deg").isNotNull)
+        .select(col("node").as("src"), expr("r DIV __deg").as("__share"))
       val inc = e.join(shares, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__share")).as("__in"))
       r = truncate(nodes.join(inc, Seq("node"), "left")
-        .select(col("node"), col("is_seed"),
+        .select(col("node"), col("is_seed"), col("__deg"),
           (base + expr("85 * coalesce(__in, 0L) DIV 100")).as("r")),
         checkpointDir)
     }
-    e.unpersist(); deg.unpersist()
+    e.unpersist()
     r.select(col("node"), col("is_seed"), col("r"))
   }
 
