@@ -126,7 +126,10 @@ object Curation29Q {
     // keyed agg — node2vec's sampling pass as 3 Pregel rounds, never
     // materializing adjacency in one task.
     "g12_randomwalk" -> ((s, dir) => {
-      val sym = symEdges(s, dir).cache()
+      // cache hash-partitioned on the per-step join key (a → cur;
+      // rename preserves the layout): the 3 step joins reuse the
+      // cached exchange — the g11 pattern (round 11)
+      val sym = symEdges(s, dir).repartition(col("a")).cache()
       var walk = sym.select(col("a").as("start")).distinct()
         .filter(pmod(col("start"), lit(10L)) === 0)
         .select(col("start"), col("start").as("cur"))

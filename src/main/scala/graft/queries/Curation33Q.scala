@@ -151,12 +151,17 @@ object Curation33Q {
     // class), so no sorted collect_list and O(1) agg state per node;
     // each round is one Pregel-shape keyed agg + join. lbl0 = degree.
     "g14_wl_hash" -> ((s, dir) => {
-      val sym = Curation29Q.symEdges(s, dir).cache()
+      // cache the edges ALREADY hash-partitioned on the round-join
+      // key + SHUFFLE_HASH on the label side (the g11/lpa3 pattern,
+      // round 11): the |E| side neither re-exchanges nor re-SORTS
+      // per round — only the |V|-row label side moves
+      val sym = Curation29Q.symEdges(s, dir).repartition(col("b")).cache()
       var lbl = sym.groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("lbl"))
       for (_ <- 1 to 2) {
         val mixed = sym
-          .join(lbl.select(col("node").as("b"), col("lbl").as("nl")), "b")
+          .join(lbl.select(col("node").as("b"), col("lbl").as("nl"))
+            .hint("SHUFFLE_HASH"), "b")
           .groupBy(col("a").as("node"))
           .agg(sum(pmod(col("nl") * B + C, lit(P))).as("nsum"))
         lbl = lbl.join(mixed, "node")
